@@ -1,0 +1,332 @@
+"""Category D — aggregations (SURVEY §2.D).
+
+Domain mapping [SN-API]: the ServiceNow Aggregate API
+(`sysparm_group_by`, COUNT/SUM/AVG/MIN/MAX, `sysparm_having`).
+
+Float-parity policy (SURVEY §7 hard-part #1): the money columns carry
+exactly-2-decimal values (verified on the data), so every sum/product
+is computed over DECIMAL casts — EXACT, order-independent — and only
+the final value is cast to DOUBLE, identically in Spark and DuckDB.
+That makes aggregate outputs bit-identical across engines with no
+rounding fudge. Integral-valued doubles (l_quantity) sum exactly in
+binary and need no cast.
+
+100 TB notes: groupBy().agg() runs partial (map-side) aggregation
+before the shuffle — the shuffle carries one row per (partition, key),
+not per input row. countDistinct adds an Expand + second shuffle; at
+scale prefer approx_count_distinct (d5) when tolerance allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+
+
+def dec(c: str, p: int = 18, s: int = 2) -> Column:
+    """Exact-decimal view of a 2dp money column (parity policy)."""
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def dsum(col: Column) -> Column:
+    """Exact decimal sum emitted as DOUBLE (bit-identical both engines)."""
+    return F.sum(col).cast("double")
+
+
+@query(
+    "d1_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS row_cnt,
+           SUM(l_quantity) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price
+    FROM lineitem
+    """,
+)
+def d1_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate (d1): global count/sum/avg/min/max."""
+    li = scan(spark, sf_dir, "lineitem")
+    sum_price_dec = F.sum(dec("l_extendedprice"))
+    return li.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        sum_price_dec.cast("double").alias("sum_price"),
+        (sum_price_dec.cast("double") / F.count(F.lit(1))).alias("avg_price"),
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * ((1 - CAST(l_discount AS DECIMAL(4,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(4,2))))) AS DOUBLE)
+         AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)
+         AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("d2_agg_group", oracle=Q1_ORACLE)
+def d2_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate (d2) — the flagship TPC-H-Q1-style pricing
+    summary (SURVEY §7 phase 0): scan → filter → partial+final hash agg
+    → sort. Exercises the full batch lifecycle (§3.1)."""
+    li = scan(spark, sf_dir, "lineitem")
+    price, disc, tax = dec("l_extendedprice"), dec("l_discount", 4, 2), dec("l_tax", 4, 2)
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(price).alias("sum_base_price"),
+            dsum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+            dsum(price * ((F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "d3_agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def d3_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (d3) — `sysparm_having`."""
+    o = scan(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "d4_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def d4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (d4)."""
+    e = scan(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("d5_approx_distinct")  # approximate → rows-only check (SURVEY §2 note)
+def d5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct count (d5): HLL++ sketch, one pass, no
+    Expand/second shuffle — the 100 TB path for cardinality. Estimates
+    differ from DuckDB's HLL by design → no SQL oracle (driver records
+    the rows-only check). Accuracy asserted in tests/test_operators.py
+    against the exact count (rsd=0.05)."""
+    e = scan(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+    )
+
+
+@query(
+    "d6_rollup",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(GROUPING(c_nationkey) + GROUPING(c_mktsegment) AS BIGINT)
+             AS grp_level,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+    """,
+)
+def d6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup subtotals (d6): nation → (nation, segment) → grand total."""
+    c = scan(spark, sf_dir, "customer")
+    return c.rollup("c_nationkey", "c_mktsegment").agg(
+        (F.grouping("c_nationkey") + F.grouping("c_mktsegment"))
+        .cast("bigint")
+        .alias("grp_level"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("c_acctbal")).alias("bal"),
+    )
+
+
+@query(
+    "d7_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT)
+             AS grp_level,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def d7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube — all grouping combinations (d7)."""
+    o = scan(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") + F.grouping("o_orderpriority"))
+        .cast("bigint")
+        .alias("grp_level"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "d8_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def d8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (d8) via the SQL surface (same Catalyst
+    Expand operator as rollup/cube)."""
+    scan(spark, sf_dir, "lineitem").createOrReplaceTempView("d8_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        FROM d8_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "d9_collect",
+    oracle="""
+    SELECT c_nationkey, list(seg ORDER BY seg) AS segments
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def d9_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/set aggregation (d9), sorted for determinism."""
+    c = scan(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments")
+    )
+
+
+@query(
+    "d10_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d10_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (d10): quartiles of an integral-valued column;
+    interpolation factors {0, .25, .5, .75} are exact binary fractions →
+    engine-identical doubles. approx_percentile is exercised rows-only
+    in tests (sketch values differ across engines by design)."""
+    li = scan(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias(
+            "qty_quartiles"
+        )
+    )
+
+
+@query(
+    "d11_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (SUM(l_quantity * l_quantity)
+              - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
+             / (COUNT(*) - 1) AS var_qty,
+           sqrt((SUM(l_quantity * l_quantity)
+              - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
+             / (COUNT(*) - 1)) AS std_qty,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              - SUM(l_quantity)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*))
+             / (COUNT(*) - 1) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d11_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (d11): var/stddev/covar with *textbook
+    semantics* computed from exact sums (decimal / integral-exact), so
+    both engines evaluate the identical IEEE expression. Equivalent to
+    var_samp/stddev_samp/covar_samp; built that way for cross-engine
+    bit-parity (SURVEY §7 hard-part #1)."""
+    li = scan(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum("l_quantity")
+    sxx = F.sum(F.col("l_quantity") * F.col("l_quantity"))
+    sy = F.sum(dec("l_extendedprice")).cast("double")
+    sxy = F.sum(dec("l_quantity", 12, 2) * dec("l_extendedprice")).cast("double")
+    var_qty = (sxx - sx * sx / n) / (n - F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("std_qty"),
+        ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "d12_agg_distinct_input",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(DISTINCT l_quantity) AS sum_distinct_qty,
+           COUNT(DISTINCT l_quantity) AS n_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d12_agg_distinct_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over distinct inputs (d12)."""
+    li = scan(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+        F.countDistinct("l_quantity").alias("n_distinct_qty"),
+    )

@@ -1,0 +1,103 @@
+"""Category F — sorts / limits / top-k (SURVEY §2.F).
+
+Encoded-query analogue: ORDERBY / ORDERBYDESC, `sysparm_limit`,
+`sysparm_offset` [SN-API].
+
+The driver's hash is order-insensitive, so the sort itself is made
+value-visible: f1 materializes the rank via row_number over a UNIQUE
+ordering (ties broken by primary key), f2/f3 return the top/offset
+slices whose *membership* is order-determined.
+
+100 TB notes: `orderBy().limit(n)` compiles to TakeOrderedAndProject —
+a per-partition top-n + driver merge, NO global sort. f1's full sort is
+a range-partitioned sort (sampled boundaries). f4 is a windowed top-k:
+one shuffle on the partition key, no global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+
+
+@query(
+    "f1_sort",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal,
+           CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT)
+             AS sort_pos
+    FROM supplier
+    """,
+)
+def f1_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (f1), rank materialized for verification."""
+    s = scan(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey"))
+    return (
+        s.select("s_suppkey", "s_name", "s_acctbal")
+        .withColumn("sort_pos", F.row_number().over(w).cast("bigint"))
+        .orderBy("sort_pos")
+    )
+
+
+@query(
+    "f2_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def f2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit (f2) → TakeOrderedAndProject (no global sort)."""
+    o = scan(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "f3_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10
+    """,
+)
+def f3_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset + limit — pagination page 2 (f3)."""
+    o = scan(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("f3_orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM f3_orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10"
+    )
+
+
+@query(
+    "f4_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def f4_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (f4): window rank ≤ k, unique tie-break."""
+    o = scan(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory and runtime tuning.
+
+Design point (SURVEY.md §6/§7): one shared session, AQE on, UTC session
+timezone, Arrow enabled. ``spark.sql.shuffle.partitions`` is sized for
+the local test harness via ``SPARK_GRAFT_CPUS``; on a real cluster the
+same code runs with AQE coalescing partitions at runtime, so the static
+number only sets the *upper* bound of the shuffle fan-out at small SF.
+
+100 TB notes:
+- every conf set here is cluster-valid; nothing assumes local mode
+  except the ``master`` default in :func:`build_session` (tests/bench).
+- AQE (adaptive query execution) handles runtime partition coalescing,
+  skew-join splitting and broadcast demotion — required at scale and
+  harmless at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are runtime-settable and must hold on ANY session our
+#: queries run under — including the driver-owned session passed into
+#: ``queries()[id](spark, sf_dir)``, which we do not construct.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # at 100 TB this is governed by AQE advisory sizes; locally it keeps
+    # tiny shuffles from fanning out into hundreds of empty partitions.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-provided session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf not settable post-start
+            pass
+    return spark
+
+
+def build_session(app_name: str = "cmdb-spark-engine") -> SparkSession:
+    """Build the engine's own local session (tests / bench / tools)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = tune(b.getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

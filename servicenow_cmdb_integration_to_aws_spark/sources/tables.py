@@ -1,0 +1,165 @@
+"""Schema-declared readers for the engine's tables (SURVEY §1.2).
+
+The engine's fundamental abstraction is a DataFrame with a *declared*
+StructType (the CMDB model is fixed-per-class; SURVEY §1.1). Schemas
+below mirror FIXTURES.md exactly; :func:`scan` reads by parquet footer
+(schema-on-file), :func:`scan_declared` enforces the declared schema —
+the a2 semantics — and is what ingest boundaries should use.
+
+100 TB notes: plain ``spark.read.parquet`` gives Catalyst predicate
+pushdown + column pruning for free; nothing here materializes or
+collects. Partition discovery over a directory of files behaves the
+same as over a single file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+def path_of(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """a1 semantics: footer-schema parquet scan (pushdown/pruning free).
+
+    `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    read natively: read it as raw nanos (``nanosAsLong``) and truncate to
+    µs with exact integer division (`div`), matching DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` truncation (FIXTURES.md parity notes).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path_of(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path_of(sf_dir, name))
+
+
+def scan_declared(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """a2 semantics: scan + enforce the declared StructType.
+
+    Parquet readers ignore ``.schema()`` column *order* mismatches but
+    we also re-select in declared order and cast, so a drifted file
+    fails loudly instead of silently changing types downstream.
+    """
+    st = SCHEMAS[name]
+    if name == "events":  # ns-timestamp parquet needs the scan() path
+        df = scan(spark, sf_dir, name)
+    else:
+        df = spark.read.schema(st).parquet(path_of(sf_dir, name))
+    return df.select(*[df[f.name].cast(f.dataType).alias(f.name) for f in st.fields])
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Convenience multi-table loader used by the operator modules."""
+    return tuple(scan(spark, sf_dir, n) for n in names)
