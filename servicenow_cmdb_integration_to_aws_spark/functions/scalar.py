@@ -1,0 +1,367 @@
+"""Category H — scalar functions (SURVEY §2.H).
+
+Field-mapping surface of a CMDB sync [SN-API]: string normalization,
+ARN parsing, date bucketing on `sys_updated_on`-style timestamps, type
+coercion at ingest, choice-field mapping (CASE/coalesce), AWS tag maps,
+nested JSON payloads, content hashing for delta detection.
+
+All native `pyspark.sql.functions` — whole-stage codegen end-to-end,
+no Python UDFs (§2 engine policy). Cross-engine typing notes inline:
+Spark's length/year/ceil return INT/LONG where DuckDB returns BIGINT/
+DOUBLE, so every such output is cast explicitly on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+
+
+@query(
+    "h1_string",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws('|', c_name, c_mktsegment) AS tagged,
+           upper(c_mktsegment) AS seg_up,
+           lower(c_name) AS name_lo,
+           substring(c_name, 1, 8) AS prefix8,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad,
+           replace(c_name, 'Customer#', 'CI-') AS ci_name,
+           string_split(c_name, '#')[1] AS name_head,
+           trim(concat(' ', c_name, ' ')) AS name_trim
+    FROM customer
+    """,
+)
+def h1_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (h1): CI-name normalization toolkit."""
+    c = scan(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("tagged"),
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.lower("c_name").alias("name_lo"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_pad"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("CI-")).alias("ci_name"),
+        F.split("c_name", "#").getItem(0).alias("name_head"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+@query(
+    "h2_regex_fn",
+    oracle=r"""
+    SELECT s_suppkey, arn,
+           regexp_extract(arn, 'arn:aws:ec2:[a-z0-9-]+:(\d{12}):', 1) AS account_id,
+           regexp_replace(arn, '^arn:aws:ec2:[a-z0-9-]+:', '') AS resource_part
+    FROM (
+        SELECT s_suppkey,
+               'arn:aws:ec2:us-east-1:' || lpad(CAST(s_suppkey AS VARCHAR), 12, '0')
+                 || ':instance/i-' || lower(s_name) AS arn
+        FROM supplier
+    )
+    """,
+)
+def h2_regex_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/replace (h2): pull the account id out of ARN-like
+    strings (the AWS-side identifier-mapping pattern)."""
+    s = scan(spark, sf_dir, "supplier")
+    arn = F.concat(
+        F.lit("arn:aws:ec2:us-east-1:"),
+        F.lpad(F.col("s_suppkey").cast("string"), 12, "0"),
+        F.lit(":instance/i-"),
+        F.lower("s_name"),
+    )
+    return s.select("s_suppkey", arn.alias("arn")).select(
+        "s_suppkey",
+        "arn",
+        F.regexp_extract("arn", r"arn:aws:ec2:[a-z0-9-]+:(\d{12}):", 1).alias(
+            "account_id"
+        ),
+        F.regexp_replace("arn", r"^arn:aws:ec2:[a-z0-9-]+:", "").alias(
+            "resource_part"
+        ),
+    )
+
+
+@query(
+    "h3_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dy,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS plus30,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def h3_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions (h3): watermark & date-bucketing toolkit."""
+    o = scan(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "h4_math",
+    oracle="""
+    SELECT p_partkey,
+           CAST(round(CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(1.1 AS DECIMAL(2,1)), 1) AS DOUBLE) AS bumped,
+           abs(p_retailprice - 950.0) AS dist950,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+           CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+           sqrt(p_size) AS sqrt_size,
+           pow(p_size, 2) AS size_sq,
+           round(ln(p_size), 9) AS ln_size,
+           CAST(mod(p_size, 7) AS BIGINT) AS size_mod7
+    FROM part
+    """,
+)
+def h4_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions (h4). `bumped` rounds an exact decimal product
+    (half-up both engines); transcendentals (ln) verified bit-equal on
+    this platform's libm/JDK pair by the parity gate."""
+    p = scan(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(
+            F.col("p_retailprice").cast("decimal(12,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            1,
+        )
+        .cast("double")
+        .alias("bumped"),
+        F.abs(F.col("p_retailprice") - 950.0).alias("dist950"),
+        F.ceil("p_retailprice").cast("bigint").alias("ceil_price"),
+        F.floor("p_retailprice").cast("bigint").alias("floor_price"),
+        F.sqrt("p_size").alias("sqrt_size"),
+        F.pow("p_size", F.lit(2)).alias("size_sq"),
+        # JVM Math.log and C libm differ by 1 ulp on some inputs; round
+        # to 9dp (error 4e-16 ≪ 5e-10 boundary) for cross-engine parity.
+        F.round(F.log(F.col("p_size").cast("double")), 9).alias("ln_size"),
+        F.pmod("p_size", F.lit(7)).cast("bigint").alias("size_mod7"),
+    )
+
+
+@query(
+    "h5_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_mapped,
+           least(c_acctbal, 1000.0) AS bal_capped,
+           greatest(c_acctbal, 0.0) AS bal_floor
+    FROM customer
+    """,
+)
+def h5_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals (h5): choice-field mapping / IRE source precedence
+    (CASE WHEN, coalesce, nullif, least/greatest)."""
+    c = scan(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+        .alias("seg_mapped"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+    )
+
+
+@query(
+    "h6_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM orders
+    """,
+)
+def h6_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type coercion (h6): the string↔number↔date mapping layer at the
+    ingest boundary (CMDB fields arrive as display strings)."""
+    o = scan(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+    )
+
+
+@query(
+    "h7_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           words[1:3] AS first3,
+           list_sort(list_distinct(words)) AS vocab,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_vocab,
+           list_contains(words, 'db') AS has_db
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    """,
+)
+def h7_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions (h7): tokenized text as array column — size,
+    slice, distinct, sort, membership."""
+    d = scan(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.slice("words", 1, 3).alias("first3"),
+        F.sort_array(F.array_distinct("words")).alias("vocab"),
+        F.size(F.array_distinct("words")).cast("bigint").alias("n_vocab"),
+        F.array_contains("words", "db").alias("has_db"),
+    )
+
+
+@query(
+    "h8_higher_order",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy,
+           list_transform(list_zip(embedding, embedding),
+                 p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) AS self_sum
+    FROM embeddings
+    """,
+)
+def h8_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (h8): transform/filter/aggregate/
+    zip_with — element-wise vector math with NO Python UDF."""
+    e = scan(spark, sf_dir, "embeddings")
+    x_d = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x_d(x) * 2.0).alias("doubled"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x_d(x) * x_d(x),
+            ),
+            6,
+        ).alias("energy"),
+        F.zip_with("embedding", "embedding", lambda a, b: x_d(a) + x_d(b)).alias(
+            "self_sum"
+        ),
+    )
+
+
+@query(
+    "h9_map",
+    oracle="""
+    SELECT event_id,
+           map_keys(m) AS tag_keys,
+           CAST(len(map_keys(m)) AS BIGINT) AS n_tags,
+           m['source'][1] AS source_tag,
+           m['kind'][1] AS kind_tag
+    FROM (
+        SELECT event_id,
+               MAP {'source': 'servicenow', 'kind': event_type} AS m
+        FROM events
+    )
+    """,
+)
+def h9_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions (h9): the AWS-tag-map pattern — build a map column,
+    list keys, extract values."""
+    e = scan(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("source"), F.lit("servicenow"), F.lit("kind"), F.col("event_type")
+    )
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("tag_keys"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_tags"),
+        F.element_at(m, "source").alias("source_tag"),
+        F.element_at(m, "kind").alias("kind_tag"),
+    )
+
+
+@query(
+    "h10_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+           json_extract_string(props, '$.missing') AS missing_attr
+    FROM events
+    """,
+)
+def h10_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions (h10): `events.props` extraction — the AWS Config
+    payload boundary. get_json_object for ad-hoc paths (a3 covers
+    from_json with a declared schema)."""
+    e = scan(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        k.isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").alias("missing_attr"),
+    )
+
+
+@query(
+    "h11_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(lower(trim(text))) AS norm_md5
+    FROM documents
+    """,
+)
+def h11_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashing (h11): dedup/delta fingerprints. xxhash64 (used
+    internally by j2's MinHash) has no DuckDB twin, so the oracle covers
+    md5/sha256; xxhash64 determinism is pinned in unit tests."""
+    d = scan(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.lower(F.trim("text"))).alias("norm_md5"),
+    )

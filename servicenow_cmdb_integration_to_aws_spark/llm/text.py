@@ -1,0 +1,252 @@
+"""LLM-pipeline text-analysis operators (SURVEY §2.J: j7–j10) [NS].
+
+Token statistics, TF-IDF, language slicing, quality scoring, and the
+multimodal (text ⋈ embedding) join — all native expressions over the
+`documents` / `embeddings` tables.
+
+100 TB notes: every operator here is explode → partial-agg → final-agg;
+the shuffle carries (token, count) partials, never raw text. TF-IDF's
+document-frequency side is tiny (vocabulary-sized) and broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) with duplicates — term frequency granularity."""
+    return (
+        scan(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    )
+
+
+@query(
+    "j7_tokenize_tf",
+    oracle="""
+    SELECT tok AS token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+)
+def j7_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (j7): corpus-wide term frequency, top-20 terms."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "j8_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 9), 6)
+                 AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def j8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (j8): top-3 highest-scored terms per document.
+    idf = ln(N/df) rounded 9dp before the product (ulp-parity, see
+    h4_math); tf·idf rounded 6dp."""
+    tf = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = scan(spark, sf_dir, "documents").count()
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rn")
+    )
+
+
+@query(
+    "j9_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def j9_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual slice stats (j9): per-language doc counts + length
+    distribution (bigint sums → exact)."""
+    d = scan(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "j9b_quality_score",
+    oracle="""
+    SELECT doc_id, n_words, avg_word_len, stop_ratio,
+           CASE WHEN n_words >= 30 AND stop_ratio < 0.2 THEN 'good'
+                WHEN n_words >= 10 THEN 'fair' ELSE 'poor' END AS quality
+    FROM (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(n_chars - len(words) + 1 AS DOUBLE) / len(words)
+                 AS avg_word_len,
+               CAST(len(list_filter(words, w -> w IN ('a', 'the')))
+                    AS DOUBLE) / len(words) AS stop_ratio
+        FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS words
+              FROM documents)
+    )
+    """,
+)
+def j9b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring (j9 family): length / stopword-ratio
+    heuristics binned into a quality label — the pretraining-corpus
+    filter pattern. Pure expressions; ratios are exact (ints → one
+    division)."""
+    d = scan(spark, sf_dir, "documents").withColumn(
+        "words", F.split(F.lower("text"), " ")
+    )
+    n_words = F.size("words")
+    stop_ratio = (
+        F.size(F.filter("words", lambda w: w.isin("a", "the"))).cast("double")
+        / n_words
+    )
+    avg_word_len = (F.col("n_chars") - n_words + 1).cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        F.when((n_words >= 30) & (stop_ratio < 0.2), "good")
+        .when(n_words >= 10, "fair")
+        .otherwise("poor")
+        .alias("quality"),
+    )
+
+
+@query(
+    "j9c_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                     w -> w IN ('the', 'a', 'of'))) > 0
+                THEN 'en_like' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+)
+def j9c_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (j9 family): stopword-marker n-gram test.
+    (The synthetic corpus shares one vocabulary, so the heuristic is
+    exercised structurally; real corpora swap in real marker sets.)"""
+    d = scan(spark, sf_dir, "documents")
+    markers = F.size(
+        F.filter(
+            F.split(F.lower("text"), " "), lambda w: w.isin("the", "a", "of")
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(markers > 0, "en_like").otherwise("other").alias("lang_guess"),
+    )
+
+
+@query(
+    "j10_multimodal",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           CAST(e.embedding[1] AS DOUBLE) AS first_component,
+           e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang = 'en'
+    """,
+)
+def j10_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal join (j10): text metadata ⋈ embedding vectors into one
+    row (struct column internally), filtered by language. The struct
+    demonstrates the nested 'document + vector' record the pipeline
+    carries; scalar projections keep the oracle comparable."""
+    d = scan(spark, sf_dir, "documents")
+    e = scan(spark, sf_dir, "embeddings")
+    joined = (
+        d.join(e, d.doc_id == e.vec_id)
+        .filter(F.col("lang") == "en")
+        .withColumn(
+            "record",
+            F.struct("doc_id", "lang", "n_chars", "embedding", "label"),
+        )
+    )
+    return joined.select(
+        F.col("record.doc_id").alias("doc_id"),
+        F.col("record.lang").alias("lang"),
+        F.col("record.n_chars").alias("n_chars"),
+        F.size("record.embedding").cast("bigint").alias("dim"),
+        F.element_at("record.embedding", 1).cast("double").alias("first_component"),
+        F.col("record.label").alias("label"),
+    )
+
+
+@query(
+    "j11_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_fp,
+           md5(list_aggregate(string_split(lower(text), ' ')[1:8], 'string_agg', ' '))
+             AS prefix_fp
+    FROM documents
+    """,
+)
+def j11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (j cat.): whole-content hash + 8-token
+    prefix hash (cheap near-dup pre-filter usable as a sort key at
+    ingest)."""
+    d = scan(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("prefix_fp"),
+    )

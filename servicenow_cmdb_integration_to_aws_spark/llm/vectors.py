@@ -1,0 +1,277 @@
+"""LLM-pipeline vector operators (SURVEY §2.J: j3–j6) [NS].
+
+Similarity search over the `embeddings` table (array<float>, dim 64).
+All vector math is native higher-order functions (`zip_with`,
+`aggregate`, `transform`) in DOUBLE — JVM-side, codegen'd, no UDFs.
+
+Parity: float32 elements cast to double are exact; dot/norm folds
+accumulate in list order on both engines; final scores round to 6dp
+(accumulated error ≤1e-13 ≪ 5e-7 boundary) so fold-order differences
+can never flip a value.
+
+100 TB design:
+- j3 brute-force is the *baseline*: one broadcast of the query vector,
+  embarrassingly parallel scan, TakeOrderedAndProject top-k (per-
+  partition heaps + driver merge — no global sort).
+- j3b is the scale path: IVF-style pruning — assign every vector to its
+  nearest of K centroids offline, search only the closest partitions.
+  Here centroids come from j5 (per-label means) to stay deterministic.
+- j4's query side is broadcast (small); never a shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+
+_D = lambda x: x.cast("double")  # noqa: E731
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Σ aᵢ·bᵢ in double, in-order fold (F.aggregate → codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _D(x) * _D(y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: str | Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+#: shared DuckDB lambda fragments (mirror the Spark fold semantics)
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@query(
+    "j3_cosine_knn",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               round({_SQL_DOT.format(a='embedding', b='qv')}
+                     / ({_SQL_NORM.format(a='embedding')}
+                        * {_SQL_NORM.format(a='qv')}), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def j3_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (j3): query = vec_id 0's embedding,
+    broadcast; top-10 most similar."""
+    e = scan(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(cosine("embedding", "qv"), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "j4_knn_join",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               round({_SQL_DOT.format(a='c.embedding', b='q.qv')}
+                     / ({_SQL_NORM.format(a='c.embedding')}
+                        * {_SQL_NORM.format(a='q.qv')}), 6) AS cos_sim
+        FROM q CROSS JOIN c
+    )
+    SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def j4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join (j4): for each of 5 query vectors, top-3 neighbors in
+    the rest of the corpus. Query side broadcast; corpus scanned once;
+    windowed top-k per query."""
+    e = scan(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine("embedding", "qv"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "cos_sim", "rn")
+    )
+
+
+@query(
+    "j5_centroids",
+    oracle="""
+    WITH elem AS (
+        SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
+    ),
+    m AS (
+        SELECT label, pos, round(SUM(val) / COUNT(*), 6) AS mean_val
+        FROM elem GROUP BY label, pos
+    )
+    SELECT label, list(mean_val ORDER BY pos) AS centroid,
+           (SELECT COUNT(*) FROM embeddings e WHERE e.label = m.label)
+             AS n_members
+    FROM m GROUP BY label
+    """,
+)
+def j5_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (j5): element-wise mean of 64-dim vectors.
+
+    posexplode → two-level agg → re-assemble sorted by position. The
+    explode keeps rows narrow (label, pos, val): at 100 TB this is the
+    shape that lets partial aggregation crush the shuffle (64·K rows
+    out per partition regardless of input size)."""
+    e = scan(spark, sf_dir, "embeddings")
+    elem = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", (F.col("pos") + 1).alias("pos"), _D(F.col("val")).alias("val"))
+    means = elem.groupBy("label", "pos").agg(
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("mean_val")
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("centroid")
+        )
+        .join(counts, "label")
+        .select("label", "centroid", "n_members")
+    )
+
+
+@query(
+    "j6_l2norm",
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> round(CAST(x AS DOUBLE) / {_SQL_NORM.format(a='embedding')}, 6))
+             AS unit_vec,
+           round({_SQL_NORM.format(a='embedding')}, 6) AS norm
+    FROM embeddings
+    """,
+)
+def j6_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (j6): unit vectors via transform(x / ‖v‖).
+    Property `‖unit_vec‖ ≈ 1` pinned in unit tests."""
+    e = scan(spark, sf_dir, "embeddings").withColumn("nrm", l2norm("embedding"))
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(_D(x) / F.col("nrm"), 6)
+        ).alias("unit_vec"),
+        F.round("nrm", 6).alias("norm"),
+    )
+
+
+@query(
+    "j3b_ivf_knn",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv, label AS q_label FROM embeddings
+               WHERE vec_id = 0),
+    cent AS (
+        SELECT label, pos, SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*) AS c
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
+        GROUP BY label, pos
+    ),
+    -- nearest centroid to the query by cosine
+    csim AS (
+        SELECT cent.label,
+               SUM(c * CAST(qv[pos] AS DOUBLE)) AS cdot,
+               sqrt(SUM(c * c)) AS cn
+        FROM cent, q GROUP BY cent.label
+    ),
+    best AS (
+        SELECT label FROM csim, q
+        ORDER BY cdot / (cn * {_SQL_NORM.format(a='qv')}) DESC, label LIMIT 2
+    ),
+    scored AS (
+        SELECT vec_id,
+               round({_SQL_DOT.format(a='embedding', b='qv')}
+                     / ({_SQL_NORM.format(a='embedding')}
+                        * {_SQL_NORM.format(a='qv')}), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0 AND label IN (SELECT label FROM best)
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def j3b_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN top-k (j3 scale path): probe only the 2 cells
+    (label partitions) whose centroid is nearest the query, then exact
+    cosine inside the probed cells. At 100 TB the corpus is partitioned
+    by cell on disk → partition pruning skips >90% of the scan; recall
+    is tunable via n_probe. Centroids are deterministic (j5)."""
+    e = scan(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    # centroids per label (reuse j5's exact shape, unrounded)
+    elem = e.select("label", F.posexplode("embedding").alias("pos", "val")).select(
+        "label", (F.col("pos") + 1).alias("pos"), _D(F.col("val")).alias("val")
+    )
+    cent = elem.groupBy("label", "pos").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("c")
+    )
+    # score centroids against the broadcast query, keep best 2 cells
+    cq = cent.crossJoin(F.broadcast(q)).select(
+        "label",
+        (F.col("c") * _D(F.element_at("qv", F.col("pos")))).alias("prod"),
+        (F.col("c") * F.col("c")).alias("c2"),
+    )
+    csim = cq.groupBy("label").agg(
+        F.sum("prod").alias("cdot"), F.sqrt(F.sum("c2")).alias("cn")
+    )
+    best = (
+        csim.crossJoin(F.broadcast(q))
+        .select("label", (F.col("cdot") / (F.col("cn") * l2norm("qv"))).alias("s"))
+        .orderBy(F.col("s").desc(), "label")
+        .limit(2)
+        .select("label")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(best), "label")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine("embedding", "qv"), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

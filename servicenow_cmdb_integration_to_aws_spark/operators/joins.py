@@ -1,0 +1,286 @@
+"""Category C — joins (SURVEY §2.C).
+
+Domain mapping [SN-API]: dot-walking (reference-field resolution),
+choice/display-value lookups, `cmdb_rel_ci` graph traversal, IRE
+two-source reconciliation — all joins.
+
+100 TB notes per operator:
+- c1: dimension joins are explicitly `broadcast()` — zero shuffle of
+  the fact side; nation/region stay tiny at any scale.
+- c2: large-large equi-join → sort-merge/shuffle-hash chosen by
+  Catalyst + AQE (skew split at runtime). Both sides shuffle on the
+  key once; the post-join aggregate reuses the same partitioning.
+- c7: theta component rides on an equi prefix so it is NOT a cartesian
+  product: Spark hash-partitions on the equi key and applies the range
+  predicate inside the join — the only scalable shape for theta joins.
+- c8: as-of via join+window; at extreme per-user fan-out, the scale
+  path is repartition-by-user + in-partition merge (applyInPandas) —
+  see streaming/stream_ops.py for the stateful analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import EVENTS_US, query
+from ..sources.tables import scan
+from .aggregates import dec, dsum
+
+
+@query(
+    "c1_join_bcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def c1_join_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join (c1): the dot-walk customer→nation→region.
+    Dims are broadcast — the customer side never shuffles."""
+    c, n, r = scan(spark, sf_dir, "customer"), scan(spark, sf_dir, "nation"), scan(
+        spark, sf_dir, "region"
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "c2_join_shuffle",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    """,
+)
+def c2_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large equi-join + reaggregation (c2), TPC-H-Q3-ish. The filter is
+    pushed below the join; the groupBy reuses the join's hash
+    partitioning on o_orderkey (no extra shuffle)."""
+    o = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    li = scan(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "c3_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    """,
+)
+def c3_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (c3): CI rows with possibly-missing references
+    survive with NULLs."""
+    c = scan(spark, sf_dir, "customer")
+    o = scan(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "c4_join_full",
+    oracle="""
+    SELECT k, urgent_price, big_price
+    FROM (SELECT o_orderkey AS k, o_totalprice AS urgent_price
+          FROM orders WHERE o_orderpriority = '1-URGENT') a
+    FULL JOIN (SELECT o_orderkey AS k2, o_totalprice AS big_price
+          FROM orders WHERE o_totalprice > 300000) b
+      ON a.k = b.k2
+    """,
+)
+def c4_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (c4): two-source reconciliation view (IRE
+    pattern) — rows unique to either side survive."""
+    o = scan(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("urgent_price")
+    )
+    b = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("big_price")
+    )
+    return a.join(b, a.k == b.k2, "full").select("k", "urgent_price", "big_price")
+
+
+@query(
+    "c5_join_semi",
+    oracle="""
+    SELECT * FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def c5_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (c5) — the encoded `IN`-subquery: customers having
+    at least one urgent order. Semi joins shuffle only the key."""
+    c = scan(spark, sf_dir, "customer")
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@query(
+    "c6_join_anti",
+    oracle="""
+    SELECT * FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def c6_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (c6) — orphan detection: customers with no orders
+    (the orphan-CI reconciliation query)."""
+    c = scan(spark, sf_dir, "customer")
+    o = scan(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@query(
+    "c7_join_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    """,
+)
+def c7_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (c7): equi prefix (nationkey) carries the hash
+    partitioning; the inequality is applied inside the join — never a
+    cartesian product."""
+    s = scan(spark, sf_dir, "supplier")
+    c = scan(spark, sf_dir, "customer")
+    return s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+    ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "c8_join_asof",
+    oracle=f"""
+    {EVENTS_US},
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+    j AS (
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+    FROM j WHERE rn = 1
+    """,
+)
+def c8_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (c8): for each purchase, the latest click by the same
+    user at-or-before the purchase (change-history lookup pattern).
+
+    Tie rule (pinned, SURVEY §7 hard-part #2): latest ts wins; equal ts
+    broken by larger event_id; purchases with no prior click kept with
+    NULLs. Implemented as ranged left join + row_number — Catalyst
+    partitions on user_id, AQE splits skewed users."""
+    e = scan(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.c_user) & (c.click_ts <= p.purchase_ts),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    )
+
+
+@query(
+    "c9_rel_2hop",
+    oracle="""
+    WITH edges AS (
+        SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS parent,
+               'N' || CAST(n_nationkey AS VARCHAR) AS child
+        FROM nation
+        UNION ALL
+        SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS parent,
+               'C' || CAST(c_custkey AS VARCHAR) AS child
+        FROM customer
+    )
+    SELECT e1.parent AS root, e1.child AS mid, e2.child AS leaf
+    FROM edges e1 JOIN edges e2 ON e1.child = e2.parent
+    """,
+)
+def c9_rel_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph 2-hop (c9): the `cmdb_rel_ci` pattern — a generic
+    (parent, child) edge table traversed by self-join. Multi-hop =
+    iterated self-joins; ≤2 hops never needs a graph library."""
+    n = scan(spark, sf_dir, "nation")
+    c = scan(spark, sf_dir, "customer")
+    e_rn = n.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("parent"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("child"),
+    )
+    e_nc = c.select(
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("parent"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("child"),
+    )
+    edges = e_rn.unionByName(e_nc)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    return e1.join(e2, F.col("e1.child") == F.col("e2.parent")).select(
+        F.col("e1.parent").alias("root"),
+        F.col("e1.child").alias("mid"),
+        F.col("e2.child").alias("leaf"),
+    )
+
+
+@query(
+    "c10_join_cross",
+    oracle="""
+    SELECT r_name, seg
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+)
+def c10_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (c10): small×small pair generation (5×5).
+    Cross joins are only ever allowed on provably-small inputs."""
+    r = scan(spark, sf_dir, "region").select("r_name")
+    segs = (
+        scan(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return r.crossJoin(segs)

@@ -1,0 +1,55 @@
+"""Category A sinks — a5 (partitioned parquet) and a6 (CSV/JSON export).
+
+Domain mapping [SN-API]: the AWS-side load — S3 objects partitioned by
+a key for downstream consumers (Athena/Glue-style layouts), plus flat
+CSV/JSON exports.
+
+Both operators verify the full write→read round trip and are therefore
+oracle-checkable (output ≡ source table). Writes go to fresh temp dirs.
+
+100 TB notes: `partitionBy` produces hive-style directories that give
+every downstream reader partition pruning; the partition column should
+be low-cardinality (status/date/region). CSV/JSON are exchange formats
+only — never intermediate storage at scale (no pushdown, no stats).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.tables import SCHEMAS, scan
+
+
+@query(
+    "a5_sink_partitioned",
+    oracle="SELECT * FROM orders",
+)
+def a5_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (a5): write orders partitioned by
+    status, read back (partition pruning now applies to the layout).
+    Round trip must be lossless — the oracle is the source table."""
+    o = scan(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="sink_a5_")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    # partitionBy moves the column to the directory key; restore order/types
+    return back.select(*[f.name for f in SCHEMAS["orders"].fields])
+
+
+@query(
+    "a6_sink_csv_json",
+    oracle="SELECT * FROM customer",
+)
+def a6_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON sinks (a6): export customer to both formats, read the
+    CSV back with the declared schema (header on; JSON written for the
+    side-effect check). Lossless round trip ≡ source table."""
+    c = scan(spark, sf_dir, "customer")
+    csv_dir = tempfile.mkdtemp(prefix="sink_a6_csv_")
+    json_dir = tempfile.mkdtemp(prefix="sink_a6_json_")
+    c.write.mode("overwrite").option("header", True).csv(csv_dir)
+    c.write.mode("overwrite").json(json_dir)
+    return spark.read.schema(SCHEMAS["customer"]).option("header", True).csv(csv_dir)

@@ -1,0 +1,143 @@
+"""Category K — UDF / UDAF / UDTF surface (SURVEY §2.K).
+
+The escape hatch, proven but fenced off: engine policy (§2) keeps all
+B–H and J operators in native expressions; these five demonstrate each
+Python-extension shape with the Arrow path. Where the function is
+re-expressible in SQL the oracle checks it (k1, k2, k5); the pandas
+group shapes (k3, k4) are rows-only (float summation order inside
+pandas differs from SQL engines by design).
+
+100 TB notes: k2–k5 are Arrow-batched (one JVM↔Python hop per ~10k-row
+batch); k1 is the row-at-a-time anti-pattern kept only as the contrast
+case. Grouped shapes (k3/k4) shuffle once on the group key and stream
+groups through the Python worker.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from ..registry import query
+from ..sources.tables import scan
+
+
+@query(
+    "k1_udf_scalar",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM customer
+    """,
+)
+def k1_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF (k1) — discouraged escape hatch; the oracle
+    checks the re-expressed SQL (SURVEY §2 K note)."""
+
+    @udf("string")
+    def tier(bal: float) -> str:
+        if bal < 0:
+            return "neg"
+        if bal < 5000:
+            return "mid"
+        return "high"
+
+    c = scan(spark, sf_dir, "customer")
+    return c.select("c_custkey", tier("c_acctbal").alias("tier"))
+
+
+@query(
+    "k2_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def k2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar pandas UDF (k2): columnar revenue —
+    numpy evaluates the same IEEE expression, so values are
+    bit-identical to the SQL oracle."""
+
+    @pandas_udf("double")
+    def revenue(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = scan(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue("l_extendedprice", "l_discount").alias("revenue"),
+    )
+
+
+@query("k3_grouped_map")  # rows-only: pandas float accumulation order
+def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (k3): per-nation z-score of customer
+    balances — each group arrives as one pandas DataFrame."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["c_acctbal"].std(ddof=1)
+        mean = pdf["c_acctbal"].mean()
+        z = (pdf["c_acctbal"] - mean) / std if std and std > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "c_nationkey": pdf["c_nationkey"],
+                "c_custkey": pdf["c_custkey"],
+                "z_acctbal": z,
+            }
+        )
+
+    c = scan(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        zscore, "c_nationkey int, c_custkey long, z_acctbal double"
+    )
+
+
+@query("k4_pandas_udaf")  # rows-only: pandas float accumulation order
+def k4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (k4): per-event-type trimmed mean
+    (drop top/bottom 10%) — a UDAF Spark has no builtin for."""
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        inner = v[(v >= lo) & (v <= hi)]
+        return float(inner.mean()) if len(inner) else float("nan")
+
+    e = scan(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        trimmed_mean("value").alias("trimmed_mean_value")
+    )
+
+
+@query(
+    "k5_udtf",
+    oracle="""
+    SELECT doc_id, tok AS token
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def k5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (k5): table function exploding text into tokens
+    (1 row in → N rows out), lateral-joined per input row. Deterministic
+    → SQL oracle applies."""
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in text.split(" "):
+                yield (tok,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "k5_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.token FROM k5_docs d, LATERAL tokenize_udtf(d.text) t"
+    )

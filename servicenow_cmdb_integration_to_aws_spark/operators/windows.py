@@ -1,0 +1,240 @@
+"""Category E — window functions (SURVEY §2.E).
+
+All over `events` (the change-stream table) or `orders`. Rank outputs
+are cast BIGINT on both engines; running/moving sums use the exact
+DECIMAL policy (see operators/aggregates.py) so frames of doubles
+accumulate identically.
+
+100 TB notes: a window = one shuffle on partitionBy + in-partition
+sort. Every window here partitions by a high-cardinality key (user_id,
+event_type, o_orderpriority) — no single-partition global windows
+except f1's tiny supplier rank. Skewed users are split by AQE only for
+joins, not windows, so at extreme skew the scale path is two-level
+aggregation; volumes here are uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import EVENTS_US, query
+from ..sources.tables import scan
+from .aggregates import dec
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan(spark, sf_dir, "events")
+
+
+#: canonical per-user event ordering (unique tie-break by event_id)
+def _w_user():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@query(
+    "e1_rownum",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS rn
+    FROM e
+    """,
+)
+def e1_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per partition (e1): per-user event ordinal."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.row_number().over(_w_user()).cast("bigint").alias("rn"),
+    )
+
+
+@query(
+    "e2_rank",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, event_type,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           cume_dist() OVER w AS cdist
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+)
+def e2_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (e2): rank/dense_rank/percent_rank/ntile/cume_dist."""
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "e3_lag_lead",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS delta_us
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (e3): previous/next event value + inter-event
+    gap in exact integer microseconds."""
+    w = _w_user()
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("delta_us"),
+    )
+
+
+@query(
+    "e4_running",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS running_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def e4_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate, ROWS frame (e4): cumulative count + exact sum."""
+    w = _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("running_n"),
+        F.sum(dec("value")).over(w).cast("double").alias("running_sum"),
+    )
+
+
+@query(
+    "e5_moving",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(*) OVER w AS mov_avg
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def e5_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate, trailing-3 ROWS frame (e5)."""
+    w = _w_user().rowsBetween(-2, 0)
+    mov_sum = F.sum(dec("value")).over(w).cast("double")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        mov_sum.alias("mov_sum"),
+        (mov_sum / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+    )
+
+
+@query(
+    "e6_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_band,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS band_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (e6): value-based window — all orders within 50k
+    below the current price (peers by value, not position)."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("e6_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_band,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 AS band_sum
+        FROM e6_orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                     RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "e7_firstlast",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           first_value(value) OVER w AS day_first,
+           last_value(value) OVER w AS day_last
+    FROM e
+    WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def e7_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value in frame (e7): first & last reading per
+    user-day (full frame, deterministic order)."""
+    e = _events(spark, sf_dir).withColumn("day", F.date_trunc("day", "ts"))
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "day",
+        F.first("value").over(w).alias("day_first"),
+        F.last("value").over(w).alias("day_last"),
+    )
+
+
+@query(
+    "e8_dedup_latest",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e)
+    WHERE rn = 1
+    """,
+)
+def e8_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key (e8): the IRE upsert-collapse — newest row
+    per user by (ts, event_id). This exact shape is also the batch form
+    of streaming dedup (i5)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )

@@ -1,0 +1,241 @@
+"""ServiceNow encoded-query compiler (SURVEY §3.2) — entry point 2.
+
+The domain's native filter language is the encoded query string
+[SN-API], e.g. ``active=true^priority=1^ORpriority=2^ORDERBYname``.
+This module compiles that grammar onto DataFrame Column expressions —
+the one hand-written "parser → plan" component in the engine; after
+hand-off, Catalyst owns everything (predicate pushdown applies to the
+compiled filters exactly as to hand-built ones).
+
+Grammar (public encoded-query operators [SN-API]):
+- term separators: ``^`` (AND), ``^OR`` (attaches to the previous term
+  as a disjunction group: ``a^b^ORc`` ≡ ``a AND (b OR c)``),
+  ``^NQ`` (top-level query union).
+- operators per term (longest-match): ``=``, ``!=``, ``>=``, ``<=``,
+  ``>``, ``<``, ``LIKE``, ``NOT LIKE``, ``STARTSWITH``, ``ENDSWITH``,
+  ``IN`` (comma list), ``NOT IN``, ``BETWEEN`` (``lo@hi``),
+  ``SAMEAS``, ``NSAMEAS``, ``ISEMPTY``, ``ISNOTEMPTY``.
+- directives: ``ORDERBYfield``, ``ORDERBYDESCfield``.
+
+Values are passed to Spark as string literals; Catalyst's analyzer
+applies the same implicit casts the DataFrame DSL gets (numeric /
+timestamp comparisons resolve against the column type).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+
+# longest-match order matters: ISNOTEMPTY before ISEMPTY, >= before >, ...
+_OPS = [
+    "ISNOTEMPTY",
+    "ISEMPTY",
+    "NSAMEAS",
+    "SAMEAS",
+    "NOT LIKE",
+    "LIKE",
+    "STARTSWITH",
+    "ENDSWITH",
+    "NOT IN",
+    "IN",
+    "BETWEEN",
+    "!=",
+    ">=",
+    "<=",
+    "=",
+    ">",
+    "<",
+]
+
+
+@dataclass
+class Term:
+    field: str
+    op: str
+    value: str
+
+
+@dataclass
+class CompiledQuery:
+    """One ``^NQ`` branch: AND of OR-groups + order-by directives."""
+
+    groups: list[list[Term]] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
+
+
+_FIELD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*\Z")
+_OPS_BY_LEN = sorted(_OPS, key=len, reverse=True)
+
+
+def parse_term(raw: str) -> Term:
+    """Split `<field><op><value>` where alphabetic ops (LIKE, IN, …)
+    are not self-delimiting. Rule: the *earliest* position whose prefix
+    is a complete identifier and which starts an operator wins (so the
+    IN inside a value like 'BUILDING' or a LIKE inside a field name
+    can't match); at equal positions the longest op wins (>= over >)."""
+    best: Term | None = None
+    for op in _OPS_BY_LEN:
+        start = 1
+        while True:
+            idx = raw.find(op, start)
+            if idx < 0:
+                break
+            if _FIELD_RE.match(raw[:idx]):
+                if best is None or idx < len(best.field):
+                    best = Term(raw[:idx], op, raw[idx + len(op):])
+                break  # earliest occurrence for this op found
+            start = idx + 1
+    if best is None:
+        raise ValueError(f"unparseable encoded term: {raw!r}")
+    return best
+
+
+def parse(encoded: str) -> list[CompiledQuery]:
+    """Parse an encoded query into one CompiledQuery per ^NQ branch."""
+    out = []
+    for branch in encoded.split("^NQ"):
+        cq = CompiledQuery()
+        for raw in branch.split("^"):
+            if not raw:
+                continue
+            if raw.startswith("ORDERBYDESC"):
+                cq.order_by.append((raw[len("ORDERBYDESC"):], True))
+            elif raw.startswith("ORDERBY"):
+                cq.order_by.append((raw[len("ORDERBY"):], False))
+            elif raw.startswith("OR"):
+                if not cq.groups:
+                    raise ValueError("^OR with no preceding term")
+                cq.groups[-1].append(parse_term(raw[2:]))
+            else:
+                cq.groups.append([parse_term(raw)])
+        out.append(cq)
+    return out
+
+
+def _term_to_column(t: Term) -> Column:
+    c = F.col(t.field)
+    if t.op == "=":
+        return c == t.value
+    if t.op == "!=":
+        return c != t.value
+    if t.op == ">":
+        return c > t.value
+    if t.op == ">=":
+        return c >= t.value
+    if t.op == "<":
+        return c < t.value
+    if t.op == "<=":
+        return c <= t.value
+    if t.op == "LIKE":
+        return c.contains(t.value)
+    if t.op == "NOT LIKE":
+        return ~c.contains(t.value)
+    if t.op == "STARTSWITH":
+        return c.startswith(t.value)
+    if t.op == "ENDSWITH":
+        return c.endswith(t.value)
+    if t.op == "IN":
+        return c.isin(*t.value.split(","))
+    if t.op == "NOT IN":
+        return ~c.isin(*t.value.split(","))
+    if t.op == "BETWEEN":
+        lo, hi = t.value.split("@", 1)
+        return c.between(lo, hi)
+    if t.op == "SAMEAS":
+        return c == F.col(t.value)
+    if t.op == "NSAMEAS":
+        return c != F.col(t.value)
+    if t.op == "ISEMPTY":
+        return c.isNull() | (c.cast("string") == "")
+    if t.op == "ISNOTEMPTY":
+        return c.isNotNull() & (c.cast("string") != "")
+    raise ValueError(f"unsupported op {t.op!r}")  # pragma: no cover
+
+
+def compile_encoded(df: DataFrame, encoded: str) -> DataFrame:
+    """Compile + apply an encoded query against a DataFrame. ``^NQ``
+    branches union by name (SURVEY §3.2 → g1 semantics)."""
+    branches = parse(encoded)
+    outs = []
+    for cq in branches:
+        out = df
+        pred = None
+        for group in cq.groups:
+            gcol = None
+            for term in group:
+                tcol = _term_to_column(term)
+                gcol = tcol if gcol is None else (gcol | tcol)
+            pred = gcol if pred is None else (pred & gcol)
+        if pred is not None:
+            out = out.filter(pred)
+        if cq.order_by:
+            out = out.orderBy(
+                *[F.col(c).desc() if d else F.col(c).asc() for c, d in cq.order_by]
+            )
+        outs.append(out)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+@query(
+    "p1_encoded_filter",
+    oracle="""
+    SELECT * FROM orders
+    WHERE o_orderstatus = 'O'
+      AND (o_totalprice > 300000 OR o_orderpriority = '1-URGENT')
+    """,
+)
+def p1_encoded_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded-query path (§3.2): AND/OR grouping compiled to Column
+    predicates — `a^b^ORc` ≡ a AND (b OR c)."""
+    o = scan(spark, sf_dir, "orders")
+    return compile_encoded(
+        o, "o_orderstatus=O^o_totalprice>300000^ORo_orderpriority=1-URGENT"
+    )
+
+
+@query(
+    "p2_encoded_nq",
+    oracle="""
+    SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    UNION ALL
+    SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 1000
+    """,
+)
+def p2_encoded_nq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded `^NQ` query union (§3.2 → g1)."""
+    c = scan(spark, sf_dir, "customer")
+    return compile_encoded(
+        c,
+        "c_mktsegment=BUILDING^c_acctbal>5000"
+        "^NQc_mktsegment=MACHINERY^c_acctbal<1000",
+    )
+
+
+@query(
+    "p3_encoded_ops",
+    oracle="""
+    SELECT * FROM part
+    WHERE p_name LIKE '%gear%'
+      AND p_type IN ('ECONOMY', 'SMALL')
+      AND p_size BETWEEN 10 AND 30
+      AND p_brand IS NOT NULL AND CAST(p_brand AS VARCHAR) <> ''
+    """,
+)
+def p3_encoded_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded operator breadth (§3.2): LIKE / IN / BETWEEN / ISNOTEMPTY."""
+    p = scan(spark, sf_dir, "part")
+    return compile_encoded(
+        p,
+        "p_nameLIKEgear^p_typeINECONOMY,SMALL^p_sizeBETWEEN10@30"
+        "^p_brandISNOTEMPTY",
+    )

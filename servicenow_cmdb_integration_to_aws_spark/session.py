@@ -53,6 +53,7 @@ def build_session(app_name: str = "cmdb-spark-engine") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
     for k, v in RUNTIME_CONFS.items():

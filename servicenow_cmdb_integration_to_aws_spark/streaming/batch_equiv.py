@@ -1,0 +1,171 @@
+"""Category I — streaming operators, batch-equivalent forms (SURVEY §2.I).
+
+The DuckDB oracle is batch-only, so each windowing operator ships in two
+forms (SURVEY §2.I note): the oracle-checkable batch equivalent here
+(same window arithmetic over the static `events` table) and the true
+Structured Streaming variant in stream_ops.py (rows-only).
+
+i8 is the CMDB incremental-sync pattern itself: `sys_updated_on` high-
+water-mark polling [SN-API] — a filtered batch read plus persisted
+watermark state (see incremental.py for the stateful API).
+
+100 TB notes: tumbling/sliding windows are plain groupBy on derived
+keys — partial aggregation collapses the shuffle. Session windows
+require a per-user sort; Spark's session_window does gap-merge inside
+the shuffle partition (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import dec
+from ..registry import EVENTS_US, query
+from ..sources.tables import scan
+
+SESSION_GAP = "2 hours"
+SESSION_GAP_US = 2 * 3600 * 1_000_000
+
+
+@query(
+    "i1_tumbling",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS wend,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregate (i1): hourly event stats. Same
+    `window()` expression the streaming variant uses."""
+    e = scan(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "i2_sliding",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000) AS wstart,
+           make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000)
+             + INTERVAL 1 HOUR AS wend,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) offsets
+    GROUP BY 1, 2
+    """,
+)
+def i2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window aggregate (i2): 1-hour window sliding every 15
+    minutes — each event lands in 4 windows. Oracle replicates window
+    assignment with exact integer-µs arithmetic."""
+    e = scan(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "i3_session",
+    oracle=f"""
+    {EVENTS_US},
+    flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 2 HOUR AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def i3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window aggregate (i3): gap-based sessions per user
+    (2-hour gap). Boundary rule pinned (SURVEY §7 hard-part #2): a new
+    session starts when the gap strictly exceeds the gap duration;
+    session_end = last event + gap — exactly `session_window`'s
+    semantics, replicated in the oracle with lag-gap + running sum."""
+    e = scan(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+WATERMARK_ANCHOR = "2024-01-15 00:00:00"
+
+
+@query(
+    "i8_watermark_inc",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, ts, user_id, event_type, value
+    FROM e
+    WHERE ts > TIMESTAMP '{WATERMARK_ANCHOR}'
+    """,
+)
+def i8_watermark_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental high-water-mark sync (i8): rows newer than the stored
+    watermark — the `sys_updated_on` poll [SN-API]. The stateful API
+    (persist watermark, advance after commit) lives in
+    streaming/incremental.py; the anchor here is fixed for determinism.
+    The timestamp predicate pushes down to parquet row-group stats, so
+    each poll reads only new data files at scale."""
+    e = scan(spark, sf_dir, "events")
+    return e.filter(
+        F.col("ts") > F.lit(WATERMARK_ANCHOR).cast("timestamp")
+    ).select("event_id", "ts", "user_id", "event_type", "value")

@@ -1,0 +1,167 @@
+"""Category I — true Structured Streaming variants (SURVEY §2: a7,
+i4–i7). Rows-only checks (the DuckDB oracle is batch; the matching
+batch equivalents in batch_equiv.py carry the SQL oracles).
+
+Each operator builds a `readStream` over the events parquet, runs with
+`trigger(availableNow=True)` to a memory sink for determinism, and
+returns the materialized result — the exact same logical plan a 24/7
+micro-batch job would run; only the trigger differs (SURVEY §3.3).
+
+100 TB notes: state (windows, dedup keys, per-user counters) lives in
+the executor state store, partitioned by key — nothing driver-side.
+Watermarks bound state size; `availableNow` is also the production
+backfill mode (replay history with bounded batches, then switch the
+same query to a continuous trigger).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
+from ..sources.tables import path_of
+
+_COUNTER = itertools.count()
+
+#: raw parquet schema of events (ts as nanos-long; see sources.tables.scan)
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+_STAGED: dict[str, str] = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """FileStreamSource needs a *directory*; stage the single events
+    parquet into a tmp dir once per sf_dir (the production layout is a
+    directory of arriving files — this recreates it)."""
+    if sf_dir not in _STAGED:
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(path_of(sf_dir, "events"), os.path.join(d, "events.parquet"))
+        _STAGED[sf_dir] = d
+    return _STAGED[sf_dir]
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(_stage_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into an
+    in-memory table; return the materialized DataFrame."""
+    name = f"mem_sink_{os.getpid()}_{next(_COUNTER)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@query("a7_replay_stream")  # rows-only: true streaming source
+def a7_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay stream source (a7): events re-read as a file stream and
+    passed through unchanged — the change-feed replay entry point."""
+    s = _stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(s)
+
+
+@query("i4_watermark_late")  # rows-only: finalized-window emission
+def i4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data handling (i4): 10-minute watermark before
+    an hourly window, append output — only windows the watermark has
+    sealed are emitted; events later than the watermark are dropped at
+    ingestion. (Late-row drop behavior is pinned with a crafted
+    out-of-order fixture in tests/test_streaming.py.)"""
+    s = _stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, output_mode="append")
+
+
+@query("i5_stream_dedup")  # rows-only: stateful dedup
+def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (i5): the input is doubled (union of two reads of
+    the same stream) and `dropDuplicatesWithinWatermark` on event_id
+    restores exactly-once — state bounded by the watermark horizon."""
+    a = _stream_events(spark, sf_dir)
+    b = _stream_events(spark, sf_dir)
+    doubled = a.unionByName(b).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(deduped)
+
+
+@query("i6_stream_static_join")  # rows-only: stream enrichment
+def i6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join (i6): enrich the event stream with the static
+    customer dimension (broadcast — the dim never shuffles the stream)."""
+    from ..sources.tables import scan
+
+    s = _stream_events(spark, sf_dir)
+    dim = scan(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    joined = s.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment", "c_nationkey"
+    )
+    return _run_to_memory(joined)
+
+
+@query("i7_stateful_counter")  # rows-only: custom stateful operator
+def i7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-key processing (i7): running per-user event counter
+    and value total maintained in the state store across micro-batches
+    via applyInPandasWithState (Arrow-batched, per-key state)."""
+    s = _stream_events(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, output_mode="update")

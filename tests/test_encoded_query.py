@@ -1,0 +1,84 @@
+"""Encoded-query compiler: unit + property tests (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from servicenow_cmdb_integration_to_aws_spark.plans.encoded_query import (
+    Term,
+    compile_encoded,
+    parse,
+    parse_term,
+)
+
+
+def test_parse_term_ops():
+    assert parse_term("a=b") == Term("a", "=", "b")
+    assert parse_term("f>=10") == Term("f", ">=", "10")
+    assert parse_term("fld!=x") == Term("fld", "!=", "x")
+    assert parse_term("p_nameLIKEgear") == Term("p_name", "LIKE", "gear")
+    assert parse_term("xSTARTSWITHab") == Term("x", "STARTSWITH", "ab")
+    assert parse_term("xENDSWITHab") == Term("x", "ENDSWITH", "ab")
+    assert parse_term("segINa,b,c") == Term("seg", "IN", "a,b,c")
+    assert parse_term("szBETWEEN1@9") == Term("sz", "BETWEEN", "1@9")
+    assert parse_term("aSAMEASb") == Term("a", "SAMEAS", "b")
+    assert parse_term("xISEMPTY") == Term("x", "ISEMPTY", "")
+    assert parse_term("xISNOTEMPTY") == Term("x", "ISNOTEMPTY", "")
+
+
+def test_parse_term_op_inside_value_or_field():
+    # 'IN' inside the value must not split the term
+    assert parse_term("c_mktsegment=BUILDING") == Term("c_mktsegment", "=", "BUILDING")
+    # value containing another op token after a real op
+    assert parse_term("noteLIKEnice=stuff") == Term("note", "LIKE", "nice=stuff")
+
+
+def test_parse_groups_and_order():
+    qs = parse("a=1^b=2^ORc=3^ORDERBYx^ORDERBYDESCy")
+    assert len(qs) == 1
+    q = qs[0]
+    assert [len(g) for g in q.groups] == [1, 2]  # a AND (b OR c)
+    assert q.order_by == [("x", False), ("y", True)]
+
+
+def test_parse_nq_branches():
+    qs = parse("a=1^NQb=2^c=3")
+    assert len(qs) == 2
+    assert qs[0].groups == [[Term("a", "=", "1")]]
+    assert [len(g) for g in qs[1].groups] == [1, 1]
+
+
+_FIELDS = st.sampled_from(["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+_VALS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_FIELDS, st.sampled_from(["=", "!=", ">", "<", "LIKE"]), _VALS),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_parse_roundtrip_property(terms):
+    """Any well-formed AND-chain parses back to its exact terms."""
+    encoded = "^".join(f"{f}{op}{v}" for f, op, v in terms)
+    [q] = parse(encoded)
+    flat = [t for g in q.groups for t in g]
+    assert [(t.field, t.op, t.value) for t in flat] == terms
+
+
+def test_compile_matches_handbuilt(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    c = scan(spark, sf_dir, "customer")
+    got = compile_encoded(c, "c_mktsegment=BUILDING^c_acctbal>5000").count()
+    want = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    ).count()
+    assert got == want

@@ -1,0 +1,202 @@
+"""Per-operator unit tests on hand-computed fixtures (SURVEY §5.2) plus
+accuracy/property checks for the non-oracle (rows-only) operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """d5: HLL++ estimate within rsd-justified tolerance of exact."""
+    q = entrymod.queries()
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q["d5_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in q["d4_count_distinct"](spark, sf_dir).collect()
+    }
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(3, 0.15 * exact[k]), (k, est, exact[k])
+
+
+def test_minhash_lsh_recall_on_fixture(spark):
+    """j2 machinery: identical docs always collide in every band;
+    disjoint docs never produce a false positive after verification."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "s", 1),  # dup of 1
+            (3, "one two three four five six", "en", "s", 1),
+            (4, "alpha beta gamma delta epsilon eta", "en", "s", 1),  # near-dup of 1
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="j2fix_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["j2_minhash_lsh"](spark, d).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert all(3 not in p for p in pairs)  # disjoint doc never pairs
+    # docs 1 and 4 share 5 of 7 distinct tokens → jaccard 5/7 < 0.8 → excluded
+    assert (1, 4) not in pairs
+
+
+def test_simhash_hamming_locality(spark):
+    """j2b: identical docs → identical fingerprints; unrelated docs →
+    different fingerprints (locality property on a crafted fixture)."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 1),
+            (2, "alpha beta gamma delta", "en", "s", 1),
+            (3, "completely different words here", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="j2bfix_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    fp = {
+        r["doc_id"]: r["simhash16"]
+        for r in QUERIES["j2b_simhash"](spark, d).collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_l2norm_is_unit(spark, sf_dir):
+    """j6 property: ‖unit_vec‖ == 1 (to rounding)."""
+    q = entrymod.queries()
+    rows = q["j6_l2norm"](spark, sf_dir).limit(20).collect()
+    for r in rows:
+        norm = math.sqrt(sum(x * x for x in r["unit_vec"]))
+        assert abs(norm - 1.0) < 1e-4, r["vec_id"]
+
+
+def test_ivf_knn_subset_of_brute_force(spark, sf_dir):
+    """j3b: IVF-pruned results are true cosine scores (agree with the
+    brute-force j3 scores for every vector it returns)."""
+    q = entrymod.queries()
+    brute = {r["vec_id"]: r["cos_sim"] for r in q["j3_cosine_knn"](spark, sf_dir).collect()}
+    ivf = {r["vec_id"]: r["cos_sim"] for r in q["j3b_ivf_knn"](spark, sf_dir).collect()}
+    for vid, score in ivf.items():
+        if vid in brute:
+            assert score == brute[vid]
+    # Recall note: labels here are synthetic (vectors ~N(0, 0.1), label
+    # unrelated to geometry), so probing 2/10 cells yields ≈ n_probe/K
+    # recall — the documented IVF tradeoff. On clustered corpora recall
+    # tracks cluster purity. Assert the structural guarantee only:
+    assert len(set(ivf) & set(brute)) >= 1
+
+
+def test_incremental_watermark_store(spark, sf_dir, tmp_path):
+    """i8 stateful API: two polls — second sees nothing new; after new
+    data arrives (simulated by lowering the stored mark), rows return."""
+    from datetime import datetime
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from servicenow_cmdb_integration_to_aws_spark.streaming.incremental import (
+        WatermarkStore,
+        sync_increment,
+    )
+
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    events = scan(spark, sf_dir, "events")
+    epoch = datetime(2023, 1, 1)
+
+    fresh1, wm1 = sync_increment(events, "ts", store, "events", epoch)
+    n1 = fresh1.count()
+    assert n1 == events.count()  # first poll sees everything
+    store.write("events", wm1)
+
+    fresh2, wm2 = sync_increment(events, "ts", store, "events", epoch)
+    assert fresh2.count() == 0  # nothing new
+    assert wm2 == wm1
+
+
+def test_multimodal_decode_stub_raises():
+    from servicenow_cmdb_integration_to_aws_spark.llm.multimodal import decode_image
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_streaming_late_rows_dropped(spark, tmp_path):
+    """i4 late-data rule: an event older than the watermark at the time
+    its file arrives is dropped from the windowed aggregate."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    d = str(tmp_path / "late_src")
+    os.makedirs(d)
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:05", 1.0), (2, "2024-01-01 12:00:05", 1.0)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", SF.to_timestamp("ts_s").alias("ts"), "value")
+    base.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "batch1"))
+    spacer = spark.createDataFrame(
+        [(4, "2024-01-01 12:30:00", 1.0)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", SF.to_timestamp("ts_s").alias("ts"), "value")
+    spacer.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "batch2"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 10:00:06", 1.0)],  # 2h older than max seen
+        "event_id long, ts_s string, value double",
+    ).select("event_id", SF.to_timestamp("ts_s").alias("ts"), "value")
+    late.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "batch3"))
+
+    # FileStreamSource orders batches by file mtime (pin explicitly);
+    # the spacer batch exists because the *filtering* watermark lags one
+    # batch behind the *eviction* watermark — a late row landing in the
+    # very next batch is still merged (verified empirically on 4.1.2).
+    import time
+
+    now = time.time()
+    for sub, age in (("batch1", 100), ("batch2", 50), ("batch3", 0)):
+        for root, _, files in os.walk(os.path.join(d, sub)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*/")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(SF.window("ts", "1 hour").alias("w"))
+        .agg(SF.count(SF.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["w"]["start"].hour: r["n"] for r in spark.table("late_test").collect()
+    }
+    # the 10:00 window must count only event 1 — event 3 arrived after
+    # the watermark passed 11:50 and is dropped (if it were counted the
+    # window would show n=2)
+    assert rows.get(10) == 1, rows
