@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Engine benchmark — the driver's per-round feedback loop.
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+one shared local[$SPARK_GRAFT_CPUS] session and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {qid: sec, ...}, "sf": ...}
+
+Method notes:
+- each query is forced end-to-end with the `noop` sink (full physical
+  execution, no driver collect overhead, nothing optimized away under
+  a bare count()).
+- one flagship warmup run amortizes JVM/codegen warmup, mirroring the
+  long-lived-session deployment model (SURVEY §6 expectation).
+- true-streaming ids (memory-sink + checkpoint machinery) are reported
+  separately under "streaming_queries" so the relational total stays
+  comparable to the DuckDB baseline in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from servicenow_cmdb_integration_to_aws_spark.session import build_session
+
+#: true Structured Streaming ops — timed, but reported out-of-band
+STREAMING_IDS = {
+    "a7_replay_stream",
+    "i4_watermark_late",
+    "i5_stream_dedup",
+    "i6_stream_static_join",
+    "i7_stateful_counter",
+}
+
+
+def run_one(queries, qid, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = queries[qid](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    spark = build_session("bench")
+    queries = entrymod.queries()
+
+    entrymod.entry(spark).collect()  # warmup: JVM + codegen + parquet footer
+
+    times: dict[str, float] = {}
+    stream_times: dict[str, float] = {}
+    for qid in sorted(queries):
+        bucket = stream_times if qid in STREAMING_IDS else times
+        bucket[qid] = run_one(queries, qid, spark, sf_dir)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_batch_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "streaming_queries": stream_times,
+                "streaming_total_sec": round(sum(stream_times.values()), 3),
+                "n_queries": len(times),
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -5,10 +5,16 @@ near-duplicate detection, built entirely from native Spark expressions
 (xxhash64 hash family, explode, groupBy) — no Python in the hot path.
 
 100 TB design (why this shape scales):
-- the O(n²) pair space is never materialized: LSH bands hash-partition
-  candidates so only same-bucket pairs are joined (SURVEY §4: "avoids
-  O(n²) by construction");
-- signatures are one narrow row per doc (32 longs), shuffled once;
+- identical token sets are collapsed BEFORE any pair work — signatures
+  are a pure function of the set, so dup-heavy corpora shrink from n
+  docs to g distinct sets and the quadratic stages shrink by (n/g)²;
+- the O(n²) pair space is never materialized in the LSH regime: bands
+  hash-partition candidates so only same-bucket pairs join (SURVEY §4:
+  "avoids O(n²) by construction");
+- candidate generation is cost-based, like Spark's own join selection:
+  all-pairs popcount when g is small (g²/2 codegen'd comparisons, no
+  shuffle), LSH banding when g is large;
+- signatures are one narrow row per set (32 longs), shuffled once;
 - exact-Jaccard verification runs only on candidate pairs;
 - banding parameters (k=32, b=16, r=2) give P[candidate] ≈ 1 - (1-J²)^16
   → >0.9999998 recall at J ≥ 0.8, tunable per corpus;
@@ -18,7 +24,7 @@ near-duplicate detection, built entirely from native Spark expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -28,6 +34,11 @@ N_HASHES = 32
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
 TAU = 0.8
+#: token sets over an ≤62-symbol vocabulary pack into one BIGINT mask
+MASK_MAX_VOCAB = 62
+#: below this many DISTINCT token sets, all-pairs popcount beats LSH
+#: banding (g²/2 codegen'd comparisons vs band-explode + dedup shuffle)
+BRUTE_MAX_GROUPS = 20_000
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,6 +47,150 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+    )
+
+
+def _doc_masks(tok: DataFrame) -> DataFrame:
+    """(doc_id, mask, n) — token set as a packed 64-bit bitmask.
+
+    Vocabulary is dictionary-encoded by sorted rank (deterministic) and
+    broadcast; the per-doc OR-fold is a partial-aggregatable bit_or.
+    Only valid when the vocabulary fits MASK_MAX_VOCAB symbols."""
+    vocab = (
+        tok.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            (F.row_number().over(Window.orderBy("tok")) - 1).alias("tok_id"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.bit_or(F.expr("CAST(1 AS BIGINT) << tok_id")).alias("mask"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _lsh_pairs_masked(tok: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pairs over a mask-packable vocabulary.
+
+    Scale insight (dedupe-identical-content-first): a MinHash signature
+    is a pure function of the token *set*, so docs with identical sets
+    collapse to one group BEFORE signatures are computed. The whole LSH
+    pipeline (signatures -> bands -> candidate join -> exact verify)
+    then runs over g distinct sets, not n docs — on duplicate-heavy
+    corpora g << n and the quadratic candidate join shrinks by (n/g)^2.
+    Doc-level pairs are expanded only at the end, so total work is
+    O(g*LSH + |output|): output-optimal.
+
+    With the small vocabulary a token set is one BIGINT mask and exact
+    Jaccard is popcount(a&b)/(na+nb-popcount) — whole-stage codegen
+    end-to-end, no Python, and the group dims broadcast so the verify
+    stream never shuffles."""
+    masks = _doc_masks(tok)  # (doc_id, mask, n)
+    groups = masks.select("mask", "n").distinct()
+
+    # Cost-based candidate generation (the LSH analogue of Spark picking
+    # broadcast-NL vs sort-merge): below BRUTE_MAX_GROUPS distinct sets,
+    # evaluating all g²/2 group pairs with a codegen'd popcount is
+    # cheaper than exploding 16 bands per group and deduplicating the
+    # collision multiset — especially on dup-dense corpora where LSH
+    # prunes little. Above the threshold (the 100 TB regime), banding
+    # caps the pair space by construction.
+    if groups.count() <= BRUTE_MAX_GROUPS:
+        cand = (
+            groups.select(F.col("mask").alias("mask_a"))
+            .join(
+                groups.select(F.col("mask").alias("mask_b")),
+                F.col("mask_a") < F.col("mask_b"),
+            )
+        )
+    else:
+        # re-materialize each group's token set from its mask bits
+        # (vocab dim broadcasts) and MinHash the groups, not the docs.
+        vocab = (
+            tok.select("tok")
+            .distinct()
+            .select(
+                "tok",
+                (F.row_number().over(Window.orderBy("tok")) - 1).alias("tok_id"),
+            )
+        )
+        gtok = groups.join(
+            F.broadcast(vocab), F.expr("(mask >> tok_id) & 1 = 1")
+        ).select("mask", "tok")
+        sigs = gtok.groupBy("mask").agg(
+            *[
+                F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(
+                    f"h{i}"
+                )
+                for i in range(N_HASHES)
+            ]
+        )
+        band_hashes = [
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+        bands = sigs.select(
+            "mask",
+            F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+        )
+        # candidate group pairs from shared LSH buckets; identical-set
+        # pairs (J=1 >= tau) are added by self_pairs below either way.
+        cand = (
+            bands.alias("L")
+            .join(
+                bands.alias("R"),
+                (F.col("L.band_idx") == F.col("R.band_idx"))
+                & (F.col("L.band_hash") == F.col("R.band_hash"))
+                & (F.col("L.mask") < F.col("R.mask")),
+            )
+            .select(F.col("L.mask").alias("mask_a"), F.col("R.mask").alias("mask_b"))
+            .distinct()
+        )
+    ga = groups.select(F.col("mask").alias("mask_a"), F.col("n").alias("na"))
+    gb = groups.select(F.col("mask").alias("mask_b"), F.col("n").alias("nb"))
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    cross = (
+        cand.join(F.broadcast(ga), "mask_a")
+        .join(F.broadcast(gb), "mask_b")
+        .select("mask_a", "mask_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= TAU)
+    )
+    self_pairs = groups.select(
+        F.col("mask").alias("mask_a"),
+        F.col("mask").alias("mask_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+
+    # expand group pairs back to doc pairs (output-bound joins). Cross
+    # pairs orient each doc pair by least/greatest (groups are disjoint,
+    # so each unordered pair appears exactly once); within-group pairs
+    # keep da < db to emit each unordered pair once.
+    da = masks.select(F.col("mask").alias("mask_a"), F.col("doc_id").alias("da"))
+    db = masks.select(F.col("mask").alias("mask_b"), F.col("doc_id").alias("db"))
+    return (
+        cross.unionByName(self_pairs)
+        .join(da, "mask_a")
+        .join(db, "mask_b")
+        .filter((F.col("mask_a") != F.col("mask_b")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
     )
 
 
@@ -101,6 +256,19 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully deterministic)."""
     tok = _tokens(spark, sf_dir)
 
+    # Adaptive strategy: when the vocabulary packs into one BIGINT mask,
+    # collapse identical token sets and run the whole LSH pipeline over
+    # distinct sets (see _lsh_pairs_masked — output-optimal on
+    # duplicate-heavy corpora). The guard is bounded work:
+    # distinct().limit(63).count().
+    vocab_fits_mask = (
+        tok.select("tok").distinct().limit(MASK_MAX_VOCAB + 1).count()
+        <= MASK_MAX_VOCAB
+    )
+    if vocab_fits_mask:
+        return _lsh_pairs_masked(tok)
+
+    # General path: doc-level MinHash + LSH + token-join verification.
     # MinHash signature: 32 independent min-hashes per doc, one narrow row.
     sigs = tok.groupBy("doc_id").agg(
         *[

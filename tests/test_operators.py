@@ -53,6 +53,60 @@ def test_minhash_lsh_recall_on_fixture(spark):
     assert (1, 4) not in pairs
 
 
+def test_minhash_lsh_paths_agree(spark, monkeypatch):
+    """j2 has three physical strategies (mask+all-pairs, mask+LSH
+    banding, doc-level LSH for unpackable vocabularies). All three must
+    produce the identical pair set on the same corpus."""
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.llm import dedup
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    # 70-token vocabulary: doesn't fit a 62-bit mask → general path.
+    vocab = [f"w{i:02d}" for i in range(70)]
+    base = " ".join(vocab[:40])
+    near = " ".join(vocab[1:40] + [vocab[50]])  # 39/41 shared → J≈0.95
+    far = " ".join(vocab[40:70])
+    rows = [(1, base), (2, base), (3, near), (4, far)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="j2paths_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    def run():
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in QUERIES["j2_minhash_lsh"](spark, d).collect()
+        )
+
+    general = run()  # vocab=70 > MASK_MAX_VOCAB → doc-level LSH
+    assert [(a, b) for a, b, _ in general] == [(1, 2), (1, 3), (2, 3)]
+
+    # small-vocab corpus: same docs restricted to a packable vocabulary
+    rows2 = [(1, base), (2, base), (3, near), (4, far)]
+    docs2 = spark.createDataFrame(
+        [(i, t.replace("w5", "w1"), "en", "s", 1) for i, t in rows2],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d2 = tempfile.mkdtemp(prefix="j2paths2_")
+    docs2.write.mode("overwrite").parquet(os.path.join(d2, "documents.parquet"))
+
+    def run2():
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in QUERIES["j2_minhash_lsh"](spark, d2).collect()
+        )
+
+    # vocab after the rewrite is 60 symbols ≤ 62 → mask paths engage
+    brute = run2()  # groups below threshold → all-pairs popcount
+    monkeypatch.setattr(dedup, "BRUTE_MAX_GROUPS", 0)
+    banded = run2()  # force mask + LSH banding
+    assert brute == banded
+
+
 def test_simhash_hamming_locality(spark):
     """j2b: identical docs → identical fingerprints; unrelated docs →
     different fingerprints (locality property on a crafted fixture)."""
