@@ -167,17 +167,56 @@ def e5_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (e6): value-based window — all orders within 50k
-    below the current price (peers by value, not position)."""
+    below the current price (peers by value, not position).
+
+    NOT written as a literal RANGE frame: Spark's sliding-range frame
+    re-aggregates the frame buffer every time the lower bound moves
+    (O(n·frame) per partition; 33 s at sf0.1), where DuckDB uses a
+    segment tree. Decompose instead into two incrementally-computed
+    prefix aggregates:  band(p) = cum(price <= p) - cum(price < p-50k).
+    The strict-< lower bound is evaluated by a union-merge: one probe
+    row per order at key price-50k, sorted BEFORE data rows at equal
+    key, reading a running ROWS-frame sum over data rows only. All
+    frames are grow-only (O(n) incremental), sums stay DECIMAL-exact,
+    and the plan is two sorts + one equi-join — linear at any scale."""
     scan(spark, sf_dir, "orders").createOrReplaceTempView("e6_orders")
     return spark.sql(
         """
-        SELECT o_orderkey, o_orderpriority, o_totalprice,
-               CAST(count(*) OVER w AS BIGINT) AS n_in_band,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-                 AS band_sum
-        FROM e6_orders
-        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                     RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        WITH data AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p_dec
+            FROM e6_orders
+        ),
+        cum AS (  -- inclusive prefix: count/sum of rows with price <= p
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   count(*) OVER w AS cnt_le,
+                   sum(p_dec) OVER w AS sum_le
+            FROM data
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        merged AS (  -- probes (k = p-50k) interleaved before data at equal k
+            SELECT o_orderpriority, o_totalprice AS k, 1 AS is_data,
+                   CAST(NULL AS BIGINT) AS probe_key, p_dec
+            FROM data
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice - 50000 AS k, 0 AS is_data,
+                   o_orderkey AS probe_key, CAST(NULL AS DECIMAL(18,2)) AS p_dec
+            FROM data
+        ),
+        excl AS (  -- at each probe: count/sum of data rows with price < k
+            SELECT probe_key,
+                   count(p_dec) OVER w AS cnt_lt,
+                   coalesce(sum(p_dec) OVER w, CAST(0 AS DECIMAL(18,2)))
+                     AS sum_lt
+            FROM merged
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY k, is_data
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT c.o_orderkey, c.o_orderpriority, c.o_totalprice,
+               CAST(c.cnt_le - e.cnt_lt AS BIGINT) AS n_in_band,
+               CAST(c.sum_le - e.sum_lt AS DOUBLE) AS band_sum
+        FROM cum c JOIN excl e ON e.probe_key = c.o_orderkey
         """
     )
 
