@@ -358,3 +358,55 @@ def j2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("simhash16")
         )
     )
+
+
+@query(
+    "j2c_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(t) - 3, 1) + 1),
+                   i -> substr(t, CAST(i AS INT), 4))) AS ngs
+        FROM (SELECT doc_id, lower(text) AS t FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.ngs, b.ngs)) AS DOUBLE)
+                 / (len(a.ngs) + len(b.ngs)
+                    - len(list_intersect(a.ngs, b.ngs))), 6) AS ngram_jaccard
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def j2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard similarity (j2 family): score each
+    adjacent-id doc pair by shingle-set overlap.
+
+    This is the *scoring* member of the dedup family — j2 does pair
+    DISCOVERY (LSH candidate generation); this op demonstrates exact
+    n-gram Jaccard on an explicit bounded pair set (here: consecutive
+    doc ids, the pattern a incremental-sync pipeline applies to
+    old-vs-new row versions). All array ops are native (sequence /
+    transform / array_intersect) — codegen'd, no shuffle beyond the
+    one equi-join on doc_id, which at 100 TB co-partitions by key."""
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    garr = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(t) - 3, 1)),"
+                " i -> substring(t, i, 4))"
+            )
+        ).alias("ngs"),
+    )
+    a, b = garr.alias("a"), garr.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ngs"), F.col("b.ngs")))
+    jac = inter.cast("double") / (
+        F.size(F.col("a.ngs")) + F.size(F.col("b.ngs")) - inter
+    )
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 6).alias("ngram_jaccard"),
+    )

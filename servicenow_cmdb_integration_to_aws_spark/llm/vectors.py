@@ -275,3 +275,48 @@ def j3b_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "j12_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_SQL_NORM.format(a='a.embedding')}
+                    * {_SQL_NORM.format(a='b.embedding')}), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                / ({_SQL_NORM.format(a='a.embedding')}
+                   * {_SQL_NORM.format(a='b.embedding')}), 6) >= 0.3
+    """,
+)
+def j12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (j2 family, [NS]):
+    all pairs with cosine >= tau INSIDE each label block.
+
+    Blocking IS the scale strategy: the O(n²) pair space is cut to
+    O(Σ block²) by joining on the cluster/cell key first (at 100 TB the
+    corpus is IVF-assigned to cells offline — j3b — and only same-cell
+    or neighbor-cell pairs are verified; identical pattern to j2's LSH
+    buckets). The equi-join on label shuffles both sides by block key;
+    skewed blocks split via AQE skew-join handling. Verification is
+    native zip_with/aggregate vector math — no UDFs. The tau filter is
+    applied to the 6dp-rounded score on both engines so an ulp of fold
+    noise can never flip membership."""
+    e = scan(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("label"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    sim = F.round(cosine("ea", "eb"), 6)
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
