@@ -74,7 +74,7 @@ def _doc_masks(tok: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_pairs_masked(tok: DataFrame) -> DataFrame:
+def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
     """MinHash+LSH near-dup pairs over a mask-packable vocabulary.
 
     Scale insight (dedupe-identical-content-first): a MinHash signature
@@ -99,8 +99,12 @@ def _lsh_pairs_masked(tok: DataFrame) -> DataFrame:
     # cheaper than exploding 16 bands per group and deduplicating the
     # collision multiset — especially on dup-dense corpora where LSH
     # prunes little. Above the threshold (the 100 TB regime), banding
-    # caps the pair space by construction.
-    if groups.count() <= BRUTE_MAX_GROUPS:
+    # caps the pair space by construction. The guard uses the doc count
+    # as a free upper bound on g (g <= n_docs; parquet row count is
+    # metadata-only) — conservative: a dup-dense corpus with small g
+    # but huge n takes the LSH path, which is still correct and the
+    # group collapse still applies.
+    if n_docs_hint <= BRUTE_MAX_GROUPS:
         cand = (
             groups.select(F.col("mask").alias("mask_a"))
             .join(
@@ -266,7 +270,7 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= MASK_MAX_VOCAB
     )
     if vocab_fits_mask:
-        return _lsh_pairs_masked(tok)
+        return _lsh_pairs_masked(tok, scan(spark, sf_dir, "documents").count())
 
     # General path: doc-level MinHash + LSH + token-join verification.
     # MinHash signature: 32 independent min-hashes per doc, one narrow row.
