@@ -39,6 +39,9 @@ MASK_MAX_VOCAB = 62
 #: below this many DISTINCT token sets, all-pairs popcount beats LSH
 #: banding (g²/2 codegen'd comparisons vs band-explode + dedup shuffle)
 BRUTE_MAX_GROUPS = 20_000
+#: persist the mask/group intermediates only above this corpus size —
+#: below it the cache-materialization barrier costs more than recompute
+PERSIST_MIN_DOCS = 100_000
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,8 +93,22 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
     Jaccard is popcount(a&b)/(na+nb-popcount) — whole-stage codegen
     end-to-end, no Python, and the group dims broadcast so the verify
     stream never shuffles."""
-    masks = _doc_masks(tok)  # (doc_id, mask, n)
+    # masks feeds the expansion twice and groups; groups feeds candidate
+    # generation, both verify dims and self_pairs. Without persistence
+    # the doc scan + mask build re-executes per consumer (17 scans in
+    # the executed plan) — at 100 TB that is 17 passes over the corpus,
+    # so large inputs persist both narrow intermediates (<=24 B/row,
+    # MEMORY_AND_DISK spills instead of OOMing; the ContextCleaner drops
+    # blocks once the plan is unreferenced). Small inputs skip the
+    # persist: the materialization barrier costs more than the
+    # recompute it saves (measured +4 s at sf0.1).
+    masks = _doc_masks(tok)
     groups = masks.select("mask", "n").distinct()
+    if n_docs_hint > PERSIST_MIN_DOCS:
+        from pyspark import StorageLevel
+
+        masks = masks.persist(StorageLevel.MEMORY_AND_DISK)
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Cost-based candidate generation (the LSH analogue of Spark picking
     # broadcast-NL vs sort-merge): below BRUTE_MAX_GROUPS distinct sets,
