@@ -250,3 +250,86 @@ def j11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim("text"))).alias("content_fp"),
         F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("prefix_fp"),
     )
+
+
+@query(
+    "j13_chunk_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           substr(text, CAST(i * 200 + 1 AS INT), 256) AS chunk,
+           CAST(least(length(text) - i * 200, 256) AS BIGINT) AS chunk_len
+    FROM documents,
+         UNNEST(range(0, CAST(greatest(
+             ceil((length(text) - 56) / 200.0), 1) AS BIGINT))) AS t(i)
+    """,
+)
+def j13_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (j13, [NS]): split each doc into overlapping
+    char windows (size 256, stride 200 → 56-char overlap) — the
+    standard LLM-pretraining chunker shape.
+
+    Spark-first: chunk indexes come from `sequence` + `posexplode`
+    (codegen'd, zero UDFs); each output row carries (doc_id, chunk_idx,
+    chunk, chunk_len). Embarrassingly parallel — no shuffle at all: the
+    explode pipelines straight out of the scan, so at 100 TB this is
+    a single map-stage whose output can stream directly into a
+    partitioned sink (a5)."""
+    d = scan(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - F.lit(56)) / F.lit(200.0)), F.lit(1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr("substring(text, chunk_idx * 200 + 1, 256)").alias("chunk"),
+            F.least(F.length("text") - F.col("chunk_idx") * 200, F.lit(256))
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "j14_hash_sample",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < '29'
+    GROUP BY lang
+    """,
+)
+def j14_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (j14, [NS]): keep ~16% of docs by
+    md5(doc_id:text) prefix — the reproducible train/eval split &
+    down-sampling primitive of a training-data pipeline.
+
+    Content-hash sampling is stable across runs, machines and engine
+    versions (unlike `rand()`/`TABLESAMPLE`), joins consistently (the
+    same doc always lands on the same side), and needs no coordination
+    at 100 TB — the predicate evaluates scan-side and pushes the
+    sampled stream straight into the per-stratum aggregate."""
+    d = scan(spark, sf_dir, "documents")
+    keep = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+        1,
+        2,
+    ) < "29"
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -169,3 +169,70 @@ def i8_watermark_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(
         F.col("ts") > F.lit(WATERMARK_ANCHOR).cast("timestamp")
     ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "i9_cdc_merge",
+    oracle="""
+    WITH chg AS (
+        SELECT c_custkey AS k, 'U' AS op, c_acctbal + 100.0 AS new_bal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, 'D', NULL FROM customer WHERE c_custkey % 7 = 1
+        UNION ALL
+        SELECT c_custkey + 1000000, 'I', 500.0
+        FROM customer WHERE c_custkey % 7 = 2
+    )
+    SELECT coalesce(s.c_custkey, g.k) AS c_custkey,
+           CASE WHEN g.op = 'U' THEN g.new_bal
+                WHEN g.op = 'I' THEN g.new_bal
+                ELSE s.c_acctbal END AS c_acctbal,
+           coalesce(g.op, '=') AS merge_op
+    FROM customer s FULL OUTER JOIN chg g ON s.c_custkey = g.k
+    WHERE g.op IS NULL OR g.op != 'D'
+    """,
+)
+def i9_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert/delete merge (i9): apply a change batch (insert /
+    update / delete ops keyed by sys_id-style key) onto a snapshot —
+    the IRE reconciliation step of every CMDB sync cycle [SN-API], and
+    the MERGE INTO shape of any lakehouse ingest.
+
+    One full-outer equi-join on the key: both sides hash-partition by
+    key, so at 100 TB the merge is a single co-partitioned shuffle
+    (or none, if snapshot and changes are bucketed by key on disk —
+    the layout a5 produces). Change batches are typically ≪ snapshot:
+    AQE demotes the join to broadcast automatically when so. The
+    deterministic change set here is derived from the snapshot itself
+    (key mod 7) to stay oracle-checkable."""
+    c = scan(spark, sf_dir, "customer")
+    chg = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit("U").alias("op"),
+            (F.col("c_acctbal") + 100.0).alias("new_bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 1).select(
+                F.col("c_custkey").alias("k"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("new_bal"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 2).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit("I").alias("op"),
+                F.lit(500.0).alias("new_bal"),
+            )
+        )
+    )
+    merged = c.join(chg, c["c_custkey"] == chg["k"], "full_outer")
+    return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(c["c_custkey"], chg["k"]).alias("c_custkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+        .otherwise(c["c_acctbal"])
+        .alias("c_acctbal"),
+        F.coalesce(F.col("op"), F.lit("=")).alias("merge_op"),
+    )
