@@ -65,17 +65,31 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into an
-    in-memory table; return the materialized DataFrame."""
+    in-memory table; return the materialized DataFrame.
+
+    The state-store partition count is frozen from
+    ``spark.sql.shuffle.partitions`` at the first checkpoint; 32 state
+    partitions over a tiny local corpus just spin 32 Python workers per
+    micro-batch for the pandas-state ops, so streaming runs pin it to 8
+    and restore the caller's value after. (On a cluster the right value
+    is sized to key cardinality — state partitions cannot change after
+    the checkpoint is created.)"""
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"mem_sink_{os.getpid()}_{next(_COUNTER)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sdf.sparkSession.table(name)
 
 

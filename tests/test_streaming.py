@@ -1,0 +1,159 @@
+"""Streaming determinism tests (SURVEY §5.4).
+
+Pins the semantics the rows-only streaming ids (i4–i7) rely on:
+- sealed-window emission matches the batch-equivalent aggregate;
+- a row arriving behind the watermark in a LATER micro-batch is
+  dropped (the crafted out-of-order fixture the i4 docstring cites);
+- pandas state accumulates across micro-batches (i7 machinery).
+
+Micro-batch boundaries are forced with maxFilesPerTrigger=1 over a
+two-file staged source — file 1 advances the watermark, file 2 carries
+the late row.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def _write_events(spark, rows, path):
+    """Write events rows (ts given in seconds) as ONE parquet file (the
+    FileStreamSource layout: plain files in a dir, not writer dirs),
+    with the ns-long ts layout the stream source expects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = list(range(len(rows)))
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([int(ts * 1e9) for ts, _, _ in rows], pa.int64()),
+            "user_id": pa.array([uid for _, uid, _ in rows], pa.int64()),
+            "event_type": pa.array(["t"] * len(rows), pa.string()),
+            "value": pa.array([v for _, _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def _read_stream(spark, src_dir):
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run(sdf, mode):
+    name = f"t_{abs(hash(sdf)) % 10**9}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_t_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+HOUR = 3600.0
+
+
+def test_late_row_dropped_after_watermark(spark):
+    """A row older than (max event time − watermark) arriving in a later
+    micro-batch must NOT be counted in its (already finalized) window."""
+    import time
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    # batch 1: two rows in hour-0, then hour-3 rows pushing the
+    # watermark (10 min) far past hour 0. (Files become separate
+    # micro-batches via maxFilesPerTrigger=1 + distinct mtimes; the
+    # watermark computed from batch N takes effect in batch N+1, so the
+    # late row goes in a THIRD file.)
+    _write_events(
+        spark,
+        [(10.0, 1, 1.0), (20.0, 1, 1.0), (3 * HOUR + 10, 2, 1.0)],
+        os.path.join(src, "f1.parquet"),
+    )
+    time.sleep(1.1)
+    # batch 2: another hour-3 row; watermark 02:50:10 is now in force
+    _write_events(spark, [(3 * HOUR + 20, 2, 1.0)], os.path.join(src, "f2.parquet"))
+    time.sleep(1.1)
+    # batch 3: a late hour-0 row — behind the watermark, must drop.
+    _write_events(spark, [(30.0, 1, 99.0)], os.path.join(src, "f3.parquet"))
+
+    s = _read_stream(spark, src)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = {r["ws"].minute * 60 + r["ws"].hour * 3600: r["n"] for r in _run(agg, "append").collect()}
+    # hour-0 window sealed with ONLY the two batch-1 rows
+    assert out.get(0) == 2, out
+    # the unsealed hour-3 window is not emitted in append mode
+    assert 3 * 3600 not in out, out
+
+
+def test_sealed_windows_match_batch_equivalent(spark, sf_dir):
+    """i4 over the real corpus: every EMITTED (sealed) window's count
+    equals the batch groupBy(hour) count for that hour."""
+    q = entrymod.queries()
+    streamed = {
+        (r["wstart"], r["wend"]): r["n_events"]
+        for r in q["i4_watermark_late"](spark, sf_dir).collect()
+    }
+    assert streamed, "no sealed windows emitted"
+    batch = {
+        (r["wstart"], r["wend"]): r["n_events"]
+        for r in q["i1_tumbling"](spark, sf_dir).collect()
+    }
+    for k, n in streamed.items():
+        assert batch.get(k) == n, (k, n, batch.get(k))
+
+
+def test_pandas_state_accumulates_across_batches(spark):
+    """i7 machinery: the same user seen in two micro-batches must show
+    the SUM of both batches in the final state emission."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = tempfile.mkdtemp(prefix="state_src_")
+    _write_events(spark, [(1.0, 7, 10.0), (2.0, 7, 5.0)], os.path.join(src, "f1.parquet"))
+    _write_events(spark, [(3.0, 7, 1.0)], os.path.join(src, "f2.parquet"))
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+    s = _read_stream(spark, src).select("user_id", "value")
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long, total double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = _run(out, "update").collect()
+    # update mode emits once per batch; the LAST emission carries the
+    # accumulated state
+    final = max((r["n"], r["total"]) for r in rows)
+    assert final == (3, 16.0), rows
