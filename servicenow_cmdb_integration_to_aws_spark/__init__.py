@@ -39,6 +39,7 @@ def load_all():
         for optional in (
             "servicenow_cmdb_integration_to_aws_spark.operators.joins",
             "servicenow_cmdb_integration_to_aws_spark.operators.windows",
+            "servicenow_cmdb_integration_to_aws_spark.operators.golden",
             "servicenow_cmdb_integration_to_aws_spark.functions.scalar",
             "servicenow_cmdb_integration_to_aws_spark.llm.dedup",
             "servicenow_cmdb_integration_to_aws_spark.llm.vectors",

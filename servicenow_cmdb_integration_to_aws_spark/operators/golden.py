@@ -1,0 +1,120 @@
+"""Golden end-to-end queries (SURVEY §5.5) — TPC-H-derived analogues
+adapted to the driver's column set.
+
+These exercise the full relational stack in one plan each (multi-way
+broadcast + shuffle joins, pushed filters, decimal-exact money math,
+grouped agg, top-k) the way real reporting queries do — the per-
+operator ids (§2) isolate features; these prove composition.
+
+100 TB notes: both plans are the canonical star-join shape — dims
+(region/nation/customer-filter) broadcast, the orders⋈lineitem spine
+shuffles once on the join key, aggregation reuses that partitioning,
+and the final top-k is TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+from .aggregates import dec, dsum
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+@query(
+    "t1_golden_q3",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, o_orderkey
+    LIMIT 10
+    """,
+)
+def t1_golden_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q3 analogue — shipping priority: top-10 unshipped-revenue
+    orders for one market segment. customer filter broadcasts into the
+    orders⋈lineitem spine; both date filters push to the parquet scans."""
+    c = scan(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = scan(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        F.broadcast(c.select("c_custkey"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "t2_golden_q5",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def t2_golden_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q5 analogue — local-supplier volume: revenue where the
+    supplier sits in the customer's (ASIA) nation. Five-way star join:
+    region→nation→customer resolve via broadcasts; orders⋈lineitem is
+    the shuffled spine; the supplier 'local' condition is the classic
+    co-nation equi-predicate."""
+    r = scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = scan(spark, sf_dir, "nation")
+    c = scan(spark, sf_dir, "customer")
+    o = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    li = scan(spark, sf_dir, "lineitem")
+    s = scan(spark, sf_dir, "supplier")
+    cust = (
+        F.broadcast(r.select("r_regionkey"))
+        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        o.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
