@@ -284,3 +284,72 @@ def c10_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return r.crossJoin(segs)
+
+
+@query(
+    "c11_rel_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS parent,
+               'N' || CAST(n_nationkey AS VARCHAR) AS child
+        FROM nation
+        UNION ALL
+        SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS parent,
+               'C' || CAST(c_custkey AS VARCHAR) AS child
+        FROM customer
+    ),
+    reach AS (
+        SELECT parent AS root, child AS node, 1 AS depth FROM edges
+        UNION ALL
+        SELECT r.root, e.child, r.depth + 1
+        FROM reach r JOIN edges e ON e.parent = r.node
+        WHERE r.depth < 3
+    )
+    SELECT root, node, CAST(depth AS BIGINT) AS depth FROM reach
+    """,
+)
+def c11_rel_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure (c11): all (root, node, depth<=3)
+    reachability pairs over the `cmdb_rel_ci`-style edge table — the
+    'everything under this datacenter' CMDB query.
+
+    Spark-first iterative shape: breadth-first frontier expansion
+    unrolled into one join per depth level, unioned. Each level is a
+    single equi-join shuffle on the frontier key; AQE right-sizes the
+    shrinking frontier at runtime. The depth bound makes the plan
+    static — for unbounded closure at 100 TB you graduate to an
+    iterative driver loop with persisted frontiers (same join per
+    step, loop until empty) or GraphFrames' Pregel."""
+    n = scan(spark, sf_dir, "nation")
+    c = scan(spark, sf_dir, "customer")
+    edges = (
+        n.select(
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("parent"),
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("child"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias(
+                    "parent"
+                ),
+                F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("child"),
+            )
+        )
+    )
+    frontier = edges.select(
+        F.col("parent").alias("root"),
+        F.col("child").alias("node"),
+        F.lit(1).cast("long").alias("depth"),
+    )
+    out = frontier
+    for depth in (2, 3):
+        e = edges.select(
+            F.col("parent").alias("e_parent"), F.col("child").alias("e_child")
+        )
+        frontier = frontier.join(e, F.col("e_parent") == F.col("node")).select(
+            "root",
+            F.col("e_child").alias("node"),
+            F.lit(depth).cast("long").alias("depth"),
+        )
+        out = out.unionByName(frontier)
+    return out
