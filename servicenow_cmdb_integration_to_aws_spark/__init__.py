@@ -50,6 +50,7 @@ def load_all():
             "servicenow_cmdb_integration_to_aws_spark.operators.sinks",
             "servicenow_cmdb_integration_to_aws_spark.operators.udf_surface",
             "servicenow_cmdb_integration_to_aws_spark.plans.encoded_query",
+            "servicenow_cmdb_integration_to_aws_spark.sources.rest_source",
         ):
             import importlib
 

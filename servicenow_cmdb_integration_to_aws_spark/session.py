@@ -31,6 +31,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # at 100 TB this is governed by AQE advisory sizes; locally it keeps
     # tiny shuffles from fanning out into hundreds of empty partitions.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    # let Python Data Sources receive pushed filters (rest_source.py —
+    # the sysparm_query pushdown path)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
