@@ -330,3 +330,42 @@ def d12_agg_distinct_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
         F.countDistinct("l_quantity").alias("n_distinct_qty"),
     )
+
+
+@query(
+    "d14_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d14_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (d14): the skew-mitigation pattern
+    made explicit. `l_returnflag` has 3 values over ~600k rows — a
+    worst-case skewed group key where a naive shuffle lands each key on
+    ONE reducer. Phase 1 aggregates on (key, salt) spreading each hot
+    key over 16 reducers; phase 2 merges the 3x16 partials.
+
+    Results are identical to the unsalted plan (sums are associative;
+    DECIMAL keeps them exact) — only the physical distribution changes.
+    At 100 TB the same two lines are the difference between a straggler
+    reducer and even utilization; Spark's AQE skew handling covers
+    JOINS but not aggregations, so this pattern stays hand-written."""
+    li = scan(spark, sf_dir, "lineitem")
+    n_salt = 16
+    partial = (
+        li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_salt)))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("l_extendedprice")).alias("ps"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("ps").cast("double").alias("sum_price"),
+    )

@@ -95,3 +95,33 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     no extra exchanges, no sort."""
     plan = plan_of(_q(spark, sf_dir, "j1_exact_dedup"))
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_salted_agg_spreads_hot_keys(spark, sf_dir):
+    """d14: the first shuffle must partition on (key, salt), not key
+    alone — that IS the skew mitigation."""
+    df = _q(spark, sf_dir, "d14_salted_agg")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert any("salt" in l for l in ex), plan
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
+    """a9: with both sides bucketed by the join key, the SortMergeJoin
+    must have ZERO Exchange below it. (Auto-broadcast is disabled for
+    the assertion — at tiny SF the planner would broadcast instead,
+    which hides the bucketing proof; at 100 TB neither side fits a
+    broadcast and SMJ-over-buckets IS the plan.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = _q(spark, sf_dir, "a9_bucketed_join")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    # the whole plan below the final agg reuses the bucket
+    # partitioning: no Exchange anywhere
+    assert "Exchange hashpartitioning" not in plan, plan
