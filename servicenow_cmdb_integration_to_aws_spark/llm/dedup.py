@@ -406,28 +406,58 @@ def j2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISCOVERY (LSH candidate generation); this op demonstrates exact
     n-gram Jaccard on an explicit bounded pair set (here: consecutive
     doc ids, the pattern a incremental-sync pipeline applies to
-    old-vs-new row versions). All array ops are native (sequence /
-    transform / array_intersect) — codegen'd, no shuffle beyond the
-    one equi-join on doc_id, which at 100 TB co-partitions by key."""
+    old-vs-new row versions).
+
+    Shape note: NOT array_intersect over per-doc gram arrays —
+    array_distinct/array_intersect compare string elements pairwise
+    (quadratic per doc: measured ~6 s at sf0.1). Instead explode to
+    (doc_id, gram) rows, hash-distinct, and count intersections with
+    ONE equi-join keyed on (gram, adjacent-id) — every stage is a
+    codegen'd hash aggregate/join, and at 100 TB both sides
+    co-partition on the join key."""
     d = scan(spark, sf_dir, "documents").select(
         "doc_id", F.lower("text").alias("t")
     )
-    garr = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(t) - 3, 1)),"
-                " i -> substring(t, i, 4))"
-            )
-        ).alias("ngs"),
+    # explode positions FIRST, then substring — a plain codegen'd
+    # expression per row. (A transform(..., i -> substring(...)) lambda
+    # produces the same grams 17x slower: higher-order-function lambdas
+    # are interpreted per element.)
+    grams = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("t") - 3, F.lit(1)))
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(t, i, 4)").alias("ng"))
+        .distinct()
     )
-    a, b = garr.alias("a"), garr.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ngs"), F.col("b.ngs")))
-    jac = inter.cast("double") / (
-        F.size(F.col("a.ngs")) + F.size(F.col("b.ngs")) - inter
+    # grams feeds three consumers (both join sides + sizes): persist so
+    # the explode+distinct runs once, not three times (4x at sf0.1;
+    # MEMORY_AND_DISK spills rather than OOMs on a huge corpus)
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    ta = grams.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"))
+    tb = grams.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"))
+    inter = (
+        ta.join(
+            tb,
+            (F.col("ng_a") == F.col("ng_b"))
+            & (F.col("doc_b") == F.col("doc_a") + 1),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(jac, 6).alias("ngram_jaccard"),
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = sa.join(sb, F.col("doc_b") == F.col("doc_a") + 1)
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("ngram_jaccard"))
     )

@@ -305,15 +305,18 @@ def j12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to the 6dp-rounded score on both engines so an ulp of fold
     noise can never flip membership."""
     e = scan(spark, sf_dir, "embeddings")
+    # norms are per-VECTOR, so compute them once before the pair join —
+    # per-pair work is then a single dot fold instead of three
+    # (higher-order folds are interpreted, not codegen'd: 3x matters).
     a = e.select(
         F.col("label"), F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
+        F.col("embedding").alias("ea"), l2norm("embedding").alias("na"),
     )
     b = e.select(
         F.col("label"), F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
+        F.col("embedding").alias("eb"), l2norm("embedding").alias("nb"),
     )
-    sim = F.round(cosine("ea", "eb"), 6)
+    sim = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
