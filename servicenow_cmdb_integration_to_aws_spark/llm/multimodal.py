@@ -114,3 +114,61 @@ def m2_binary_meta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e, F.col("doc_id") == e.vec_id)
         .select("doc_id", "lang", "byte_len", F.size("embedding").cast("bigint").alias("dim"))
     )
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = (
+    "doc_id long, n_frames long, n_sampled long, first_frame_md5 string"
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for m3: treat the payload as consecutive
+    FRAME_BYTES-sized frames (the fixed-fps video model), keep every
+    FRAME_STRIDE-th frame. Decode stays fake/deterministic; the
+    Spark-side batch iteration, 1:1 row mapping and schema are real."""
+    for pdf in batches:
+        n_frames, n_sampled, first_md5 = [], [], []
+        for b in pdf["payload"]:
+            frames = [
+                b[i : i + FRAME_BYTES] for i in range(0, len(b), FRAME_BYTES)
+            ]
+            kept = frames[::FRAME_STRIDE]
+            n_frames.append(len(frames))
+            n_sampled.append(len(kept))
+            first_md5.append(
+                hashlib.md5(kept[0]).hexdigest() if kept else ""
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_frames": n_frames,
+                "n_sampled": n_sampled,
+                "first_frame_md5": first_md5,
+            }
+        )
+
+
+@query(
+    "m3_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+           CAST(ceil(ceil(length(text) / {FRAME_BYTES}.0)
+                     / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
+           md5(substr(text, 1, {FRAME_BYTES})) AS first_frame_md5
+    FROM documents
+    """,
+)
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (m3): binary payload → fixed-size
+    frame split → stride sampling, via Arrow-batched mapInPandas (the
+    video frame-sample plumbing; the oracle recomputes counts/hash from
+    the ASCII source arithmetically). Payload bytes never shuffle —
+    only the tiny per-doc feature row flows downstream."""
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(sample_frames, FRAME_SCHEMA)

@@ -254,3 +254,28 @@ def test_streaming_late_rows_dropped(spark, tmp_path):
     # the watermark passed 11:50 and is dropped (if it were counted the
     # window would show n=2)
     assert rows.get(10) == 1, rows
+
+
+def test_mapinpandas_respects_arrow_batch_bound(spark, sf_dir):
+    """Multimodal plumbing: with maxRecordsPerBatch=64, no pandas batch
+    seen by the worker may exceed 64 rows — the memory-bounding knob
+    for multi-MB payloads (multimodal.py 100 TB notes)."""
+    import pandas as pd
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+
+        def batch_sizes(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        d = scan(spark, sf_dir, "documents").select("doc_id", "text")
+        sizes = [
+            r["n"] for r in d.mapInPandas(batch_sizes, "n long").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert sizes and max(sizes) <= 64, sizes
