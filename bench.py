@@ -46,6 +46,7 @@ STREAMING_IDS = {
     "i5_stream_dedup",
     "i6_stream_static_join",
     "i7_stateful_counter",
+    "i10_stream_stream_join",
 }
 
 

@@ -118,3 +118,47 @@ def t2_golden_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@query(
+    "t3_golden_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def t3_golden_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q10 analogue — returned-item reporting: top-20 customers
+    by revenue lost to returns in one quarter. Same star shape as
+    t1/t2: nation broadcast, orders date-filter pushed to the scan,
+    lineitem returnflag filter pushed, one shuffled spine, top-k."""
+    c = scan(spark, sf_dir, "customer")
+    n = scan(spark, sf_dir, "nation")
+    o = scan(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = scan(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

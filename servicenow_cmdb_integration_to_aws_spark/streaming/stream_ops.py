@@ -179,3 +179,42 @@ def i7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, output_mode="update")
+
+
+@query("i10_stream_stream_join")  # rows-only: dual-stream stateful join
+def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (i10): purchases stream ⋈ clicks
+    stream, click within 1 hour BEFORE the purchase, both sides
+    watermarked — the canonical attribution join.
+
+    Both streams buffer rows in the state store; the watermarks plus
+    the interval condition bound how long each side is retained
+    (Spark derives the state eviction from them — state stays O(window
+    x rate), not O(stream)). At 100 TB/day this is the only shape that
+    joins two infinite sources with bounded memory."""
+    ev = _stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")
+    return _run_to_memory(joined, output_mode="append")

@@ -157,3 +157,38 @@ def test_pandas_state_accumulates_across_batches(spark):
     # accumulated state
     final = max((r["n"], r["total"]) for r in rows)
     assert final == (3, 16.0), rows
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """i10: with availableNow over the static corpus, the stream-stream
+    interval join must equal the identical batch join (nothing is late
+    in a single-batch replay)."""
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    q = entrymod.queries()
+    streamed = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in q["i10_stream_stream_join"](spark, sf_dir).collect()
+    )
+    ev = scan(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR"
+                " AND c_ts <= p_ts"
+            ),
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
