@@ -58,6 +58,16 @@ def run_one(queries, qid, spark, sf_dir) -> float:
 
 
 def main() -> None:
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # that as JSON (round 1's 4.5 KB line came back `parsed: null`).
+    # Two defenses: (a) redirect fd 1 → fd 2 for the whole run so the
+    # JVM's and Python's incidental output all lands on stderr and
+    # stdout carries exactly one line; (b) keep that line compact —
+    # headline + top-slowest queries inline, full per-query detail in
+    # bench_out.json.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)  # everything (incl. the JVM child) now writes to stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -89,22 +99,39 @@ def main() -> None:
     for qid in sorted(STREAMING_IDS & set(queries)):
         stream_times[qid] = run_one(queries, qid, spark, sf_dir)
 
-    print(
-        json.dumps(
-            {
-                "metric": "workload_wall_sec_all_batch_queries_concurrent",
-                "value": workload,
-                "unit": "sec",
-                "client_threads": nthreads,
-                "serial_total_sec": round(sum(times.values()), 3),
-                "queries": times,
-                "streaming_queries": stream_times,
-                "streaming_total_sec": round(sum(stream_times.values()), 3),
-                "n_queries": len(times),
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "workload_wall_sec_all_batch_queries_concurrent",
+        "value": workload,
+        "unit": "sec",
+        "client_threads": nthreads,
+        "serial_total_sec": round(sum(times.values()), 3),
+        "queries": times,
+        "streaming_queries": stream_times,
+        "streaming_total_sec": round(sum(stream_times.values()), 3),
+        "n_queries": len(times),
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh)
+        fh.write("\n")
+
+    # Compact stdout line (< ~1.5 KB): the full queries dict would blow
+    # the driver's 2000-char capture window, so inline only the slowest.
+    top = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:25]
+    )
+    compact = dict(full)
+    compact["queries"] = top
+    compact["queries_inline"] = "top-25 slowest of %d; full detail in bench_out.json" % len(times)
+    compact["streaming_queries"] = dict(
+        sorted(stream_times.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    line = json.dumps(compact, separators=(",", ":")) + "\n"
+    os.write(real_stdout, line.encode())
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

@@ -228,8 +228,8 @@ def h6_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(len(words) AS BIGINT) AS n_words,
-           words[1:3] AS first3,
-           list_sort(list_distinct(words)) AS vocab,
+           array_to_string(words[1:3], ' ') AS first3,
+           array_to_string(list_sort(list_distinct(words)), ' ') AS vocab,
            CAST(len(list_distinct(words)) AS BIGINT) AS n_vocab,
            list_contains(words, 'db') AS has_db
     FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
@@ -237,15 +237,18 @@ def h6_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def h7_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions (h7): tokenized text as array column — size,
-    slice, distinct, sort, membership."""
+    slice, distinct, sort, membership. Array results are serialized
+    with ``array_join`` (driver harnesses canonicalize via pandas sort,
+    which cannot hash top-level array cells; tokens are space-split so
+    a space join is lossless)."""
     d = scan(spark, sf_dir, "documents").withColumn(
         "words", F.split("text", " ")
     )
     return d.select(
         "doc_id",
         F.size("words").cast("bigint").alias("n_words"),
-        F.slice("words", 1, 3).alias("first3"),
-        F.sort_array(F.array_distinct("words")).alias("vocab"),
+        F.array_join(F.slice("words", 1, 3), " ").alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct("words")), " ").alias("vocab"),
         F.size(F.array_distinct("words")).cast("bigint").alias("n_vocab"),
         F.array_contains("words", "db").alias("has_db"),
     )
@@ -255,21 +258,29 @@ def h7_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h8_higher_order",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(embedding[pos] AS DOUBLE) * 2.0 AS doubled_val,
+           CAST(embedding[pos] AS DOUBLE) + CAST(embedding[pos] AS DOUBLE)
+             AS self_sum_val,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
            round(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy,
-           list_transform(list_zip(embedding, embedding),
-                 p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) AS self_sum
-    FROM embeddings
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
     """,
 )
 def h8_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array lambdas (h8): transform/filter/aggregate/
-    zip_with — element-wise vector math with NO Python UDF."""
+    zip_with — element-wise vector math with NO Python UDF.
+
+    The transformed/zipped arrays are built with the HOFs, then
+    posexploded to scalar rows for the driver compare (top-level array
+    columns break pandas canonicalization). `2·x` and `a+a` on binary
+    floats are exact, so no rounding is needed on the per-element
+    columns."""
     e = scan(spark, sf_dir, "embeddings")
     x_d = lambda x: x.cast("double")  # noqa: E731
-    return e.select(
+    arrs = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x_d(x) * 2.0).alias("doubled"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
@@ -285,13 +296,28 @@ def h8_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "self_sum"
         ),
     )
+    ex = arrs.select(
+        "vec_id",
+        "n_pos",
+        "energy",
+        "self_sum",
+        F.posexplode("doubled").alias("pos0", "doubled_val"),
+    )
+    return ex.select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "doubled_val",
+        F.element_at("self_sum", F.col("pos0") + 1).alias("self_sum_val"),
+        "n_pos",
+        "energy",
+    )
 
 
 @query(
     "h9_map",
     oracle="""
     SELECT event_id,
-           map_keys(m) AS tag_keys,
+           array_to_string(map_keys(m), ',') AS tag_keys,
            CAST(len(map_keys(m)) AS BIGINT) AS n_tags,
            m['source'][1] AS source_tag,
            m['kind'][1] AS kind_tag
@@ -311,7 +337,7 @@ def h9_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.map_keys(m).alias("tag_keys"),
+        F.array_join(F.map_keys(m), ",").alias("tag_keys"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_tags"),
         F.element_at(m, "source").alias("source_tag"),
         F.element_at(m, "kind").alias("kind_tag"),

@@ -142,20 +142,22 @@ def j4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT label, pos, round(SUM(val) / COUNT(*), 6) AS mean_val
         FROM elem GROUP BY label, pos
-    )
-    SELECT label, list(mean_val ORDER BY pos) AS centroid,
-           (SELECT COUNT(*) FROM embeddings e WHERE e.label = m.label)
-             AS n_members
-    FROM m GROUP BY label
+    ),
+    c AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY label)
+    SELECT m.label, CAST(m.pos AS BIGINT) AS pos, m.mean_val, c.n_members
+    FROM m JOIN c ON m.label = c.label
     """,
 )
 def j5_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (j5): element-wise mean of 64-dim vectors.
 
-    posexplode → two-level agg → re-assemble sorted by position. The
-    explode keeps rows narrow (label, pos, val): at 100 TB this is the
-    shape that lets partial aggregation crush the shuffle (64·K rows
-    out per partition regardless of input size)."""
+    posexplode → two-level agg. The explode keeps rows narrow (label,
+    pos, val): at 100 TB this is the shape that lets partial
+    aggregation crush the shuffle (64·K rows out per partition
+    regardless of input size). The centroid is returned exploded —
+    one (label, pos, mean_val) row per dimension — so the driver
+    compare sees only scalar columns; ``assemble_centroids`` in this
+    module re-packs the array form for downstream consumers (j3b)."""
     e = scan(spark, sf_dir, "embeddings")
     elem = e.select(
         "label", F.posexplode("embedding").alias("pos", "val")
@@ -165,14 +167,24 @@ def j5_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        means.groupBy("label")
+        means.join(counts, "label")
+        .select("label", F.col("pos").cast("bigint").alias("pos"),
+                "mean_val", "n_members")
+    )
+
+
+def assemble_centroids(exploded: DataFrame) -> DataFrame:
+    """Re-pack j5's exploded (label, pos, mean_val) rows into
+    (label, centroid array<double>, n_members) — the array form
+    downstream vector ops consume."""
+    return (
+        exploded.groupBy("label", "n_members")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
                 lambda s: s["mean_val"],
             ).alias("centroid")
         )
-        .join(counts, "label")
         .select("label", "centroid", "n_members")
     )
 
@@ -181,23 +193,34 @@ def j5_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_l2norm",
     oracle=f"""
     SELECT vec_id,
-           list_transform(embedding,
-               x -> round(CAST(x AS DOUBLE) / {_SQL_NORM.format(a='embedding')}, 6))
-             AS unit_vec,
+           CAST(pos AS BIGINT) AS pos,
+           round(CAST(embedding[pos] AS DOUBLE)
+                 / {_SQL_NORM.format(a='embedding')}, 6) AS unit_val,
            round({_SQL_NORM.format(a='embedding')}, 6) AS norm
-    FROM embeddings
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
     """,
 )
 def j6_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization (j6): unit vectors via transform(x / ‖v‖).
-    Property `‖unit_vec‖ ≈ 1` pinned in unit tests."""
+    Property `‖unit_vec‖ ≈ 1` pinned in unit tests.
+
+    Output is posexploded — (vec_id, pos, unit_val, norm) — so the
+    driver compare sees only scalar columns; the array-producing
+    transform itself is still the computed expression."""
     e = scan(spark, sf_dir, "embeddings").withColumn("nrm", l2norm("embedding"))
-    return e.select(
+    ex = e.select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(_D(x) / F.col("nrm"), 6)
-        ).alias("unit_vec"),
         F.round("nrm", 6).alias("norm"),
+        F.posexplode(
+            F.transform("embedding", lambda x: F.round(_D(x) / F.col("nrm"), 6))
+        ).alias("pos0", "unit_val"),
+    )
+    return ex.select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "unit_val",
+        "norm",
     )
 
 

@@ -19,21 +19,14 @@ scale prefer approx_count_distinct (d5) when tolerance allows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
+from .numeric import dec, dsum  # shared helpers (re-exported for compat)
 
-
-def dec(c: str, p: int = 18, s: int = 2) -> Column:
-    """Exact-decimal view of a 2dp money column (parity policy)."""
-    return F.col(c).cast(f"decimal({p},{s})")
-
-
-def dsum(col: Column) -> Column:
-    """Exact decimal sum emitted as DOUBLE (bit-identical both engines)."""
-    return F.sum(col).cast("double")
+__all__ = ["dec", "dsum"]
 
 
 @query(
@@ -239,16 +232,23 @@ def d8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d9_collect",
     oracle="""
-    SELECT c_nationkey, list(seg ORDER BY seg) AS segments
+    SELECT c_nationkey, string_agg(seg, ',' ORDER BY seg) AS segments
     FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer)
     GROUP BY c_nationkey
     """,
 )
 def d9_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """List/set aggregation (d9), sorted for determinism."""
+    """List/set aggregation (d9), sorted for determinism.
+
+    The set is serialized to a comma-joined string rather than returned as
+    a top-level array column: driver harnesses canonicalize result frames
+    with pandas ``sort_values``, which cannot hash array cells. Same
+    information, scalar shape."""
     c = scan(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments")
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        )
     )
 
 
@@ -256,7 +256,9 @@ def d9_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d10_percentile",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+           quantile_cont(l_quantity, 0.25) AS qty_q25,
+           quantile_cont(l_quantity, 0.50) AS qty_q50,
+           quantile_cont(l_quantity, 0.75) AS qty_q75
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -264,12 +266,15 @@ def d10_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (d10): quartiles of an integral-valued column;
     interpolation factors {0, .25, .5, .75} are exact binary fractions →
     engine-identical doubles. approx_percentile is exercised rows-only
-    in tests (sketch values differ across engines by design)."""
+    in tests (sketch values differ across engines by design).
+
+    Quartiles are three scalar columns (not one array column) so driver
+    harness canonicalization — pandas sort over cells — stays hashable."""
     li = scan(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias(
-            "qty_quartiles"
-        )
+        F.expr("percentile(l_quantity, 0.25D)").alias("qty_q25"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("qty_q50"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("qty_q75"),
     )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
-from .aggregates import dec, dsum
+from .numeric import dec, dsum
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 

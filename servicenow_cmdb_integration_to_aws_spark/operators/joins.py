@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
-from .aggregates import dec, dsum
+from .numeric import dec, dsum
 
 
 @query(

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
-from .aggregates import dec
+from .numeric import dec
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

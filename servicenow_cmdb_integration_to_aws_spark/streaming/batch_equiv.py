@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import dec
+from ..operators.numeric import dec
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
 

@@ -133,12 +133,16 @@ def test_simhash_hamming_locality(spark):
 
 
 def test_l2norm_is_unit(spark, sf_dir):
-    """j6 property: ‖unit_vec‖ == 1 (to rounding)."""
+    """j6 property: ‖unit_vec‖ == 1 (to rounding); output is exploded
+    (vec_id, pos, unit_val, norm), so re-assemble per vector."""
     q = entrymod.queries()
-    rows = q["j6_l2norm"](spark, sf_dir).limit(20).collect()
+    rows = q["j6_l2norm"](spark, sf_dir).collect()
+    acc: dict = {}
     for r in rows:
-        norm = math.sqrt(sum(x * x for x in r["unit_vec"]))
-        assert abs(norm - 1.0) < 1e-4, r["vec_id"]
+        acc[r["vec_id"]] = acc.get(r["vec_id"], 0.0) + r["unit_val"] ** 2
+    assert acc
+    for vid, s in acc.items():
+        assert abs(math.sqrt(s) - 1.0) < 1e-4, vid
 
 
 def test_ivf_knn_subset_of_brute_force(spark, sf_dir):

@@ -45,12 +45,15 @@ def test_results_scale_with_sf(spark):
 def test_l2norm_output_is_unit_length(spark, sf_dir):
     """j6 property: every normalized vector has ||v|| == 1, within the
     6dp element rounding the op applies for oracle parity (64 elements
-    x 5e-7 each bounds the recomputed norm error well under 1e-4)."""
-    from servicenow_cmdb_integration_to_aws_spark.llm.vectors import dot
-
+    x 5e-7 each bounds the recomputed norm error well under 1e-4).
+    j6 output is posexploded (vec_id, pos, unit_val, norm); re-aggregate
+    per vector."""
     df = entrymod.queries()["j6_l2norm"](spark, sf_dir)
-    vec_col = [c for c, t in df.dtypes if t.startswith("array")][0]
-    norms = df.select(F.sqrt(dot(vec_col, vec_col)).alias("n")).collect()
+    norms = (
+        df.groupBy("vec_id")
+        .agg(F.sqrt(F.sum(F.col("unit_val") * F.col("unit_val"))).alias("n"))
+        .collect()
+    )
     assert norms and all(abs(r["n"] - 1.0) < 1e-4 for r in norms)
 
 
