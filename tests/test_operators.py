@@ -11,18 +11,21 @@ import __spark_entry__ as entrymod
 
 
 def test_approx_distinct_accuracy(spark, sf_dir):
-    """d5: HLL++ estimate within rsd-justified tolerance of exact."""
+    """d5: every group certifies within_bound, and the exact side
+    agrees with d4's exact distinct count."""
     q = entrymod.queries()
-    approx = {
-        r["event_type"]: r["approx_users"]
+    d5 = {
+        r["event_type"]: (r["exact_users"], r["within_bound"])
         for r in q["d5_approx_distinct"](spark, sf_dir).collect()
     }
-    exact = {
+    d4 = {
         r["event_type"]: r["n_users"]
         for r in q["d4_count_distinct"](spark, sf_dir).collect()
     }
-    for k, est in approx.items():
-        assert abs(est - exact[k]) <= max(3, 0.15 * exact[k]), (k, est, exact[k])
+    assert d5
+    for k, (exact, ok) in d5.items():
+        assert ok, k
+        assert exact == d4[k], (k, exact, d4[k])
 
 
 def test_minhash_lsh_recall_on_fixture(spark):
@@ -283,3 +286,46 @@ def test_mapinpandas_respects_arrow_batch_bound(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert sizes and max(sizes) <= 64, sizes
+
+
+def test_neardup_blocked_exact_and_hot_block_split(spark, sf_dir):
+    """j12: the chunked triangle join is EXACT (same pairs/scores as the
+    single-block join) while a hot label's pair work spreads over many
+    chunk-pair keys with per-chunk size ~cap (bounded per-task work)."""
+    from servicenow_cmdb_integration_to_aws_spark.llm.vectors import (
+        neardup_blocked,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    e = scan(spark, sf_dir, "embeddings")
+    # cap=8 forces every ~50-row label into many chunks even at sf0.001
+    capped = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in neardup_blocked(e, tau=0.3, cap=8).collect()
+    }
+    single = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in neardup_blocked(e, tau=0.3, cap=10**9).collect()
+    }
+    assert capped and capped == single
+
+    # boundedness: replicate the op's chunk assignment and check that a
+    # label bigger than cap splits into ceil(n/cap) chunks, none of
+    # which is pathologically larger than cap (hash balance).
+    cap = 8
+    counts = e.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("n_chunks")
+    )
+    ch = (
+        e.join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "n_chunks",
+            F.pmod(F.xxhash64("vec_id"), F.col("n_chunks")).cast("int").alias("chunk"),
+        )
+        .groupBy("label", "n_chunks", "chunk")
+        .count()
+        .collect()
+    )
+    assert all(r["n_chunks"] > 1 for r in ch)
+    assert all(r["count"] <= 4 * cap for r in ch)
