@@ -98,21 +98,39 @@ def parse_term(raw: str) -> Term:
 
 
 def parse(encoded: str) -> list[CompiledQuery]:
-    """Parse an encoded query into one CompiledQuery per ^NQ branch."""
+    """Parse an encoded query into one CompiledQuery per ^NQ branch.
+
+    Prefix ambiguity: ServiceNow field names are lowercase by platform
+    convention [SN-API], so a token starting 'OR'/'ORDERBY' is read as
+    a disjunction/directive when the remainder parses; if the remainder
+    does NOT parse (e.g. 'OR=5', field literally named 'OR', or
+    'ORDERBY' followed by a non-identifier), the whole raw token is
+    re-tried as a plain term before failing."""
     out = []
     for branch in encoded.split("^NQ"):
         cq = CompiledQuery()
         for raw in branch.split("^"):
             if not raw:
                 continue
-            if raw.startswith("ORDERBYDESC"):
+            if raw.startswith("ORDERBYDESC") and _FIELD_RE.match(
+                raw[len("ORDERBYDESC"):]
+            ):
                 cq.order_by.append((raw[len("ORDERBYDESC"):], True))
-            elif raw.startswith("ORDERBY"):
+            elif raw.startswith("ORDERBY") and _FIELD_RE.match(
+                raw[len("ORDERBY"):]
+            ):
                 cq.order_by.append((raw[len("ORDERBY"):], False))
             elif raw.startswith("OR"):
-                if not cq.groups:
-                    raise ValueError("^OR with no preceding term")
-                cq.groups[-1].append(parse_term(raw[2:]))
+                try:
+                    term = None if not cq.groups else parse_term(raw[2:])
+                except ValueError:
+                    term = None
+                if term is not None:
+                    cq.groups[-1].append(term)
+                else:
+                    # no antecedent to disjoin with, or the remainder is
+                    # unparseable: the field itself starts with 'OR'
+                    cq.groups.append([parse_term(raw)])
             else:
                 cq.groups.append([parse_term(raw)])
         out.append(cq)

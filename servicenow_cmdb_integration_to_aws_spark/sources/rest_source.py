@@ -20,13 +20,18 @@ Python Data Source API (PySpark ≥4.0):
 100 TB notes: pushdown means the cluster never sees non-matching rows
 — the dominant cost at scale is the wire, not the CPU. Pages map to
 input partitions so ingest parallelism is `ceil(matching/page_size)`,
-and each worker fetches only its page. (A real deployment adds retry/
-rate-limit handling per page; the sandbox server is a local class, so
-that surface is intentionally absent rather than stubbed with fakes.)
+and each worker fetches only its page. ServiceNow ingest is
+rate-limit-bound in practice, so the per-page fetch retries transient
+server failures (HTTP 429/503 analogue) with exponential backoff —
+deterministically testable via the `flaky_dir` fault-injection option,
+which makes the first fetch of every page fail once.
 """
 
 from __future__ import annotations
 
+import os
+import time
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -50,15 +55,44 @@ from pyspark.sql.datasource import (
 PAGE_SIZE_DEFAULT = 25_000
 
 
+class TransientServerError(RuntimeError):
+    """Simulated transient REST failure (HTTP 429/503 analogue)."""
+
+
+# Per-process cache of filtered+sorted frames keyed by
+# (path, query, file mtime): page fetches of the same scan stop
+# re-reading and re-filtering the parquet. Bounded FIFO — a worker
+# process serves a handful of concurrent scans at most.
+_FRAME_CACHE: OrderedDict = OrderedDict()
+_FRAME_CACHE_MAX = 8
+
+
 class TableApiServer:
     """Simulated ServiceNow Table API: encoded-query filter + paging
     over one parquet 'table'. Lives driver-side for count() and inside
-    each worker for page fetches (stateless; path + query pickle)."""
+    each worker for page fetches (stateless; path + query pickle).
 
-    def __init__(self, path: str):
+    ``flaky_dir`` injects deterministic transient faults: the first
+    fetch of each page raises :class:`TransientServerError` (marker
+    files in ``flaky_dir`` make this exactly-once per page across
+    worker processes), subsequent attempts succeed."""
+
+    def __init__(self, path: str, flaky_dir: str | None = None):
         self.path = path
+        self.flaky_dir = flaky_dir
 
     def _frame(self, sysparm_query: str):
+        key = (self.path, sysparm_query, os.stat(self.path).st_mtime_ns)
+        hit = _FRAME_CACHE.get(key)
+        if hit is not None:
+            return hit
+        pdf = self._frame_uncached(sysparm_query)
+        _FRAME_CACHE[key] = pdf
+        while len(_FRAME_CACHE) > _FRAME_CACHE_MAX:
+            _FRAME_CACHE.popitem(last=False)
+        return pdf
+
+    def _frame_uncached(self, sysparm_query: str):
         import pandas as pd  # noqa: F401  (worker-side import)
         import pyarrow.parquet as pq
 
@@ -117,16 +151,42 @@ class TableApiServer:
         return len(self._frame(sysparm_query))
 
     def fetch(self, sysparm_query: str, offset: int, limit: int):
+        if self.flaky_dir:
+            marker = os.path.join(self.flaky_dir, f"page_{offset}.failed")
+            try:
+                # O_CREAT|O_EXCL: exactly one attempt per page loses,
+                # atomically, even across concurrent worker processes.
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                raise TransientServerError(
+                    f"simulated 429 on first fetch of offset={offset}"
+                )
+            except FileExistsError:
+                pass  # this page already paid its fault; serve it
         pdf = self._frame(sysparm_query).iloc[offset : offset + limit]
         return list(pdf.itertuples(index=False, name=None))
 
 
+def _safe_value(v) -> bool:
+    """An encoded-query value is only pushable if it can't be parsed
+    as extra grammar server-side: '^' would open a new term (or ^OR /
+    ^NQ). Unsafe values return the filter to Spark for post-scan
+    evaluation — correctness over pushdown (the DSv2 contract lets us
+    decline any filter)."""
+    return "^" not in str(v)
+
+
 def _filter_to_term(f: Filter) -> str | None:
     """Catalyst Filter -> encoded-query term (None = not translatable,
-    Spark re-applies it post-scan)."""
+    Spark re-applies it post-scan). Values containing encoded-query
+    metacharacters ('^' anywhere; ',' inside an IN list, which would
+    split into extra list members) are declined rather than escaped —
+    the Table API grammar has no escape syntax [SN-API]."""
     if len(getattr(f, "attribute", ("x",))) != 1:
         return None
     a = f.attribute[0]
+    if not _safe_value(getattr(f, "value", "")):
+        return None
     if isinstance(f, EqualTo):
         return f"{a}={f.value}"
     if isinstance(f, GreaterThan):
@@ -138,6 +198,8 @@ def _filter_to_term(f: Filter) -> str | None:
     if isinstance(f, LessThanOrEqual):
         return f"{a}<={f.value}"
     if isinstance(f, In):
+        if any(not _safe_value(v) or "," in str(v) for v in f.value):
+            return None
         return f"{a}IN" + ",".join(str(v) for v in f.value)
     if isinstance(f, StringStartsWith):
         return f"{a}STARTSWITH{f.value}"
@@ -184,7 +246,15 @@ class SnowTableReader(DataSourceReader):
         self.schema = schema
         self.path = options.get("path")
         self.page_size = int(options.get("page_size", PAGE_SIZE_DEFAULT))
+        self.flaky_dir = options.get("flaky_dir")
+        self.max_retries = int(options.get("max_retries", 3))
+        self.retry_backoff_s = float(options.get("retry_backoff_s", 0.01))
         self.terms: list[str] = []
+        # Truncate the sidecar at reader construction: if Spark never
+        # calls pushFilters (no pushable filters), last_pushed() must
+        # report '' for THIS scan, not the previous scan's pushdown.
+        with open(_pushdown_log_path(self.path), "w") as fh:
+            fh.write("")
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -208,8 +278,22 @@ class SnowTableReader(DataSourceReader):
         ]
 
     def read(self, partition: PagePartition):
-        server = TableApiServer(self.path)
-        yield from server.fetch(self._query, partition.offset, partition.limit)
+        """Fetch one page, retrying transient server failures with
+        exponential backoff — the rate-limit-bound reality of Table
+        API ingest. The page is idempotent (offset+limit over a
+        stable server-side order), so a retry can't dup or drop rows."""
+        server = TableApiServer(self.path, flaky_dir=self.flaky_dir)
+        for attempt in range(self.max_retries + 1):
+            try:
+                rows = server.fetch(
+                    self._query, partition.offset, partition.limit
+                )
+                break
+            except TransientServerError:
+                if attempt == self.max_retries:
+                    raise
+                time.sleep(self.retry_backoff_s * (2**attempt))
+        yield from rows
 
 
 class SnowTableDataSource(DataSource):

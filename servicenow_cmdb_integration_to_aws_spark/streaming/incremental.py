@@ -39,15 +39,28 @@ class WatermarkStore:
         return datetime.strptime(raw, ISO) if raw else default
 
     def write(self, name: str, wm: datetime) -> None:
-        state = {}
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                state = json.load(f)
-        state[name] = wm.strftime(ISO)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
-        with os.fdopen(fd, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self.path)  # atomic commit
+        """Read-modify-write under an exclusive flock: two streams
+        committing different names concurrently can't lose an update
+        (the rename alone is atomic but not isolated). On S3-backed
+        deployments, where flock doesn't exist, the equivalent is
+        one state object per stream name or a conditional put."""
+        lock_path = self.path + ".lock"
+        with open(lock_path, "w") as lf:
+            try:
+                import fcntl
+
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: single-writer assumed
+                pass
+            state = {}
+            if os.path.exists(self.path):
+                with open(self.path) as f:
+                    state = json.load(f)
+            state[name] = wm.strftime(ISO)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+            with os.fdopen(fd, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self.path)  # atomic commit
 
 
 def sync_increment(

@@ -71,6 +71,21 @@ def test_parse_roundtrip_property(terms):
     assert [(t.field, t.op, t.value) for t in flat] == terms
 
 
+def test_parse_or_prefix_fallback():
+    """A token starting 'OR' whose remainder is unparseable must be a
+    plain term (field literally named 'OR'/'ORDER...'), not a broken
+    disjunction; a parseable remainder stays a disjunction per the
+    lowercase-field platform convention."""
+    [q] = parse("a=1^OR=5")  # remainder '=5' unparseable -> field 'OR'
+    assert q.groups == [[Term("a", "=", "1")], [Term("OR", "=", "5")]]
+    # leading token with no antecedent can't be a disjunction
+    [q] = parse("ORG_ID=5")
+    assert q.groups == [[Term("ORG_ID", "=", "5")]]
+    # lowercase remainder still parses as a disjunction
+    [q] = parse("a=1^ORb=2")
+    assert [len(g) for g in q.groups] == [2]
+
+
 def test_compile_matches_handbuilt(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -78,3 +78,71 @@ def test_paged_read_partitions_and_reassembles(spark, sf_dir):
         r["c_custkey"] for r in scan(spark, sf_dir, "customer").collect()
     )
     assert got == expect
+
+
+def test_transient_page_failure_is_retried(spark, sf_dir, tmp_path):
+    """Fault injection: with flaky_dir set, the FIRST fetch of every
+    page raises a simulated 429; the reader's per-page retry must
+    absorb it and still return the exact row set — no dup, no loss."""
+    flaky = tmp_path / "faults"
+    flaky.mkdir()
+    df = _read(spark, sf_dir, page_size="100", flaky_dir=str(flaky))
+    got = sorted(r["c_custkey"] for r in df.collect())
+    expect = sorted(
+        r["c_custkey"] for r in scan(spark, sf_dir, "customer").collect()
+    )
+    assert got == expect
+    # every page really did fail once (markers written by the server)
+    assert len(list(flaky.glob("page_*.failed"))) == len(got) // 100 + (
+        1 if len(got) % 100 else 0
+    )
+
+
+def test_retries_exhausted_raises(spark, sf_dir, tmp_path):
+    """max_retries=0 with fault injection on: the first attempt fails
+    and there is no second — the task must surface the error rather
+    than silently return a short page."""
+    import pytest
+
+    flaky = tmp_path / "faults0"
+    flaky.mkdir()
+    df = _read(
+        spark, sf_dir, page_size="100000", flaky_dir=str(flaky), max_retries="0"
+    )
+    with pytest.raises(Exception, match="simulated 429|TransientServerError"):
+        df.count()
+
+
+def test_metacharacter_value_not_pushed(spark, sf_dir):
+    """A filter value containing an encoded-query metacharacter ('^')
+    has no escape syntax in the Table API grammar — it must be DECLINED
+    (evaluated by Spark post-scan), not interpolated into the query
+    where the server would parse it as extra terms."""
+    df = _read(spark, sf_dir).filter(
+        (F.col("c_name") == "evil^c_acctbal>0") & (F.col("c_acctbal") > 500.0)
+    )
+    n = df.count()  # no such customer
+    pushed = rest_source.last_pushed(path_of(sf_dir, "customer"))
+    assert "evil" not in pushed, pushed  # the unsafe term stayed in Spark
+    assert "c_acctbal>500.0" in pushed, pushed  # the safe term was pushed
+    assert n == 0
+    # IN list with a comma inside a member is equally untranslatable
+    df2 = _read(spark, sf_dir).filter(F.col("c_mktsegment").isin("A,B", "HOUSEHOLD"))
+    n2 = df2.count()
+    pushed2 = rest_source.last_pushed(path_of(sf_dir, "customer"))
+    assert "A,B" not in pushed2, pushed2
+    expect2 = (
+        scan(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("A,B", "HOUSEHOLD"))
+        .count()
+    )
+    assert n2 == expect2
+
+
+def test_sidecar_reset_on_new_scan(spark, sf_dir):
+    """A scan with no pushable filters must not report the previous
+    scan's pushdown: the sidecar is truncated at reader construction."""
+    _read(spark, sf_dir).filter(F.col("c_acctbal") > 9000.0).count()
+    assert "c_acctbal>9000.0" in rest_source.last_pushed(path_of(sf_dir, "customer"))
+    _read(spark, sf_dir).count()  # unfiltered scan
+    assert rest_source.last_pushed(path_of(sf_dir, "customer")) == ""
