@@ -353,3 +353,88 @@ def c11_rel_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(frontier)
     return out
+
+
+def transitive_closure(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Unbounded transitive closure of an edge table (`parent`,`child`)
+    → distinct (`root`,`node`) reachability pairs, by iterative
+    frontier expansion to fixpoint.
+
+    Cycle-safe: each round's frontier is anti-joined against the
+    already-reached set, so a cycle contributes each pair once and the
+    frontier empties. Semi-naive evaluation — only NEW pairs join the
+    edge table each round, not the whole closure.
+
+    100 TB notes: each round is one equi-join shuffle on the frontier
+    key plus one anti-join on (root,node); `localCheckpoint(eager=True)`
+    truncates lineage so the plan stays O(1) per round instead of
+    growing with iteration count (on a real cluster use
+    `checkpoint()` to reliable storage so a lost executor doesn't
+    recompute the whole chain). Rounds are O(graph diameter), not
+    O(|V|) — BFS doubling is possible but triples the shuffle volume
+    per round and rarely wins on CMDB-shaped shallow graphs."""
+    e = edges.select("parent", "child").persist()
+    reach = (
+        e.select(F.col("parent").alias("root"), F.col("child").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = reach
+    for _ in range(max_iter):
+        grown = (
+            frontier.join(e, e["parent"] == frontier["node"])
+            .select("root", F.col("child").alias("node"))
+            .distinct()
+        )
+        new = grown.join(reach, ["root", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.isEmpty():
+            break
+        reach = reach.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(f"closure did not converge in {max_iter} rounds")
+    e.unpersist()
+    return reach
+
+
+@query(
+    "c12_rel_closure_unbounded",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS parent,
+               'N' || CAST(n_nationkey AS VARCHAR) AS child
+        FROM nation
+        UNION ALL
+        SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS parent,
+               'C' || CAST(c_custkey AS VARCHAR) AS child
+        FROM customer
+    ),
+    reach AS (
+        SELECT parent AS root, child AS node FROM edges
+        UNION
+        SELECT r.root, e.child
+        FROM reach r JOIN edges e ON e.parent = r.node
+    )
+    SELECT root, node FROM reach
+    """,
+)
+def c12_rel_closure_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED transitive closure (c12) — c11 without the depth
+    guard: 'everything under this CI, however deep'. Iterative driver
+    loop over a persisted frontier until fixpoint (see
+    :func:`transitive_closure`); oracle is the recursive CTE with
+    UNION-distinct termination."""
+    n = scan(spark, sf_dir, "nation")
+    c = scan(spark, sf_dir, "customer")
+    edges = n.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("parent"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("child"),
+    ).unionByName(
+        c.select(
+            F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("parent"),
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("child"),
+        )
+    )
+    return transitive_closure(edges)

@@ -329,3 +329,33 @@ def test_neardup_blocked_exact_and_hot_block_split(spark, sf_dir):
     )
     assert all(r["n_chunks"] > 1 for r in ch)
     assert all(r["count"] <= 4 * cap for r in ch)
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    """Fixpoint closure on a CYCLIC graph must terminate and return
+    every distinct reachability pair exactly once: a->b->c->a reaches
+    all 3 nodes from every root (9 pairs, self-loops via the cycle)."""
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["parent", "child"]
+    )
+    got = {(r["root"], r["node"]) for r in transitive_closure(edges).collect()}
+    assert got == {(x, y) for x in "abc" for y in "abc"}
+
+
+def test_transitive_closure_deep_chain(spark):
+    """A 12-deep chain needs 12 expansion rounds — well past c11's
+    unrolled depth-3 — and yields n*(n+1)/2 pairs."""
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        transitive_closure,
+    )
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(n)], ["parent", "child"]
+    )
+    rows = transitive_closure(edges).count()
+    assert rows == (n + 1) * n // 2
