@@ -36,6 +36,7 @@ def load_all():
         # verified green (aggregates/filters/scans/setops/sorts/joins)
         # come last.
         for mod in (
+            "servicenow_cmdb_integration_to_aws_spark.operators.extended",
             "servicenow_cmdb_integration_to_aws_spark.operators.evolution",
             "servicenow_cmdb_integration_to_aws_spark.operators.windows",
             "servicenow_cmdb_integration_to_aws_spark.functions.scalar",

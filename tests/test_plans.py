@@ -125,3 +125,73 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
     # the whole plan below the final agg reuses the bucket
     # partitioning: no Exchange anywhere
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_unpivot_is_expand_no_shuffle(spark, sf_dir):
+    """d15: unpivot must compile to a generator/Expand projection —
+    zero Exchange; 4x row fan-out happens inside the scan task."""
+    plan = plan_of(_q(spark, sf_dir, "d15_unpivot"))
+    assert "Expand" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pivot_single_pass_no_values_scan(spark, sf_dir):
+    """d13: explicit pivot values -> ONE aggregate pass (no extra
+    distinct-discovery job), compiled as conditional aggregates."""
+    import re
+
+    plan = plan_of(_q(spark, sf_dir, "d13_pivot"))
+    # one exchange for the groupBy, and partial+final HashAggregate
+    # (each node prints twice in formatted mode: tree + detail)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
+
+
+def test_exists_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """b13: correlated EXISTS / NOT EXISTS must decorrelate to
+    LeftSemi and LeftAnti hash joins — no nested-loop re-execution."""
+    plan = plan_of(_q(spark, sf_dir, "b13_exists"))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoop", ""), plan
+
+
+def test_q18_partial_agg_before_join(spark, sf_dir):
+    """t4: the lineitem per-order aggregate (and its HAVING filter)
+    must run BEFORE the orders/customer joins — the aggregate shrinks
+    the spine first, so join input is O(qualifying orders), not
+    O(lineitem)."""
+    plan = plan_of(_q(spark, sf_dir, "t4_golden_q18"))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # formatted plans print operators leaves-last; the aggregate node
+    # sitting below the join means its id appears AFTER in the tree
+    # dump — assert instead on the structure: the aggregate's child is
+    # the lineitem scan, not a join output
+    import re
+
+    m = re.findall(r"HashAggregate[\s\S]{0,400}?Scan parquet", plan)
+    assert m, plan
+
+
+def test_arrow_map_stays_columnar(spark, sf_dir):
+    """k6: mapInArrow must plan as a single Arrow eval node over the
+    pruned 3-column scan — no pandas conversion, no shuffle."""
+    plan = plan_of(_q(spark, sf_dir, "k6_arrow_map"))
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_dup_cluster_shuffles_digest_not_text(spark, sf_dir):
+    """j15: the window shuffle must move (doc_id, digest) only — the
+    document body is projected away before the exchange (Catalyst
+    pre-computes md5(text) as _w0 below the shuffle)."""
+    plan = plan_of(_q(spark, sf_dir, "j15_dup_clusters"))
+    lines = plan.splitlines()
+    ex_input = [
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if l.startswith("(") and l.endswith(" Exchange")
+    ]
+    assert ex_input and all("text#" not in l for l in ex_input), plan
