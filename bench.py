@@ -78,11 +78,20 @@ def main() -> None:
 
     entrymod.entry(spark).collect()  # warmup: JVM + codegen + parquet footer
 
-    # Phase 1 — headline throughput: drain the whole batch workload with
-    # concurrent client threads on the fresh session (cold plans —
+    # Phase 1 — headline throughput: drain the whole batch workload
+    # with concurrent client threads on the fresh session (cold plans —
     # conservative: codegen compile is INSIDE the measured window).
-    # Ordering matters: structured-streaming queries leave state-store
-    # maintenance threads that slow later phases ~1.5×, so they run last.
+    #
+    # Phase 2 (changed round 2) — per-query serial timings run on a
+    # RESTARTED SparkContext: the ~250 executions a full drain piles up
+    # (codegen-cache churn + listener/GC pressure) inflated round 1's
+    # late serial numbers up to 12× (j12 measured 18.2 s in-bench vs
+    # 1.6 s clean — reproduced in both orders; the query itself was
+    # innocent). A fresh context gives clean, reproducible per-query
+    # evidence at the cost of ~5 s of bench wall time.
+    #
+    # Phase 3 — structured-streaming ids, always last: their
+    # state-store maintenance threads slow everything after them ~1.5×.
     nthreads = int(os.environ.get("BENCH_CLIENT_THREADS", "12"))
     batch_ids = sorted(q for q in queries if q not in STREAMING_IDS)
     t0 = time.perf_counter()
@@ -90,8 +99,10 @@ def main() -> None:
         list(ex.map(lambda q: run_one(queries, q, spark, sf_dir), batch_ids))
     workload = round(time.perf_counter() - t0, 3)
 
-    # Phase 2 — per-query serial timings (transparency / regression
-    # tracking); phase 3 — streaming ids, serial, last.
+    spark.stop()
+    spark = build_session("bench-serial")
+    entrymod.entry(spark).collect()  # re-warm the new context
+
     times: dict[str, float] = {}
     stream_times: dict[str, float] = {}
     for qid in batch_ids:
