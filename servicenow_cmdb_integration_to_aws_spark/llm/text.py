@@ -333,3 +333,74 @@ def j14_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "j17_bigram_lm",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(ws)),
+                   i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS bg
+        FROM t
+    ),
+    bp AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bp GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bp GROUP BY w1)
+    SELECT bp.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(AVG(CAST(c12.n12 AS DOUBLE) / c1.n1), 6) AS avg_p,
+           round(MIN(CAST(c12.n12 AS DOUBLE) / c1.n1), 6) AS min_p
+    FROM bp
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    GROUP BY bp.doc_id
+    """,
+)
+def j17_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM scoring (j17, [NS]): estimate p(w2|w1) from
+    corpus bigram counts, then score every document by its mean and
+    min transition probability — the statistical-LM quality filter
+    (low avg_p ⇒ word salad / wrong-language text; gibberish shows up
+    before any neural model enters the pipeline).
+
+    Shape: bigrams are generated MAP-SIDE (transform over the token
+    array + explode — no self-join on position, no shuffle to form
+    pairs); the count tables are two partially-aggregated shuffles of
+    (w1,w2)/(w1); the score join co-partitions on those same keys.
+    Probabilities are count ratios (exact in double on both engines);
+    only avg's fold-order noise (~1e-15) meets the 6dp round, so
+    values are bit-stable. At 100 TB the count tables are Zipf-shaped
+    and small relative to the corpus — broadcast-able if needed."""
+    d = (
+        scan(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bp = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS w1,"
+                "             element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = bp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bp.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    p = F.col("n12").cast("double") / F.col("n1")
+    return (
+        bp.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(p), 6).alias("avg_p"),
+            F.round(F.min(p), 6).alias("min_p"),
+        )
+    )

@@ -391,3 +391,56 @@ def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= tau)
     )
+
+
+@query(
+    "j16_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                    / ({_SQL_NORM.format(a='a.embedding')}
+                       * {_SQL_NORM.format(a='b.embedding')}), 6) >= 0.6
+    ),
+    sym AS (
+        SELECT va AS s, vb AS d FROM pairs
+        UNION
+        SELECT vb, va FROM pairs
+    ),
+    reach AS (
+        SELECT vec_id AS node, vec_id AS r FROM embeddings
+        UNION
+        SELECT sym.s, reach.r FROM sym JOIN reach ON reach.node = sym.d
+    ),
+    comp AS (SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT vec_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def j16_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING (j16, [NS]) — the full dedup pipeline
+    composed from parts that each have their own oracle: discover
+    near-dup pairs (j12's bounded triangle join, cosine ≥ 0.6), then
+    collapse pairs into clusters with min-label connected components
+    (operators/joins.connected_components), then size each cluster.
+    Downstream keeps `vec_id == component` (the canonical member) and
+    drops the rest — exactly the keep-one-per-cluster contract of a
+    corpus dedup stage. Oracle: recursive-CTE reachability over the
+    same pair predicate."""
+    from ..operators.joins import connected_components
+
+    e = scan(spark, sf_dir, "embeddings")
+    pairs = neardup_blocked(e, tau=0.6, cap=128)
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(edges, e.select(F.col("vec_id").alias("id")))
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -438,3 +438,54 @@ def c12_rel_closure_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return transitive_closure(edges)
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by min-label propagation: every node's
+    component id converges to the smallest node id reachable from it.
+    `edges` has (src, dst) (treated undirected), `nodes` has (id);
+    returns (id, component).
+
+    Each round: push labels across the symmetrized edge set, take the
+    per-node min, stop when no label improves. Rounds are O(component
+    diameter). 100 TB notes: the two shuffles per round (join on dst,
+    re-agg on id) both key on node id, so a co-partitioned layout is
+    reused across rounds; `localCheckpoint` truncates lineage exactly
+    as in :func:`transitive_closure`. For graphs with huge-diameter
+    components, graduate to the large-star/small-star algorithm
+    (alternating pointer-doubling) — same building blocks, O(log n)
+    rounds."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    lbl = nodes.select("id", F.col("id").alias("component")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        prop = sym.join(lbl, sym["dst"] == lbl["id"]).select(
+            F.col("src").alias("id"), "component"
+        )
+        new = (
+            lbl.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        improved = new.join(
+            lbl.select("id", F.col("component").alias("old")), "id"
+        ).filter(F.col("component") < F.col("old"))
+        done = improved.isEmpty()
+        lbl = new
+        if done:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    sym.unpersist()
+    return lbl

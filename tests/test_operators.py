@@ -359,3 +359,25 @@ def test_transitive_closure_deep_chain(spark):
     )
     rows = transitive_closure(edges).count()
     assert rows == (n + 1) * n // 2
+
+
+def test_connected_components_basic(spark):
+    """Two components + an isolated node: labels converge to the min
+    node id of each component; singletons keep their own id."""
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    nodes = spark.range(1, 13).select(F.col("id").cast("long").alias("id"))
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    for iso in (4, 5, 6, 7, 8, 9, 12):
+        assert got[iso] == iso
