@@ -47,6 +47,7 @@ STREAMING_IDS = {
     "i6_stream_static_join",
     "i7_stateful_counter",
     "i10_stream_stream_join",
+    "i11_foreach_batch_merge",
 }
 
 

@@ -422,3 +422,106 @@ def j15_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("cluster_rep"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@query(
+    "b14_null_safe_eq",
+    oracle="""
+    SELECT a.c_custkey,
+           (NULLIF(a.c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+            NULLIF(b.c_mktsegment, 'BUILDING')) AS same_seg,
+           (NULLIF(a.c_mktsegment, 'BUILDING') = 
+            NULLIF(b.c_mktsegment, 'BUILDING')) AS same_seg_sqlnull
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    """,
+)
+def b14_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (b14): `<=>` / IS NOT DISTINCT FROM vs plain
+    `=` side by side on a manufactured-null column — the comparison
+    semantics every reconcile/merge keys on (null identity keys must
+    MATCH each other, not vanish). Adjacent-id self-join keeps the
+    pair set deterministic."""
+    c = scan(spark, sf_dir, "customer")
+    a = c.select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_a")
+    )
+    b = c.select(
+        (F.col("c_custkey") - 1).alias("k"),
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_b"),
+    )
+    return a.join(b, a["c_custkey"] == b["k"]).select(
+        "c_custkey",
+        F.col("seg_a").eqNullSafe(F.col("seg_b")).alias("same_seg"),
+        (F.col("seg_a") == F.col("seg_b")).alias("same_seg_sqlnull"),
+    )
+
+
+@query(
+    "h13_bitops",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey << 2 AS shl,
+           c_custkey >> 1 AS shr,
+           c_custkey & 255 AS band,
+           c_custkey | 4096 AS bor,
+           xor(c_custkey, 1365) AS bxor,
+           ~c_custkey AS bnot,
+           CAST(bit_count(c_custkey) AS INT) AS popcnt
+    FROM customer
+    """,
+)
+def h13_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface (h13): shifts, and/or/xor/not,
+    popcount — the bit-packed-flag manipulation used by sys_flags
+    fields and by sketch internals (j2b's SimHash packs votes with
+    exactly these). All codegen'd long arithmetic; scan-side."""
+    c = scan(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.bitwise_not(k).alias("bnot"),
+        F.bit_count(k).alias("popcnt"),
+    )
+
+
+@query(
+    "h14_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           struct_extract(s, 'status') AS status,
+           struct_extract(s, 'bucket') AS bucket,
+           struct_extract(struct_extract(s, 'inner'), 'price') AS price
+    FROM (SELECT o_orderkey,
+                 struct_pack(
+                     status := o_orderstatus,
+                     bucket := CAST(o_orderkey % 10 AS BIGINT),
+                     inner := struct_pack(price := o_totalprice)
+                 ) AS s
+          FROM orders)
+    """,
+)
+def h14_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construct + nested field access (h14): named_struct /
+    dot-path extraction — the typed-record layer under every
+    multimodal metadata column (m2's payload struct is this). The
+    struct is built and immediately field-projected, so Catalyst's
+    nested-schema pruning collapses it to plain column references —
+    zero runtime cost (the output stays scalar for the driver
+    compare)."""
+    o = scan(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") % 10).alias("bucket"),
+        F.struct(F.col("o_totalprice").alias("price")).alias("inner"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("status"),
+        s.getField("bucket").alias("bucket"),
+        s.getField("inner").getField("price").alias("price"),
+    )

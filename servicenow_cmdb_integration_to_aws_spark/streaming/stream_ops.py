@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..registry import query
+from ..registry import EVENTS_US, query
 from ..sources.tables import path_of
 
 _COUNTER = itertools.count()
@@ -218,3 +218,69 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")
     return _run_to_memory(joined, output_mode="append")
+
+
+@query(
+    "i11_foreach_batch_merge",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e)
+    WHERE rn = 1
+    """,
+)
+def i11_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC apply (i11): the sink-side half of streaming
+    upsert — each micro-batch APPENDS its rows to a keyed change log
+    (cheap, conflict-free, parallel), and the snapshot is materialized
+    on read as latest-row-per-key (merge-on-read, the Hudi/Iceberg MOR
+    pattern rebuilt from primitives). Unlike i4–i10 this streaming id
+    HAS a SQL oracle: latest-per-key over the full event history is
+    batch-deterministic no matter how the stream was micro-batched,
+    because keep-latest is associative under the total order
+    (ts, event_id).
+
+    100 TB notes: the append is per-partition file writes with no
+    coordination; compaction (folding the log into a base snapshot) is
+    exactly e8's window, run on whatever cadence read latency demands.
+    foreachBatch is also where exactly-once sinks hook in: batch_id is
+    stable across retries, so an idempotent write keyed on it
+    deduplicates replays."""
+    log_dir = tempfile.mkdtemp(prefix="i11_log_")
+    s = _stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotence hook: a real sink writes under <log_dir>/<batch_id>
+        # so a retried batch overwrites itself instead of duplicating
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={batch_id}")
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            s.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(log_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
