@@ -53,3 +53,41 @@ def a6_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.write.mode("overwrite").option("header", True).csv(csv_dir)
     c.write.mode("overwrite").json(json_dir)
     return spark.read.schema(SCHEMAS["customer"]).option("header", True).csv(csv_dir)
+
+
+@query(
+    "b15_dynamic_pruning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus IN (SELECT DISTINCT o_orderstatus FROM orders
+                            WHERE o_orderpriority = '1-URGENT'
+                              AND o_totalprice > 450000)
+    """,
+)
+def b15_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (b15): the fact side lives in a
+    hive-partitioned layout (a5's sink shape) and the partition filter
+    is only KNOWN AT RUNTIME — it comes out of the dim-side subquery.
+    Spark plans a DPP subquery: the dim filter runs first, its distinct
+    partition keys broadcast, and the fact scan reads ONLY matching
+    directories. At 100 TB this is the difference between scanning one
+    status partition and scanning the table; tests/test_plans.py
+    asserts `dynamicpruning` appears in the fact scan."""
+    o = scan(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="sink_b15_")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    dim = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 450000)
+        )
+        .select(F.col("o_orderstatus").alias("dim_status"))
+        .distinct()
+    )
+    return fact.join(
+        dim, fact["o_orderstatus"] == dim["dim_status"]
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")

@@ -195,3 +195,28 @@ def test_dup_cluster_shuffles_digest_not_text(spark, sf_dir):
         if l.startswith("(") and l.endswith(" Exchange")
     ]
     assert ex_input and all("text#" not in l for l in ex_input), plan
+
+
+def test_partitioned_layout_prunes_statically(spark, sf_dir):
+    """a5's hive layout: a literal filter on the partition column must
+    become a PartitionFilter on the scan (directories skipped), not a
+    post-scan Filter."""
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan as t_scan
+
+    out = tempfile.mkdtemp(prefix="plan_part_")
+    t_scan(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = plan_of(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters:" in l]
+    assert pf and "o_orderstatus" in pf[0], plan
+
+
+def test_dynamic_partition_pruning_subquery(spark, sf_dir):
+    """b15: the runtime dim-derived partition filter must appear as a
+    dynamicpruning expression on the fact scan."""
+    plan = plan_of(_q(spark, sf_dir, "b15_dynamic_pruning"))
+    assert "dynamicpruning" in plan.lower(), plan
