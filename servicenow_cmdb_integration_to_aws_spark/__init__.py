@@ -37,6 +37,7 @@ def load_all():
         # come last.
         for mod in (
             "servicenow_cmdb_integration_to_aws_spark.operators.extended",
+            "servicenow_cmdb_integration_to_aws_spark.operators.transform_map",
             "servicenow_cmdb_integration_to_aws_spark.operators.evolution",
             "servicenow_cmdb_integration_to_aws_spark.operators.windows",
             "servicenow_cmdb_integration_to_aws_spark.functions.scalar",

@@ -381,3 +381,36 @@ def test_connected_components_basic(spark):
     assert got[10] == got[11] == 10
     for iso in (4, 5, 6, 7, 8, 9, 12):
         assert got[iso] == iso
+
+
+def test_transform_map_insert_update_existing(spark):
+    """a13's API pieces: mapping projects/casts/defaults; upsert tags
+    insert (staged-only key), update (both), existing (target-only)."""
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.transform_map import (
+        FieldMap,
+        apply_transform_map,
+        upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", 20.0)], ["k", "name", "bal"]
+    )
+    staging = spark.createDataFrame(
+        [(2, "beta2", None), (3, "gamma", "7.5")],
+        ["src_k", "src_name", "src_bal"],
+    )
+    staged = apply_transform_map(
+        staging,
+        [
+            FieldMap("src_k", "k"),
+            FieldMap("src_name", "name", fn=F.upper),
+            FieldMap("src_bal", "bal", cast="double", default=0.0),
+        ],
+    )
+    got = {r["k"]: r for r in upsert(target, staged, "k").collect()}
+    assert got[1]["row_source"] == "existing" and got[1]["name"] == "alpha"
+    assert got[2]["row_source"] == "update" and got[2]["name"] == "BETA2"
+    assert got[2]["bal"] == 0.0  # null import value -> map default
+    assert got[3]["row_source"] == "insert" and got[3]["bal"] == 7.5
