@@ -525,3 +525,33 @@ def h14_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("bucket").alias("bucket"),
         s.getField("inner").getField("price").alias("price"),
     )
+
+
+@query(
+    "d16_conditional_aggs",
+    oracle="""
+    SELECT c_nationkey,
+           count_if(c_acctbal > 5000) AS n_rich,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_mktsegment = 'BUILDING') AS any_building,
+           arg_max(c_name, c_custkey) AS last_name_by_key,
+           arg_min(c_name, c_custkey) AS first_name_by_key
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def d16_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / argmax aggregate surface (d16): count_if,
+    bool_and/bool_or (compliance-style "all CIs patched / any CI
+    exposed" rollups) and max_by/min_by (the per-group argmax that
+    otherwise costs a window + filter). The ordering key (c_custkey)
+    is unique, so argmax is deterministic cross-engine. All are
+    partial-aggregable — one shuffle, same as d2."""
+    c = scan(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_mktsegment") == "BUILDING").alias("any_building"),
+        F.max_by("c_name", "c_custkey").alias("last_name_by_key"),
+        F.min_by("c_name", "c_custkey").alias("first_name_by_key"),
+    )
