@@ -79,3 +79,107 @@ def test_spark_decimal_cast_roundtrip_sampled(spark):
     )
     for r in df.collect():
         assert float(r["s"]) == float(r["rt"]), r
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: CC label propagation ≡ classic union-find on random
+    small graphs (including self-loops and duplicate edges)."""
+    import random
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(4, 14)
+        m = rng.randint(0, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        # union-find reference
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in range(n)}
+        # canonicalize: component rep = min member
+        rep = {}
+        for x in range(n):
+            r = find(x)
+            rep.setdefault(r, min(y for y in range(n) if find(y) == r))
+        want = {x: rep[find(x)] for x in range(n)}
+
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], ["src", "dst"]
+        )  # empty DF needs a schema; a self-loop is a no-op edge
+        ndf = spark.range(n).select(F.col("id").cast("long").alias("id"))
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edf, ndf).collect()
+        }
+        assert got == want, (trial, edges, got, want)
+
+
+def test_transitive_closure_matches_python_bfs(spark):
+    """Property: distributed fixpoint closure ≡ driver-side BFS on a
+    random digraph (with cycles)."""
+    import random
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        transitive_closure,
+    )
+
+    rng = random.Random(11)
+    n = 10
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(18)})
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = set()
+    for root in range(n):
+        seen, stack = set(), list(adj.get(root, ()))
+        while stack:
+            x = stack.pop()
+            if x not in seen:
+                seen.add(x)
+                stack.extend(adj.get(x, ()))
+        want |= {(str(root), str(x)) for x in seen}
+    edf = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], ["parent", "child"]
+    )
+    got = {(r["root"], r["node"]) for r in transitive_closure(edf).collect()}
+    assert got == want
+
+
+def test_watermark_store_concurrent_writers(tmp_path):
+    """Two writers committing different stream names concurrently must
+    not lose either update (the flock'd read-modify-write)."""
+    import threading
+    from datetime import datetime
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.incremental import (
+        WatermarkStore,
+    )
+
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    names = [f"s{i}" for i in range(16)]
+    ts = datetime(2026, 1, 2, 3, 4, 5)
+
+    def write(name):
+        store.write(name, ts)
+
+    threads = [threading.Thread(target=write, args=(nm,)) for nm in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for nm in names:
+        assert store.read(nm, datetime(1970, 1, 1)) == ts, nm
