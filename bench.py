@@ -48,6 +48,7 @@ STREAMING_IDS = {
     "i7_stateful_counter",
     "i10_stream_stream_join",
     "i11_foreach_batch_merge",
+    "i12_stream_session_window",
 }
 
 

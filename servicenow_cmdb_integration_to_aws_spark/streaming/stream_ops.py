@@ -284,3 +284,27 @@ def i11_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
+
+
+@query("i12_stream_session_window")  # rows-only: true-streaming session
+def i12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-streaming session windows (i12): per-user activity
+    sessions with a 10-minute inactivity gap, 30-minute watermark,
+    append mode — only watermark-sealed sessions emit. The batch
+    analogue (i3, batch_equiv.py) carries the SQL oracle; this id
+    proves the same gap-merge semantics under micro-batched state:
+    `session_window` state merges adjacent fragments per key and the
+    watermark bounds how long an open session is retained."""
+    s = _stream_events(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        s.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+    return _run_to_memory(agg, output_mode="append")
