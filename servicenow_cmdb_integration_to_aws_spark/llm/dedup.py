@@ -19,7 +19,11 @@ near-duplicate detection, built entirely from native Spark expressions
 - banding parameters (k=32, b=16, r=2) give P[candidate] ≈ 1 - (1-J²)^16
   → >0.9999998 recall at J ≥ 0.8, tunable per corpus;
 - skewed buckets (a band value shared by huge doc groups) are the known
-  failure mode at scale: cap bucket size or add a second salt round.
+  failure mode at scale — CAPPED since r2 (:data:`LSH_BUCKET_CAP`,
+  :func:`_cap_buckets`): oversized buckets are excluded from candidate
+  generation; 16-band redundancy keeps true-pair recall (rationale at
+  the constant definition). tools/scale_probe.py reproduced the
+  uncapped stall on a dup-dense 40k-doc corpus.
 """
 
 from __future__ import annotations
@@ -42,6 +46,32 @@ BRUTE_MAX_GROUPS = 20_000
 #: persist the mask/group intermediates only above this corpus size —
 #: below it the cache-materialization barrier costs more than recompute
 PERSIST_MIN_DOCS = 100_000
+#: degenerate-bucket valve: an LSH band bucket holding more than this
+#: many members contributes bsz²/2 candidate pairs — one hot bucket is
+#: the known quadratic failure mode at scale (self-documented above
+#: since r1; measured via tools/scale_probe.py: a dup-dense 40k-doc
+#: corpus stalls >5 min uncapped vs ~60 s capped, and doubling the
+#: corpus again grows wall-clock only ~1.3x because the cap bounds
+#: candidate mass at O(n·cap·bands)). Buckets above the cap are
+#: dropped from candidate generation. Recall safety: a TRUE near-dup pair (J ≥ τ =
+#: 0.8) collides in each band with P = J² ≥ 0.64, so it has ~16
+#: independent chances to surface — it is lost only if EVERY band
+#: bucket it lands in is oversized, which requires a corpus that is
+#: one giant near-dup cluster (where pair enumeration is itself the
+#: wrong query — see j16's cluster representation instead).
+LSH_BUCKET_CAP = 500
+
+
+def _cap_buckets(bands: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Drop band buckets larger than LSH_BUCKET_CAP (see above). One
+    partial-aggregated count per bucket + a co-keyed semi-join — both
+    shuffles key on the bucket id the candidate join needs anyway."""
+    sizes = bands.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bsz"))
+    return bands.join(
+        sizes.filter(F.col("bsz") <= LSH_BUCKET_CAP).select(*key_cols),
+        key_cols,
+        "left_semi",
+    )
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,9 +193,12 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
             )
             for b in range(N_BANDS)
         ]
-        bands = sigs.select(
-            "mask",
-            F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+        bands = _cap_buckets(
+            sigs.select(
+                "mask",
+                F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+            ),
+            ["band_idx", "band_hash"],
         )
         # candidate group pairs from shared LSH buckets; identical-set
         # pairs (J=1 >= tau) are added by self_pairs below either way.
@@ -288,10 +321,34 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if vocab_fits_mask:
         return _lsh_pairs_masked(tok, scan(spark, sf_dir, "documents").count())
+    return _lsh_pairs_general(tok)
 
-    # General path: doc-level MinHash + LSH + token-join verification.
-    # MinHash signature: 32 independent min-hashes per doc, one narrow row.
-    sigs = tok.groupBy("doc_id").agg(
+
+def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
+    # General path (vocab too large for masks): SAME
+    # collapse-identical-sets-first design as the masked path, with an
+    # md5 set-digest standing in for the bitmask as the group key.
+    # Collapsing before banding matters twice here: (a) dup-heavy
+    # corpora shrink the quadratic stages by (n/g)²; (b) a clone
+    # cluster of ANY size (boilerplate pages, the common real-world
+    # degenerate) surfaces through self_pairs below and can never be
+    # lost to the bucket cap — the cap only governs cross-set
+    # candidates.
+    sorted_sets = tok.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("\x01", F.sort_array(F.collect_list("tok")))).alias(
+            "gkey"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    groups = sorted_sets.select("gkey", "n").distinct()
+    gtok = (
+        tok.join(sorted_sets.select("doc_id", "gkey"), "doc_id")
+        .select("gkey", "tok")
+        .distinct()
+    )
+
+    # MinHash signature: 32 independent min-hashes per distinct SET.
+    sigs = gtok.groupBy("gkey").agg(
         *[
             F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
             for i in range(N_HASHES)
@@ -311,11 +368,15 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash")
+    bands = _cap_buckets(
+        sigs.select(
+            "gkey",
+            F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+        ),
+        ["band_idx", "band_hash"],
     )
 
-    # candidate pairs: same (band_idx, band_hash) bucket, a < b
+    # candidate SET pairs: same (band_idx, band_hash) bucket, a < b
     left = bands.alias("L")
     right = bands.alias("R")
     cand = (
@@ -323,30 +384,57 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             right,
             (F.col("L.band_idx") == F.col("R.band_idx"))
             & (F.col("L.band_hash") == F.col("R.band_hash"))
-            & (F.col("L.doc_id") < F.col("R.doc_id")),
+            & (F.col("L.gkey") < F.col("R.gkey")),
         )
-        .select(F.col("L.doc_id").alias("doc_a"), F.col("R.doc_id").alias("doc_b"))
+        .select(F.col("L.gkey").alias("gkey_a"), F.col("R.gkey").alias("gkey_b"))
         .distinct()
     )
 
-    # exact verification: Jaccard from token-set intersection sizes
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
-    tb = tok.select(F.col("doc_id").alias("tb_doc"), F.col("tok").alias("tok_b"))
+    # exact verification: Jaccard from token-set intersection sizes,
+    # over distinct sets (token join co-keyed on the token)
+    ta = gtok.select(F.col("gkey").alias("gkey_a"), F.col("tok").alias("tok_a"))
+    tb = gtok.select(F.col("gkey").alias("gb_key"), F.col("tok").alias("tok_b"))
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, (F.col("doc_b") == F.col("tb_doc")) & (F.col("tok_a") == F.col("tok_b")))
-        .groupBy("doc_a", "doc_b")
+        cand.join(ta, "gkey_a")
+        .join(
+            tb,
+            (F.col("gkey_b") == F.col("gb_key"))
+            & (F.col("tok_a") == F.col("tok_b")),
+        )
+        .groupBy("gkey_a", "gkey_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sa = groups.select(F.col("gkey").alias("gkey_a"), F.col("n").alias("na"))
+    sb = groups.select(F.col("gkey").alias("gkey_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    cross = (
+        inter.join(sa, "gkey_a")
+        .join(sb, "gkey_b")
+        .select("gkey_a", "gkey_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= TAU)
+    )
+    # identical-set pairs are J=1 ≥ τ by construction
+    self_pairs = groups.select(
+        F.col("gkey").alias("gkey_a"),
+        F.col("gkey").alias("gkey_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+
+    # expand set pairs back to doc pairs (output-bound joins)
+    da = sorted_sets.select(F.col("gkey").alias("gkey_a"), F.col("doc_id").alias("da"))
+    db = sorted_sets.select(F.col("gkey").alias("gkey_b"), F.col("doc_id").alias("db"))
+    return (
+        cross.unionByName(self_pairs)
+        .join(da, "gkey_a")
+        .join(db, "gkey_b")
+        .filter(
+            (F.col("gkey_a") != F.col("gkey_b")) | (F.col("da") < F.col("db"))
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
     )
 
 

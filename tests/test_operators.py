@@ -414,3 +414,46 @@ def test_transform_map_insert_update_existing(spark):
     assert got[2]["row_source"] == "update" and got[2]["name"] == "BETA2"
     assert got[2]["bal"] == 0.0  # null import value -> map default
     assert got[3]["row_source"] == "insert" and got[3]["bal"] == 7.5
+
+
+def test_lsh_general_path_matches_bruteforce(spark):
+    """The large-vocabulary LSH path (set-digest collapse + banding +
+    bucket cap + exact verify) must reproduce the brute-force pair set
+    on a corpus with exact clones, near-dups, and distinct docs —
+    including a clone CLUSTER, which must survive regardless of the
+    bucket cap (it flows through self_pairs, not banding)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.llm.dedup import (
+        TAU,
+        _lsh_pairs_general,
+    )
+
+    vocab = [f"w{i:03d}" for i in range(100)]  # > MASK_MAX_VOCAB
+    docs = {}
+    base = vocab[:20]
+    for i in range(30):  # clone cluster: identical token sets
+        docs[i] = list(base)
+    for i in range(30, 40):  # near-dups of base: J = 18/22 ≈ 0.818 ≥ τ
+        docs[i] = base[:18] + [vocab[50 + i], vocab[70 + i % 20]]
+    for i in range(40, 60):  # pairwise-distinct docs, low overlap
+        docs[i] = vocab[60 + (i % 8) * 5 : 60 + (i % 8) * 5 + 4] + [vocab[99 - i % 30]]
+    rows = [(d, t) for d, toks in docs.items() for t in set(toks)]
+    tok = spark.createDataFrame(rows, ["doc_id", "tok"])
+
+    def jac(a, b):
+        sa, sb = set(docs[a]), set(docs[b])
+        return len(sa & sb) / len(sa | sb)
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(docs), 2)
+        if jac(a, b) >= TAU
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in _lsh_pairs_general(tok).collect()
+    }
+    assert got == want, (len(got), len(want), got ^ want)
