@@ -19,6 +19,7 @@ Every operator registers a ``(spark, sf_dir) -> DataFrame`` callable in
 from __future__ import annotations
 
 from . import registry
+from .api import CmdbEngine
 from .registry import ORACLE, QUERIES
 
 _LOADED = False
@@ -111,4 +112,4 @@ def _reorder_for_driver_budget() -> None:
         d.update(snap)
 
 
-__all__ = ["QUERIES", "ORACLE", "load_all", "registry"]
+__all__ = ["QUERIES", "ORACLE", "load_all", "registry", "CmdbEngine"]

@@ -1,0 +1,122 @@
+"""User-facing facade — the one import a reference-repo user needs.
+
+The engine's operators are individually registered for the driver
+contract (`__spark_entry__`), but a human user wants a cohesive
+surface: scan tables, apply encoded queries, walk relationships,
+reconcile sources, dedup a corpus. :class:`CmdbEngine` bundles those
+flows over one SparkSession + data directory.
+
+Everything here delegates to the same tested implementations the
+registry exposes — the facade adds zero logic, so its behavior is
+covered by the operator oracles.
+
+Example::
+
+    from servicenow_cmdb_integration_to_aws_spark import CmdbEngine
+    eng = CmdbEngine(spark, "/root/testdata/sf0.1")
+    urgent = eng.encoded_query("orders", "o_orderpriority=1-URGENT")
+    tree = eng.closure(edges)              # unbounded reachability
+    clusters = eng.dup_clusters(docs_df)   # near-dup doc clusters
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+from .sources.tables import SCHEMAS, TABLE_NAMES, path_of, scan, scan_evolving
+
+
+class CmdbEngine:
+    """Facade over the engine's query/ETL surface for one (session,
+    data-directory) pair. All methods return lazy DataFrames."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = tune(spark)
+        self.sf_dir = sf_dir
+
+    # -- ingest ----------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        """Schema-declared scan of a known table (`TABLE_NAMES`)."""
+        return scan(self.spark, self.sf_dir, name)
+
+    def table_evolving(self, path: str, table: str) -> DataFrame:
+        """Permissive scan of a drifted parquet cast onto `table`'s
+        declared schema (a10 semantics)."""
+        return scan_evolving(self.spark, path, SCHEMAS[table])
+
+    def rest_table(self, table: str, **options) -> DataFrame:
+        """REST Table-API connector scan with server-side filter
+        pushdown and paged parallel ingest (a8 semantics)."""
+        from .sources.rest_source import register
+
+        register(self.spark)
+        r = (
+            self.spark.read.format("snow_table")
+            .schema(SCHEMAS[table])
+            .option("path", path_of(self.sf_dir, table))
+        )
+        for k, v in options.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    # -- query -----------------------------------------------------------
+    def encoded_query(self, table: str, encoded: str) -> DataFrame:
+        """Apply a ServiceNow encoded-query string (p1–p3 semantics)."""
+        from .plans.encoded_query import compile_encoded
+
+        return compile_encoded(self.table(table), encoded)
+
+    # -- graph -----------------------------------------------------------
+    def closure(self, edges: DataFrame) -> DataFrame:
+        """Unbounded (root, node) reachability over a (parent, child)
+        edge table; cycle-safe fixpoint (c12 semantics)."""
+        from .operators.joins import transitive_closure
+
+        return transitive_closure(edges)
+
+    def components(self, edges: DataFrame, nodes: DataFrame) -> DataFrame:
+        """Connected components (id, component) via min-label
+        propagation (j16 machinery)."""
+        from .operators.joins import connected_components
+
+        return connected_components(edges, nodes)
+
+    # -- ETL -------------------------------------------------------------
+    def transform_map(self, staging: DataFrame, maps, target: DataFrame, key: str):
+        """Import-set transform map + coalesce-key upsert (a13)."""
+        from .operators.transform_map import apply_transform_map, upsert
+
+        return upsert(target, apply_transform_map(staging, maps), key)
+
+    # -- corpus ----------------------------------------------------------
+    def near_dup_pairs(self, docs: DataFrame) -> DataFrame:
+        """MinHash/LSH near-duplicate (doc_a, doc_b, jaccard) pairs
+        over a (doc_id, text) frame (j2 machinery; cost-based
+        masked/brute/banded strategy, degenerate-bucket cap)."""
+        from pyspark.sql import functions as F
+
+        from .llm.dedup import MASK_MAX_VOCAB, _lsh_pairs_general
+
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias(
+                "tok"
+            ),
+        )
+        return _lsh_pairs_general(tok)
+
+    def dup_clusters(self, docs: DataFrame) -> DataFrame:
+        """Near-dup clusters (doc_id, component): j2 pairs collapsed
+        by connected components (j16 semantics over text)."""
+        from pyspark.sql import functions as F
+
+        pairs = self.near_dup_pairs(docs)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        return self.components(edges, nodes)
+
+
+__all__ = ["CmdbEngine", "TABLE_NAMES"]

@@ -395,3 +395,48 @@ def d14_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         F.sum("ps").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "d17_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           TRUE AS p50_within, TRUE AS p95_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (d17): the t-digest-style sketch
+    (`approx_percentile`, accuracy=10000) audited against exact
+    percentiles with the same checkable-contract pattern as d5 —
+    sketch values differ across engines by design, so the registered
+    columns are the EXACT percentiles plus per-group booleans
+    certifying the sketch landed within 1% relative error. One pass,
+    no sort — the 100 TB path for latency/price distribution
+    reporting; the exact percentile here exists only to audit it."""
+    li = scan(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("ap"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("exact_p50"),
+        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("exact_p95"),
+    )
+    tol = 0.01
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p95",
+        (
+            F.abs(F.element_at("ap", 1) - F.col("exact_p50"))
+            <= tol * F.abs(F.col("exact_p50"))
+        ).alias("p50_within"),
+        (
+            F.abs(F.element_at("ap", 2) - F.col("exact_p95"))
+            <= tol * F.abs(F.col("exact_p95"))
+        ).alias("p95_within"),
+    )
