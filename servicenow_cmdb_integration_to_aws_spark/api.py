@@ -96,7 +96,11 @@ class CmdbEngine:
         masked/brute/banded strategy, degenerate-bucket cap)."""
         from pyspark.sql import functions as F
 
-        from .llm.dedup import MASK_MAX_VOCAB, _lsh_pairs_general
+        from .llm.dedup import (
+            MASK_MAX_VOCAB,
+            _lsh_pairs_general,
+            _lsh_pairs_masked,
+        )
 
         tok = docs.select(
             "doc_id",
@@ -104,6 +108,12 @@ class CmdbEngine:
                 "tok"
             ),
         )
+        fits_mask = (
+            tok.select("tok").distinct().limit(MASK_MAX_VOCAB + 1).count()
+            <= MASK_MAX_VOCAB
+        )
+        if fits_mask:
+            return _lsh_pairs_masked(tok, docs.count())
         return _lsh_pairs_general(tok)
 
     def dup_clusters(self, docs: DataFrame) -> DataFrame:
