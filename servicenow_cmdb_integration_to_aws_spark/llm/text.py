@@ -26,6 +26,53 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish tokenizer regex (GPT-2 flavor, ASCII-classed so Java regex
+# and RE2 agree): contraction suffixes, letter runs, <=3-digit number
+# chunks (the GPT-4 number-splitting rule), single punctuation marks.
+_BPE_PAT = "'[a-z]{1,2}|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")  # DuckDB string-literal quoting
+
+
+@query(
+    "j18_token_count",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           ROUND(AVG(n_tok), 4) AS avg_tokens,
+           MAX(n_tok) AS max_tokens,
+           ROUND(SUM(n_tok) * 1.0 / SUM(n_chars), 4) AS tokens_per_char
+    FROM (SELECT lang, n_chars,
+                 length(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS n_tok
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def j18_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (j18): BPE-ish tokenizer cost model per language.
+
+    The per-doc token count is the pretraining-pipeline budget unit
+    (contract sizing, dedup weighting, mixture sampling). Pure map-side
+    regex in whole-stage codegen — zero shuffle before the 5-group
+    partial agg; tokens themselves never materialize into the shuffle,
+    only (lang, count) partials."""
+    d = scan(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    return (
+        d.select("lang", "n_chars", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            F.round(F.sum("n_tok") / F.sum("n_chars"), 4).alias(
+                "tokens_per_char"
+            ),
+        )
+    )
+
+
 @query(
     "j7_tokenize_tf",
     oracle="""

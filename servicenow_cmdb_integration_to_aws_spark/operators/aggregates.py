@@ -440,3 +440,47 @@ def d17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= tol * F.abs(F.col("exact_p95"))
         ).alias("p95_within"),
     )
+
+
+@query(
+    "d18_hll_merge",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
+def d18_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (d18): per-type DataSketches HLL
+    (`hll_sketch_agg`, lgK=14) union-merged to a global estimate with
+    `hll_union_agg` — the raw data is scanned ONCE; the 'ALL' row is
+    derived purely by merging the per-group sketches. This is the
+    100 TB pattern for distinct-user reporting: persist per-partition
+    (or per-day) sketch bytes, answer any group-union rollup later
+    without rescanning. Audited with the d5/d17 checkable-contract
+    pattern: exact counts plus a boolean certifying the estimate is
+    within 2% relative error (lgK=14 gives ~0.8% RSE)."""
+    e = scan(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = 0.02
+    within = (
+        F.abs(
+            F.hll_sketch_estimate("sk").cast("double") - F.col("exact_users")
+        )
+        <= tol * F.col("exact_users")
+    ).alias("within_bound")
+    per_out = per.select("event_type", "exact_users", within)
+    merged = per.agg(F.hll_union_agg("sk").alias("sk"))
+    glob = (
+        e.agg(F.countDistinct("user_id").alias("exact_users"))
+        .crossJoin(merged)
+        .select(F.lit("ALL").alias("event_type"), "exact_users", within)
+    )
+    return per_out.unionByName(glob)

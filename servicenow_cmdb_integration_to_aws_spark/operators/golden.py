@@ -198,3 +198,43 @@ def t5_golden_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "t6_golden_q14",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           ROUND(100.0
+                 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END)
+                        AS DOUBLE)
+                 / CAST(SUM({_REV}) AS DOUBLE), 4) AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def t6_golden_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden TPC-H Q14 analogue (t6) — promo revenue share by ship
+    month. Shape: the year filter pushes to the lineitem scan; `part`
+    is the small side and broadcasts (no spine shuffle before the
+    agg); the CASE ratio is two decimal-exact partial sums divided
+    driver-free in the same aggregate. 12 output rows regardless of
+    scale."""
+    li = scan(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = scan(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+    promo = dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double") / dsum(rev).cast("double"), 4
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

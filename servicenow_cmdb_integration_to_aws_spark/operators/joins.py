@@ -489,3 +489,88 @@ def connected_components(
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
     sym.unpersist()
     return lbl
+
+
+# Window length == bucket width, so every interval spans at most two
+# buckets and the explode fan-out is a fixed 2x, independent of data
+# volume.
+_RANGE_WIN_S = 2 * 3600
+
+
+@query(
+    "c14_range_join",
+    oracle=f"""
+    {EVENTS_US},
+    win AS (
+        SELECT event_id AS win_id, user_id, ts AS start_ts,
+               ts + INTERVAL 2 HOUR AS end_ts
+        FROM e WHERE event_type = 'purchase'
+    )
+    SELECT w.win_id, w.user_id,
+           COUNT(ev.event_id) AS n_in_window,
+           CAST(COALESCE(SUM(CAST(ev.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+             AS sum_value
+    FROM win w LEFT JOIN e ev
+      ON ev.user_id = w.user_id
+     AND ev.ts > w.start_ts AND ev.ts <= w.end_ts
+     AND ev.event_type <> 'purchase'
+    GROUP BY w.win_id, w.user_id
+    """,
+)
+def c14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (c14): activity inside each purchase's
+    2-hour follow-up window — "which audit events fall inside each
+    change window" in CMDB terms.
+
+    Spark has no first-class point-in-interval join; the naive form is
+    a theta join whose only equi key (user_id) leaves O(per-user^2)
+    comparisons. Scale shape used here: quantize time into buckets as
+    wide as the window, explode each interval to the <=2 buckets it
+    covers, and equi-join on (user_id, bucket) with the exact range
+    predicate as a residual. The join is then a plain shuffled hash /
+    sort-merge equi-join — co-partitioned, AQE-skew-splittable — and
+    the pair space per bucket is bounded by bucket occupancy, not by
+    per-user event counts over all time. A matched point falls in
+    exactly one bucket, so no post-join dedup is needed; the 2x
+    interval fan-out is constant and the buckets column prunes to
+    nothing after the join."""
+    e = scan(spark, sf_dir, "events")
+    win = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    wb = win.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("start_ts") / _RANGE_WIN_S),
+                F.floor(F.unix_timestamp("end_ts") / _RANGE_WIN_S),
+            )
+        ),
+    )
+    pt = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withColumn("bucket", F.floor(F.unix_timestamp("p_ts") / _RANGE_WIN_S))
+    )
+    j = wb.join(
+        pt,
+        (wb.user_id == pt.p_user)
+        & (wb.bucket == pt.bucket)
+        & (pt.p_ts > wb.start_ts)
+        & (pt.p_ts <= wb.end_ts),
+        "left",
+    )
+    return j.groupBy("win_id", "user_id").agg(
+        F.count("p_event_id").alias("n_in_window"),
+        F.coalesce(F.sum(dec("p_value")), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

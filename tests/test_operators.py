@@ -457,3 +457,101 @@ def test_lsh_general_path_matches_bruteforce(spark):
         for r in _lsh_pairs_general(tok).collect()
     }
     assert got == want, (len(got), len(want), got ^ want)
+
+
+def test_range_join_matches_theta_join(spark, sf_dir):
+    """c14's bucket-explode equi-join must equal the naive theta join."""
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        c14_range_join,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from pyspark.sql import functions as F
+
+    e = scan(spark, sf_dir, "events")
+    win = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        F.col("user_id").alias("w_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    naive = (
+        win.join(
+            e,
+            (F.col("user_id") == F.col("w_user"))
+            & (F.col("ts") > F.col("start_ts"))
+            & (F.col("ts") <= F.col("end_ts"))
+            & (F.col("event_type") != "purchase"),
+            "left",
+        )
+        .groupBy("win_id")
+        .agg(F.count("event_id").alias("n_in_window"))
+    )
+    want = {r["win_id"]: r["n_in_window"] for r in naive.collect()}
+    got = {r["win_id"]: r["n_in_window"] for r in c14_range_join(spark, sf_dir).collect()}
+    assert got == want
+    # and the plan must be an equi-join, never a nested-loop product
+    plan = c14_range_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bpe_token_count_matches_python_re(spark, sf_dir):
+    """j18's Spark/Java regex agrees with Python's re on every doc."""
+    import re
+
+    from servicenow_cmdb_integration_to_aws_spark.llm.text import _BPE_PAT
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from pyspark.sql import functions as F
+
+    pat = re.compile(_BPE_PAT)
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = {r["doc_id"]: len(pat.findall(r["text"])) for r in docs}
+    got = {
+        r["doc_id"]: r["n"]
+        for r in scan(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_hll_merge_bounds_and_all_row(spark, sf_dir):
+    from servicenow_cmdb_integration_to_aws_spark.operators.aggregates import (
+        d18_hll_merge,
+    )
+
+    rows = d18_hll_merge(spark, sf_dir).collect()
+    by_type = {r["event_type"]: r for r in rows}
+    assert "ALL" in by_type
+    assert all(r["within_bound"] for r in rows), rows
+    # the merged row can never exceed the sum of the parts
+    assert by_type["ALL"]["exact_users"] <= sum(
+        r["exact_users"] for r in rows if r["event_type"] != "ALL"
+    )
+
+
+def test_lsh_ann_recall_and_determinism(spark, sf_dir):
+    from servicenow_cmdb_integration_to_aws_spark.llm.vectors import (
+        _lsh_planes,
+        hyperplane_buckets,
+        j3c_lsh_ann,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from pyspark.sql import functions as F
+
+    rows = j3c_lsh_ann(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["lsh_recall_ok"] for r in rows)
+    # signatures are a pure function of (vec, fixed planes): two
+    # independent evaluations must agree bucket-for-bucket
+    e = scan(spark, sf_dir, "embeddings")
+    planes = F.broadcast(
+        spark.createDataFrame(_lsh_planes(), "plane INT, pos INT, sgn INT")
+    )
+    b1 = {(r["vec_id"], r["band"]): r["bucket"]
+          for r in hyperplane_buckets(e, planes).collect()}
+    b2 = {(r["vec_id"], r["band"]): r["bucket"]
+          for r in hyperplane_buckets(e, planes).collect()}
+    assert b1 == b2 and len(b1) == e.count() * 16
