@@ -91,3 +91,41 @@ def b15_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(
         dim, fact["o_orderstatus"] == dim["dim_status"]
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+@query(
+    "a14_sink_clustered",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-06-01'
+    """,
+)
+def a14_sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet sink (a14): lineitem written with
+    `repartitionByRange(l_shipdate) + sortWithinPartitions(l_shipdate)`
+    — the poor-man's Z-order for a single sort key. Every output file
+    covers a DISJOINT shipdate range and every row group within it is
+    sorted, so parquet min/max footer stats let a date-filtered reader
+    skip whole files and row groups without any hive partitioning
+    (tests/test_operators.py verifies file ranges are disjoint via the
+    pyarrow footers). This is the 100 TB layout for high-cardinality
+    sort keys where one-directory-per-value (a5) is infeasible; the
+    registered query is the filtered read-back, oracle = the same
+    filter on the source."""
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="sink_a14_")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-06-01")
+    )

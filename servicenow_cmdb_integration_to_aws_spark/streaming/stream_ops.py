@@ -220,6 +220,49 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, output_mode="append")
 
 
+@query("i13_stream_outer_join")  # rows-only: outer join w/ state eviction
+def i13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (i13): i10's attribution
+    join, but purchases with NO click in the hour before them are still
+    emitted (click columns NULL) — the "unattributed conversions" feed.
+
+    The null row for an unmatched purchase can only be emitted once the
+    click-side watermark proves no matching click can still arrive, so
+    emission lags by the watermark delay; purchases inside the final
+    watermark horizon at stream end stay buffered awaiting matches
+    (verified in tests/test_streaming.py — matched rows equal the batch
+    join exactly; withheld nulls are exactly the tail ones). State is
+    bounded the same way as i10: watermark + interval bound retention
+    to O(window x rate) per side."""
+    ev = _stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")
+    return _run_to_memory(joined, output_mode="append")
+
+
 @query(
     "i11_foreach_batch_merge",
     oracle=f"""

@@ -555,3 +555,34 @@ def test_lsh_ann_recall_and_determinism(spark, sf_dir):
     b2 = {(r["vec_id"], r["band"]): r["bucket"]
           for r in hyperplane_buckets(e, planes).collect()}
     assert b1 == b2 and len(b1) == e.count() * 16
+
+
+def test_clustered_sink_files_are_disjoint(spark, sf_dir):
+    """a14: the range-clustered layout must give disjoint per-file
+    shipdate ranges (that disjointness IS the skip guarantee)."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    out = tempfile.mkdtemp(prefix="a14_test_")
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_shipdate"]
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, (hi_prev, lo_next)

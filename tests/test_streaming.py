@@ -192,3 +192,51 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         ).collect()
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_outer_join_matches_batch_modulo_watermark(spark, sf_dir):
+    """i13: matched rows equal the batch left join exactly; null rows
+    are the batch's unmatched purchases except those the final
+    watermark still holds open (tail of the stream)."""
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    q = entrymod.queries()
+    out = q["i13_stream_outer_join"](spark, sf_dir).collect()
+    got_matched = sorted(
+        (r["purchase_id"], r["click_id"]) for r in out if r["click_id"] is not None
+    )
+    got_nulls = {r["purchase_id"] for r in out if r["click_id"] is None}
+
+    ev = scan(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+        "left",
+    ).collect()
+    want_matched = sorted(
+        (r["purchase_id"], r["click_id"]) for r in batch if r["click_id"] is not None
+    )
+    assert got_matched == want_matched and len(got_matched) > 0
+
+    want_nulls = {r["purchase_id"]: r["p_ts"] for r in batch if r["click_id"] is None}
+    assert got_nulls <= set(want_nulls)
+    # anything older than (max click ts - watermark 2h - interval 1h)
+    # is provably unmatched and MUST have been emitted
+    max_cts = max(r["c_ts"] for r in batch if r["c_ts"] is not None)
+    import datetime
+
+    horizon = max_cts - datetime.timedelta(hours=3)
+    must_emit = {pid for pid, ts in want_nulls.items() if ts < horizon}
+    assert must_emit <= got_nulls, sorted(must_emit - got_nulls)[:5]
