@@ -238,3 +238,44 @@ def t6_golden_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "t7_golden_q19",
+    oracle=f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def t7_golden_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden TPC-H Q19 analogue (t7) — discounted-revenue over an
+    OR-of-ANDs predicate mixing both join sides. The optimizer work
+    worth testing: Catalyst derives the single-side implications
+    (l_quantity <= 30 on lineitem, p_size/p_brand disjunction on part)
+    and pushes them BELOW the join into each scan, so the join sees
+    pre-filtered inputs; the cross-side residual evaluates post-join.
+    Q19 is the classic regression test for disjunctive pushdown — an
+    engine that ships the full OR to the join scans everything."""
+    li = scan(spark, sf_dir, "lineitem")
+    p = scan(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+    return j.filter(cond).agg(
+        dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )

@@ -220,3 +220,24 @@ def test_dynamic_partition_pruning_subquery(spark, sf_dir):
     dynamicpruning expression on the fact scan."""
     plan = plan_of(_q(spark, sf_dir, "b15_dynamic_pruning"))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_disjunctive_pushdown_reaches_both_scans(spark, sf_dir):
+    """t7 (Q19 analogue): Catalyst must derive the single-side
+    implications of the OR-of-ANDs and push an Or(...) filter into BOTH
+    the lineitem and the part scan — an engine that ships the whole
+    disjunction to the join scans everything."""
+    df = _q(spark, sf_dir, "t7_golden_q19")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    or_lines = [l for l in pushed if "Or(" in l]
+    assert len(or_lines) >= 2, pushed
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """c14: the bucketized interval join must plan as a hash-partitioned
+    equi-join, never BroadcastNestedLoopJoin / CartesianProduct."""
+    plan = plan_of(_q(spark, sf_dir, "c14_range_join"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -64,9 +64,17 @@ def build_scaled(spark, k: int) -> str:
     for t in TABLE_NAMES:
         src = f"{SRC}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
-        if t not in ("documents", "embeddings", "orders", "lineitem") or k == 1:
+        if (
+            t not in ("documents", "embeddings", "orders", "lineitem", "events")
+            or k == 1
+        ):
             shutil.copy(src, dst)
             continue
+        if t == "events":
+            # ns-timestamp parquet: read ts as raw nanos LONG and keep it
+            # long in the scaled copy so the engine's scan() path still
+            # applies its own nanos->micros conversion.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(src)
         parts = []
         for i in range(k):
@@ -103,6 +111,14 @@ def build_scaled(spark, k: int) -> str:
                     df.withColumn(
                         "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000 * i)
                     )
+                )
+            elif t == "events":
+                # new users per copy (org growth): same time range, k x
+                # the per-bucket occupancy — the c14 stress axis.
+                parts.append(
+                    df.withColumn(
+                        "event_id", F.col("event_id") + F.lit(10_000_000 * i)
+                    ).withColumn("user_id", F.col("user_id") + F.lit(1_000_000 * i))
                 )
             else:  # lineitem
                 parts.append(
