@@ -49,6 +49,7 @@ STREAMING_IDS = {
     "i10_stream_stream_join",
     "i11_foreach_batch_merge",
     "i12_stream_session_window",
+    "i13_stream_outer_join",
 }
 
 

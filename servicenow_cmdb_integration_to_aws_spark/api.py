@@ -128,5 +128,58 @@ class CmdbEngine:
         nodes = docs.select(F.col("doc_id").alias("id"))
         return self.components(edges, nodes)
 
+    def token_counts(self, docs: DataFrame) -> DataFrame:
+        """Per-doc BPE-ish token counts over a (doc_id, text) frame
+        (j18 tokenizer cost model; map-side regex, zero shuffle)."""
+        from pyspark.sql import functions as F
+
+        from .llm.text import _BPE_PAT
+
+        return docs.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+            ).alias("n_tokens"),
+        )
+
+    def range_join(
+        self,
+        intervals: DataFrame,
+        points: DataFrame,
+        key: str,
+        start: str = "start_ts",
+        end: str = "end_ts",
+        ts: str = "ts",
+        bucket_seconds: int = 7200,
+    ) -> DataFrame:
+        """Generic point-in-interval join (c14 machinery): equi-join on
+        (key, time-bucket) + residual range predicate; interval length
+        must be <= bucket_seconds for the fixed 2x explode bound. Rows:
+        every (interval row ++ matching point row)."""
+        from pyspark.sql import functions as F
+
+        wb = intervals.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(start) / bucket_seconds),
+                    F.floor(F.unix_timestamp(end) / bucket_seconds),
+                )
+            ),
+        )
+        pt = points.withColumn(
+            "__bucket", F.floor(F.unix_timestamp(ts) / bucket_seconds)
+        ).withColumnRenamed(key, "__pkey")
+        return (
+            wb.join(
+                pt,
+                (F.col(key) == F.col("__pkey"))
+                & (wb["__bucket"] == pt["__bucket"])
+                & (pt[ts] > wb[start])
+                & (pt[ts] <= wb[end]),
+            )
+            .drop("__bucket", "__pkey")
+        )
+
 
 __all__ = ["CmdbEngine", "TABLE_NAMES"]

@@ -451,3 +451,64 @@ def j17_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(p), 6).alias("min_p"),
         )
     )
+
+
+@query(
+    "t8_pipeline_curate",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, lang, text,
+               min(doc_id) OVER (PARTITION BY md5(lower(text))) AS canon
+        FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
+    ),
+    q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(lower(text), ' ')) AS n_words
+        FROM kept WHERE doc_id = canon
+    ),
+    f AS (SELECT * FROM q WHERE n_words >= 10)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(length(regexp_extract_all(text, '{_BPE_PAT_SQL}')))
+             AS total_tokens,
+           ROUND(COUNT(*) * 1.0
+                 / (SELECT COUNT(*) FROM f), 4) AS doc_share
+    FROM f
+    GROUP BY lang
+    """,
+)
+def t8_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (t8) — the composite a
+    pretraining-data user actually runs, as ONE declarative plan:
+    language allowlist → exact-dup keep-one (min doc_id per md5 of
+    lowered text — the 16-byte digest is the shuffle key, raw text
+    never moves) → minimum-length quality gate → per-language token
+    budget (j18's BPE-ish model) with corpus share.
+
+    Composition is the point: each stage is individually oracle-tested
+    (j9c/j1/j9b/j18); this id pins that the stages compose into one
+    Catalyst plan — scan-side lang pushdown, one digest window, one
+    final 4-group agg — with no materialization between stages."""
+    d = scan(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de", "fr", "es")
+    )
+    w = Window.partitionBy(F.md5(F.lower("text")))
+    kept = (
+        d.withColumn("canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .withColumn("n_words", F.size(F.split(F.lower("text"), " ")))
+        .filter(F.col("n_words") >= 10)
+    )
+    n_total = kept.count()  # scalar: one count of the curated set
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+            ).alias("total_tokens"),
+        )
+        .withColumn(
+            "doc_share", F.round(F.col("n_docs") / F.lit(n_total), 4)
+        )
+    )

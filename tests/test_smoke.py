@@ -67,3 +67,36 @@ def test_cmdb_engine_facade(spark, sf_dir):
     docs = eng.table("documents").limit(80).select("doc_id", "text")
     clusters = eng.dup_clusters(docs)
     assert clusters.count() == 80  # every doc gets a component label
+
+
+def test_cmdb_engine_facade_tokens_and_range_join(spark, sf_dir):
+    """Facade round 2b: token_counts matches j18's per-doc regex;
+    range_join reproduces c14's matched pairs on the events table."""
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark import CmdbEngine
+
+    eng = CmdbEngine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    tc = eng.token_counts(docs)
+    assert tc.filter(F.col("n_tokens") <= 0).count() == 0
+    assert tc.count() == docs.count()
+
+    ev = eng.table("events")
+    win = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    pts = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts", "value"
+    )
+    got = eng.range_join(win, pts, "user_id")
+    naive = win.alias("w").join(
+        pts.alias("p"),
+        (F.col("w.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") > F.col("w.start_ts"))
+        & (F.col("p.ts") <= F.col("w.end_ts")),
+    )
+    assert got.count() == naive.count() > 0
