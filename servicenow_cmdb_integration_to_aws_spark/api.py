@@ -62,10 +62,12 @@ class CmdbEngine:
 
     # -- query -----------------------------------------------------------
     def encoded_query(self, table: str, encoded: str) -> DataFrame:
-        """Apply a ServiceNow encoded-query string (p1–p3 semantics)."""
-        from .plans.encoded_query import compile_encoded
+        """Apply a ServiceNow encoded-query string (p1–p4 semantics,
+        including dot-walked reference fields like
+        ``o_custkey.c_nationkey.n_name=...``)."""
+        from .plans.encoded_query import compile_encoded_dotwalk
 
-        return compile_encoded(self.table(table), encoded)
+        return compile_encoded_dotwalk(self.spark, self.sf_dir, table, encoded)
 
     # -- graph -----------------------------------------------------------
     def closure(self, edges: DataFrame) -> DataFrame:

@@ -257,3 +257,128 @@ def p3_encoded_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_nameLIKEgear^p_typeINECONOMY,SMALL^p_sizeBETWEEN10@30"
         "^p_brandISNOTEMPTY",
     )
+
+
+#: Reference-field map — the ServiceNow dot-walk analogue [SN-API]:
+#: (table, reference field) -> (referenced table, its key). In the CMDB
+#: these edges come from the dictionary (sys_dictionary reference
+#: columns); here they are the TPC-H-ish foreign keys.
+REFERENCE_FIELDS = {
+    ("orders", "o_custkey"): ("customer", "c_custkey"),
+    ("customer", "c_nationkey"): ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"): ("region", "r_regionkey"),
+    ("lineitem", "l_orderkey"): ("orders", "o_orderkey"),
+    ("lineitem", "l_partkey"): ("part", "p_partkey"),
+    ("lineitem", "l_suppkey"): ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"): ("nation", "n_nationkey"),
+}
+
+
+def _walk_steps(table: str, field: str) -> tuple[list[tuple[str, str, str]], str, str]:
+    """Resolve `f1.f2...fn` from `table` through REFERENCE_FIELDS.
+    Returns ([(src_table, ref_field, dst_table_key)...], leaf_table,
+    leaf_field)."""
+    segs = field.split(".")
+    steps = []
+    cur = table
+    for seg in segs[:-1]:
+        try:
+            dst, key = REFERENCE_FIELDS[(cur, seg)]
+        except KeyError:
+            raise ValueError(
+                f"{cur}.{seg} is not a reference field (no dictionary entry)"
+            ) from None
+        steps.append((cur, seg, key))
+        cur = dst
+    return steps, cur, segs[-1]
+
+
+def compile_encoded_dotwalk(
+    spark: SparkSession, sf_dir: str, table: str, encoded: str
+) -> DataFrame:
+    """Encoded query with dot-walking: a term whose field contains '.'
+    traverses reference fields (`o_custkey.c_nationkey.n_name=NATION_7`
+    reads "orders whose customer's nation is NATION_7") and compiles to
+    a chain of LEFT SEMI joins against the referenced tables — the
+    result keeps the base table's schema and cardinality exactly (semi
+    join can never duplicate rows, and every hop is many-to-one
+    anyway).
+
+    Scale shape: predicates evaluate on the LEAF table first (pushed to
+    its scan), then the surviving keys semi-join back down the chain;
+    reference tables are dims, so every hop is a broadcast semi join —
+    the base table never shuffles. Dot-walk terms are AND-level only
+    (a walk inside an ^OR group raises — same restriction the platform
+    imposes on list queries vs GlideRecord joins [SN-API])."""
+    from ..sources.tables import scan as _scan
+
+    base = _scan(spark, sf_dir, table)
+    outs = []
+    for cq in parse(encoded):
+        out = base
+        pred = None
+        for group in cq.groups:
+            walked = [t for t in group if "." in t.field]
+            if walked and len(group) > 1:
+                raise ValueError(
+                    "dot-walk terms must be top-level AND terms, not ^OR "
+                    f"alternatives: {[t.field for t in group]}"
+                )
+            if not walked:
+                gcol = None
+                for term in group:
+                    tcol = _term_to_column(term)
+                    gcol = tcol if gcol is None else (gcol | tcol)
+                pred = gcol if pred is None else (pred & gcol)
+                continue
+            term = walked[0]
+            steps, leaf_table, leaf_field = _walk_steps(table, term.field)
+            if not steps:
+                raise ValueError(f"dot-walk field has no '.': {term.field}")
+            keys = _scan(spark, sf_dir, leaf_table).filter(
+                _term_to_column(Term(leaf_field, term.op, term.value))
+            )
+            # fold the surviving keys back down the chain, deepest first
+            for src_table, ref_field, dst_key in reversed(steps[1:]):
+                keys = _scan(spark, sf_dir, src_table).join(
+                    F.broadcast(keys.select(dst_key).distinct()),
+                    F.col(ref_field) == F.col(dst_key),
+                    "left_semi",
+                )
+            _, ref_field, dst_key = steps[0]
+            out = out.join(
+                F.broadcast(keys.select(dst_key).distinct()),
+                F.col(ref_field) == F.col(dst_key),
+                "left_semi",
+            )
+        if pred is not None:
+            out = out.filter(pred)
+        if cq.order_by:
+            out = out.orderBy(
+                *[F.col(c).desc() if d else F.col(c).asc() for c, d in cq.order_by]
+            )
+        outs.append(out)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+@query(
+    "p4_encoded_dotwalk",
+    oracle="""
+    SELECT o.* FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7' AND o.o_totalprice > 100000
+    """,
+)
+def p4_encoded_dotwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-walk encoded query (§3.2): 2-hop reference traversal
+    compiled to broadcast semi joins; base-table schema preserved."""
+    return compile_encoded_dotwalk(
+        spark,
+        sf_dir,
+        "orders",
+        "o_custkey.c_nationkey.n_name=NATION_7^o_totalprice>100000",
+    )

@@ -97,3 +97,65 @@ def test_compile_matches_handbuilt(spark, sf_dir):
         (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
     ).count()
     assert got == want
+
+
+def test_dotwalk_matches_manual_join(spark, sf_dir):
+    """p4: the semi-join chain equals the manual 2-hop join filter and
+    preserves base cardinality (no row duplication)."""
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.plans.encoded_query import (
+        compile_encoded_dotwalk,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    got = compile_encoded_dotwalk(
+        spark, sf_dir, "orders", "o_custkey.c_nationkey.n_name=NATION_3"
+    )
+    o = scan(spark, sf_dir, "orders")
+    c = scan(spark, sf_dir, "customer")
+    n = scan(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    want = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select(o["o_orderkey"])
+    )
+    got_keys = sorted(r["o_orderkey"] for r in got.collect())
+    want_keys = sorted(r["o_orderkey"] for r in want.collect())
+    assert got_keys == want_keys and len(got_keys) > 0
+    assert got.columns == o.columns
+
+
+def test_dotwalk_rejects_or_groups_and_unknown_refs(spark, sf_dir):
+    import pytest
+
+    from servicenow_cmdb_integration_to_aws_spark.plans.encoded_query import (
+        compile_encoded_dotwalk,
+    )
+
+    with pytest.raises(ValueError, match="AND terms"):
+        compile_encoded_dotwalk(
+            spark,
+            sf_dir,
+            "orders",
+            "o_orderstatus=O^ORo_custkey.c_nationkey.n_name=NATION_1",
+        )
+    with pytest.raises(ValueError, match="not a reference field"):
+        compile_encoded_dotwalk(
+            spark, sf_dir, "orders", "o_orderstatus.foo=1"
+        )
+
+
+def test_dotwalk_plan_is_broadcast_semi_no_base_shuffle(spark, sf_dir):
+    """The base table must reach the result through broadcast semi
+    joins only — no Exchange on the orders side."""
+    from servicenow_cmdb_integration_to_aws_spark.plans.encoded_query import (
+        compile_encoded_dotwalk,
+    )
+
+    df = compile_encoded_dotwalk(
+        spark, sf_dir, "orders", "o_custkey.c_nationkey.n_name=NATION_3"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
