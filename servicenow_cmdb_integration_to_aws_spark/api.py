@@ -69,6 +69,15 @@ class CmdbEngine:
 
         return compile_encoded_dotwalk(self.spark, self.sf_dir, table, encoded)
 
+    def dotwalk_select(self, table: str, cols: list) -> DataFrame:
+        """Project dot-walked display values (p5 semantics):
+        ``eng.dotwalk_select("orders", ["o_orderkey",
+        "o_custkey.c_name"])`` — broadcast LEFT joins through the
+        reference-field dictionary, one join per distinct chain."""
+        from .plans.encoded_query import dotwalk_select
+
+        return dotwalk_select(self.spark, self.sf_dir, table, cols)
+
     # -- graph -----------------------------------------------------------
     def closure(self, edges: DataFrame) -> DataFrame:
         """Unbounded (root, node) reachability over a (parent, child)

@@ -574,3 +574,55 @@ def c14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "c15_join_asof_fwd",
+    oracle=f"""
+    {EVENTS_US},
+    s AS (SELECT user_id, min(ts) AS signup_ts
+          FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+          FROM e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+          GROUP BY e.user_id)
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           COALESCE(p.first_purchase_ts
+                    <= s.signup_ts + INTERVAL 7 DAY, FALSE) AS converted_7d
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def c15_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (c15) — the dual of c8: for each user's FIRST
+    signup, the FIRST purchase strictly after it, plus a 7-day
+    conversion flag (the funnel/attribution primitive).
+
+    Shape: two partial-aggregated min()s co-partitioned on user_id and
+    one left join on the same key — the events table shuffles once per
+    side at (user, ts) granularity already reduced to one row per user.
+    No window over raw events is needed: min-reduction commutes with
+    the as-of-after semantics because the anchor is itself the earliest
+    signup."""
+    e = scan(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.coalesce(
+            F.col("first_purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"),
+            F.lit(False),
+        ).alias("converted_7d"),
+    )

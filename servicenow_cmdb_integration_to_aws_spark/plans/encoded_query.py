@@ -382,3 +382,84 @@ def p4_encoded_dotwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders",
         "o_custkey.c_nationkey.n_name=NATION_7^o_totalprice>100000",
     )
+
+
+def dotwalk_select(
+    spark: SparkSession, sf_dir: str, table: str, cols: list[str]
+) -> DataFrame:
+    """Dot-walk PROJECTION (display-value resolution [SN-API]): each
+    dotted path joins through REFERENCE_FIELDS and lands as a column
+    named with '.'→'_' (``o_custkey.c_name`` → ``o_custkey_c_name``).
+
+    Every hop is many-to-one onto a dim, so the joins are broadcast
+    LEFT joins (missing references yield NULL display values, matching
+    platform behavior) and base cardinality is preserved. Chains
+    sharing a prefix reuse one join: the customer table is joined once
+    for both ``o_custkey.c_name`` and ``o_custkey.c_nationkey.n_name``."""
+    from ..sources.tables import scan as _scan
+
+    base = _scan(spark, sf_dir, table)
+    out = base
+    # chain key -> (alias, leaf key column name); one join per distinct chain
+    joined: dict[tuple, str] = {}
+    selects = []
+    for path in cols:
+        if "." not in path:
+            selects.append(F.col(path))
+            continue
+        steps, leaf_table, leaf_field = _walk_steps(table, path)
+        prefix_alias = None
+        for depth in range(len(steps)):
+            chain = tuple(steps[: depth + 1])
+            if chain not in joined:
+                src_table, ref_field, dst_key = steps[depth]
+                dst_table = (
+                    leaf_table
+                    if depth == len(steps) - 1
+                    else steps[depth + 1][0]
+                )
+                alias = "__w" + "_".join(s[1] for s in chain)
+                ref = _scan(spark, sf_dir, dst_table).alias(alias)
+                left_key = (
+                    F.col(ref_field)
+                    if depth == 0
+                    else F.col(f"{prefix_alias}.{ref_field}")
+                )
+                out = out.join(
+                    F.broadcast(ref), left_key == F.col(f"{alias}.{dst_key}"), "left"
+                )
+                joined[chain] = alias
+            prefix_alias = joined[chain]
+        selects.append(
+            F.col(f"{prefix_alias}.{leaf_field}").alias(path.replace(".", "_"))
+        )
+    return out.select(*selects)
+
+
+@query(
+    "p5_dotwalk_select",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_totalprice,
+           c.c_name AS o_custkey_c_name,
+           n.n_name AS o_custkey_c_nationkey_n_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def p5_dotwalk_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-walk display-value projection (p5): one shared customer join
+    serves both walked columns; nation hangs off it. Base row count is
+    exactly preserved (LEFT joins onto unique-keyed dims)."""
+    return dotwalk_select(
+        spark,
+        sf_dir,
+        "orders",
+        [
+            "o_orderkey",
+            "o_totalprice",
+            "o_custkey.c_name",
+            "o_custkey.c_nationkey.n_name",
+        ],
+    )

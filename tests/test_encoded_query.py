@@ -159,3 +159,23 @@ def test_dotwalk_plan_is_broadcast_semi_no_base_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_dotwalk_select_shares_prefix_join(spark, sf_dir):
+    """p5: two walked columns through o_custkey must cost ONE customer
+    join (chain-prefix reuse), and base cardinality is preserved."""
+    from servicenow_cmdb_integration_to_aws_spark.plans.encoded_query import (
+        dotwalk_select,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    df = dotwalk_select(
+        spark,
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey.c_name", "o_custkey.c_nationkey.n_name"],
+    )
+    assert df.count() == scan(spark, sf_dir, "orders").count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("customer.parquet") == 1, plan.count("customer.parquet")
+    assert plan.count("BroadcastHashJoin") == 2
