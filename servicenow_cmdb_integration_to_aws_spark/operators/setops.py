@@ -88,3 +88,84 @@ def g4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = scan(spark, sf_dir, "customer").select("c_custkey")
     o = scan(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return c.subtract(o)
+
+
+@query(
+    "g7_delta_detect",
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 97 <> 0
+    ),
+    new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 31 = 0
+                    THEN ROUND(c_acctbal + 100.0, 2) ELSE c_acctbal
+               END AS c_acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 53 = 0
+    )
+    SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.c_acctbal AS old_acctbal,
+           n.c_acctbal AS new_acctbal
+    FROM old o FULL JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal <> n.c_acctbal OR o.c_name <> n.c_name
+    """,
+)
+def g7_delta_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta detection (g7) — the sync-diff primitive: given
+    the PREVIOUS and CURRENT version of a table (here derived
+    deterministically from customer: some keys deleted, some balances
+    changed, some rows new), classify every difference as
+    insert / delete / update. One co-partitioned full-outer join on the
+    key; unchanged rows are filtered inside the join's output before
+    anything else touches them.
+
+    At 100 TB the two snapshots are both cluster-resident parquet
+    (yesterday's and today's extract); the full-outer on the key is one
+    shuffle each, and column comparison happens post-join without
+    materializing unchanged rows — the delta (typically <<1% of rows)
+    is all that flows downstream (i9/i11 apply it)."""
+    c = scan(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    old = c.filter(F.col("c_custkey") % 97 != 0)
+    new = c.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 31 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 53 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+    )
+    o = old.select(
+        F.col("c_custkey").alias("o_key"),
+        F.col("c_name").alias("o_name"),
+        F.col("c_acctbal").alias("old_acctbal"),
+    )
+    n = new.select(
+        F.col("c_custkey").alias("n_key"),
+        F.col("c_name").alias("n_name"),
+        F.col("c_acctbal").alias("new_acctbal"),
+    )
+    j = o.join(n, F.col("o_key") == F.col("n_key"), "full")
+    return j.filter(
+        F.col("o_key").isNull()
+        | F.col("n_key").isNull()
+        | (F.col("old_acctbal") != F.col("new_acctbal"))
+        | (F.col("o_name") != F.col("n_name"))
+    ).select(
+        F.coalesce("n_key", "o_key").alias("c_custkey"),
+        F.when(F.col("o_key").isNull(), "insert")
+        .when(F.col("n_key").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_acctbal",
+        "new_acctbal",
+    )

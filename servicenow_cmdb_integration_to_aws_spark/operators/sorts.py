@@ -101,3 +101,40 @@ def f4_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 2)
     )
+
+
+@query(
+    "f6_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) >
+          (TIMESTAMP '1997-06-01', 3000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def f6_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination (f6): the page after cursor
+    (o_orderdate, o_orderkey) = ('1997-06-01', 3000), by composite-key
+    comparison instead of OFFSET.
+
+    OFFSET pagination (f3) sorts-and-skips O(offset) rows per page —
+    page 10,000 of a 100 TB table scans everything before it. The
+    keyset predicate is sargable: it pushes to the parquet scan
+    (row-group min/max prune everything before the cursor, especially
+    under a14's date-clustered layout) and the LIMIT fuses into
+    TakeOrderedAndProject — per-page cost is O(page), independent of
+    how deep the cursor is. This is the shape sys_created_on-cursor
+    sync walkers use [SN-API]."""
+    o = scan(spark, sf_dir, "orders")
+    cursor_date = F.lit("1997-06-01").cast("timestamp")
+    after = (F.col("o_orderdate") > cursor_date) | (
+        (F.col("o_orderdate") == cursor_date) & (F.col("o_orderkey") > 3000)
+    )
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .filter(after)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )
