@@ -277,3 +277,64 @@ def e8_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "e10_gap_islands",
+    oracle=f"""
+    {EVENTS_US},
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_island
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM flagged
+    )
+    SELECT user_id, island_id,
+           MIN(ts) AS island_start, MAX(ts) AS island_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, island_id
+    """,
+)
+def e10_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (e10): contiguous activity runs
+    per user with gaps <= 30 min — the BATCH window-function
+    formulation of what i3/i12 compute with session_window (lag to
+    flag island starts, running sum to number them, group to
+    summarize). One shuffle on user_id serves both window passes and
+    the final aggregate; no self-join, no explode.
+
+    The two formulations cross-check each other: at gap=2h this
+    reduces to i3's session windows exactly (pinned in
+    tests/test_operators.py)."""
+    e = scan(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_s = 30 * 60
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            <= gap_s,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(run))
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("ts").alias("island_start"),
+        F.max("ts").alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -586,3 +586,43 @@ def test_clustered_sink_files_are_disjoint(spark, sf_dir):
     assert len(ranges) >= 2
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, (hi_prev, lo_next)
+
+
+def test_gap_islands_at_2h_equals_session_windows(spark, sf_dir):
+    """e10's lag+runsum islands at gap=2h must reproduce i3's
+    session_window sessions exactly (start, event count)."""
+    import __spark_entry__ as entrymod
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = scan(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            <= 2 * 3600,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("ni"),
+    )
+    islands = (
+        flagged.withColumn("sid", F.sum("ni").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r["user_id"], r["s"], r["n"]) for r in islands.collect()}
+    i3 = entrymod.queries()["i3_session"](spark, sf_dir)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in i3.collect()
+    }
+    assert got == want and len(got) > 0
