@@ -141,3 +141,42 @@ def k5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.token FROM k5_docs d, LATERAL tokenize_udtf(d.text) t"
     )
+
+
+@query(
+    "k7_pandas_iter_udf",
+    oracle="""
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) / 1000.0 - 0.5))),
+                 6) AS model_score
+    FROM documents
+    """,
+)
+def k7_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (k7) — the model-inference batching
+    pattern for LLM-pipeline scoring: expensive per-worker setup (model
+    load) happens ONCE per partition, then Arrow batches stream through
+    it. The stand-in "model" is a deterministic logistic over doc
+    length (real checkpoints don't ship in this sandbox); the Spark
+    plumbing — one-time init, per-batch inference, Arrow transfer — is
+    exactly the production shape. numpy evaluates the same IEEE
+    expression as the SQL oracle, so scores are bit-identical pre-round."""
+    # functionType is explicit because this module uses postponed
+    # annotation evaluation (PEP 563), which hides the
+    # Iterator[pd.Series] signature from pandas_udf's inference.
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.SCALAR_ITER)
+    def model_score(batches):
+        # once per python worker: the "model load"
+        import numpy as np
+
+        weight, bias = 1.0 / 1000.0, -0.5
+        for n_chars in batches:
+            z = n_chars.astype("float64") * weight + bias
+            yield pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    d = scan(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(model_score("n_chars"), 6).alias("model_score")
+    )
