@@ -93,17 +93,43 @@ _R1_DRIVER_GREEN = frozenset(
 )
 
 
+#: never-driver-checked ids that are expensive at sf0.01 (multi-second
+#: compute or streaming-checkpoint machinery) — demoted to the END of
+#: the never-checked block so a budgeted driver pass hard-signals the
+#: maximum NUMBER of ids before spending seconds on any single one.
+_BUDGET_HEAVY = frozenset(
+    {
+        # compute-bound
+        "j2_minhash_lsh", "j2c_ngram_jaccard", "j12_embedding_neardup",
+        "j16_neardup_components", "j3c_lsh_ann", "a8_rest_pushdown",
+        "d17_approx_percentile", "t8_pipeline_curate",
+        # true-streaming / pandas-state (rows-only: weakest signal per
+        # budget second — last of all)
+        "a7_replay_stream", "i4_watermark_late", "i5_stream_dedup",
+        "i6_stream_static_join", "i7_stateful_counter",
+        "i10_stream_stream_join", "i12_stream_session_window",
+        "i13_stream_outer_join", "k3_grouped_map", "k4_pandas_udaf",
+        "m3_frame_sample",
+    }
+)
+
+
 def _reorder_for_driver_budget() -> None:
     """Rebuild registry dict order: (1) d9/d10 — round 1's only red
     rows (driver-harness canonicalization of array columns; outputs
     reshaped to scalars in r2) — plus d5 (no_oracle → tolerance
     contract in r2) lead so their fix is visible in the hard signal;
-    (2) every id with no driver row yet; (3) r1-green ids last."""
+    (2) never-driver-checked ids, cheap-oracle ids before
+    heavy/rows-only ones (_BUDGET_HEAVY); (3) r1-green ids last."""
     first = ["d9_collect", "d10_percentile", "d5_approx_distinct"]
     ids = list(registry.QUERIES)
+    unchecked = [
+        q for q in ids if q not in _R1_DRIVER_GREEN and q not in first
+    ]
     order = (
         [q for q in first if q in registry.QUERIES]
-        + [q for q in ids if q not in _R1_DRIVER_GREEN and q not in first]
+        + [q for q in unchecked if q not in _BUDGET_HEAVY]
+        + [q for q in unchecked if q in _BUDGET_HEAVY]
         + [q for q in ids if q in _R1_DRIVER_GREEN]
     )
     for d in (registry.QUERIES, registry.ORACLE):
