@@ -512,3 +512,74 @@ def t8_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_share", F.round(F.col("n_docs") / F.lit(n_total), 4)
         )
     )
+
+
+@query(
+    "j20_mixture_sample",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT * FROM (VALUES ('en', 40), ('de', 15), ('fr', 15),
+                                ('es', 15), ('zh', 15)) AS t(lang, wgt)),
+    cap AS (SELECT MIN((n * 100) // wgt) AS cmax FROM c JOIN w USING (lang)),
+    thr AS (
+        SELECT c.lang,
+               printf('%06x', (1048576 * cap.cmax * w.wgt) // (100 * c.n))
+                 AS t20
+        FROM c JOIN w USING (lang) CROSS JOIN cap
+    ),
+    kept AS (
+        SELECT d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR) || '/mix'), 1, 5)
+              < thr.t20
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM kept), 4)
+             AS achieved_share
+    FROM kept GROUP BY lang
+    """,
+)
+def j20_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling (j20, [NS]): hit a TARGET language mix
+    (en 40%, others 15%) given whatever the raw corpus contains — the
+    mixture-weighting step of pretraining-data assembly.
+
+    Per-language keep rates are derived, not configured: capacity
+    C = min_l(n_l·100 div w_l) is the largest corpus honoring the mix,
+    and rate_l = C·w_l/(100·n_l) — all INTEGER arithmetic (div), so
+    Spark and the oracle derive bit-identical thresholds; the keep
+    decision compares a zero-padded 20-bit md5 prefix against the
+    threshold formatted '%06x' (zero-padded hex orders like numbers).
+    Scan-side predicate after a 5-row broadcast — no shuffle, no state,
+    every doc keeps one fate across stages (f5/j14 discipline)."""
+    d = scan(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("en", 40), ("de", 15), ("fr", 15), ("es", 15), ("zh", 15)],
+        "lang STRING, wgt LONG",
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cw = counts.join(weights, "lang")
+    cap = cw.agg(
+        F.min(F.expr("(n * 100) div wgt")).alias("cmax")
+    )
+    thr = cw.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        F.format_string(
+            "%06x", F.expr("(1048576 * cmax * wgt) div (100 * n)")
+        ).alias("t20"),
+    )
+    kept = d.join(F.broadcast(thr), "lang").filter(
+        F.concat(
+            F.lit("0"),
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/mix"))),
+                1,
+                5,
+            ),
+        )
+        < F.col("t20")
+    )
+    total = kept.count()  # scalar: one count of the sampled corpus
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.count(F.lit(1)) / F.lit(total), 4).alias("achieved_share"),
+    )
