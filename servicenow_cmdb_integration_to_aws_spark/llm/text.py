@@ -38,7 +38,7 @@ _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")  # DuckDB string-literal quoting
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_tok), 4) AS avg_tokens,
            MAX(n_tok) AS max_tokens,
            ROUND(SUM(n_tok) * 1.0 / SUM(n_chars), 4) AS tokens_per_char
@@ -469,8 +469,8 @@ def j17_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (SELECT * FROM q WHERE n_words >= 10)
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(length(regexp_extract_all(text, '{_BPE_PAT_SQL}')))
-             AS total_tokens,
+           CAST(SUM(length(regexp_extract_all(text, '{_BPE_PAT_SQL}')))
+             AS BIGINT) AS total_tokens,
            ROUND(COUNT(*) * 1.0
                  / (SELECT COUNT(*) FROM f), 4) AS doc_share
     FROM f

@@ -531,7 +531,7 @@ def h14_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d16_conditional_aggs",
     oracle="""
     SELECT c_nationkey,
-           count_if(c_acctbal > 5000) AS n_rich,
+           CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_rich,
            bool_and(c_acctbal > -1000) AS all_above_floor,
            bool_or(c_mktsegment = 'BUILDING') AS any_building,
            arg_max(c_name, c_custkey) AS last_name_by_key,

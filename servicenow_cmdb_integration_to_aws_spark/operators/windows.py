@@ -291,9 +291,9 @@ def e8_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
         SELECT user_id, ts,
-               SUM(new_island) OVER (
+               CAST(SUM(new_island) OVER (
                    PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS island_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
         FROM flagged
     )
     SELECT user_id, island_id,

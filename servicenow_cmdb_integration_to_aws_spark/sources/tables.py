@@ -133,15 +133,26 @@ def path_of(sf_dir: str, name: str) -> str:
 def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """a1 semantics: footer-schema parquet scan (pushdown/pruning free).
 
-    `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    read natively: read it as raw nanos (``nanosAsLong``) and truncate to
-    µs with exact integer division (`div`), matching DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` truncation (FIXTURES.md parity notes).
+    `events.ts` has shipped as either TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS) across testdata generations, so normalize from the
+    *footer* type, not an assumption:
+
+    - NANOS: Spark 4 refuses to read it natively → read as raw nanos
+      (``nanosAsLong``) and truncate to µs with exact integer division
+      (`div`), matching DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation
+      (FIXTURES.md parity notes).
+    - MICROS (isAdjustedToUTC=false): reads as TIMESTAMP_NTZ → cast to
+      the session-tz TimestampType (UTC session ⇒ identical wall-clock)
+      so every downstream consumer (windows, watermarks, oracles) sees
+      ONE stable ts type regardless of the file generation.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path_of(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # ns-as-long generation
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(path_of(sf_dir, name))
 
 
