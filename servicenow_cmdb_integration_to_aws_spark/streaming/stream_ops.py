@@ -31,14 +31,23 @@ from ..sources.tables import path_of
 
 _COUNTER = itertools.count()
 
-#: raw parquet schema of events (ts as nanos-long; see sources.tables.scan)
-_EVENTS_RAW_SCHEMA = (
+#: readStream schema for the NANOS-as-long events generation
+#: (see sources.tables.scan — same two-generation story)
+_EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+#: readStream schema for the TIMESTAMP(MICROS, isAdjustedToUTC=false)
+#: generation — parquet µs-NTZ reads as TIMESTAMP_NTZ
+_EVENTS_MICROS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 _STAGED: dict[str, str] = {}
+_TS_KIND: dict[str, str] = {}
 
 
 def _stage_dir(sf_dir: str) -> str:
@@ -52,15 +61,39 @@ def _stage_dir(sf_dir: str) -> str:
     return _STAGED[sf_dir]
 
 
+def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
+    """Sniff the events parquet footer once per sf_dir: 'nanos' for the
+    TIMESTAMP(NANOS) generation (Spark 4 reads it only as raw long via
+    ``nanosAsLong``), 'micros' for TIMESTAMP(MICROS, NTZ). readStream
+    needs a user schema, so it cannot self-adapt the way batch scan()
+    does — branch here on the same footer evidence instead of assuming
+    a generation (the assumption is exactly what shipped 1970-era
+    timestamps when the testdata regenerated as MICROS)."""
+    if sf_dir not in _TS_KIND:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_type = dict(spark.read.parquet(path_of(sf_dir, "events")).dtypes)["ts"]
+        _TS_KIND[sf_dir] = "nanos" if ts_type == "bigint" else "micros"
+    return _TS_KIND[sf_dir]
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the ns→µs conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet, normalized to one stable
+    session-tz TimestampType `ts` regardless of file generation
+    (mirrors sources.tables.scan's footer-type branch)."""
+    if _events_ts_kind(spark, sf_dir) == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+            .format("parquet")
+            .load(_stage_dir(sf_dir))
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_EVENTS_MICROS_SCHEMA)
         .format("parquet")
         .load(_stage_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
