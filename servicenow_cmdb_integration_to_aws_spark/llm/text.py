@@ -127,14 +127,31 @@ def j8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("tok").alias("term"))
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = scan(spark, sf_dir, "documents").count()
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    # document frequency as a COUNT window over the term partition —
+    # NOT a second groupBy+join: that shape re-ran the tokenize+explode
+    # pipeline for both subtrees (no exchange reuse, the df side prunes
+    # differently) and shuffled tf twice on term. The window is one
+    # shuffle on term over the already-aggregated tf rows.
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    # corpus size as a 1-row broadcast, NOT an eager .count(): the
+    # count() forced a full extra job + driver sync barrier before the
+    # plan was even built — at 100 TB that is a second pass over the
+    # corpus. The crossJoin(broadcast(1 row)) keeps it one lazy plan.
+    n = scan(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df")), 9
+    )
+    scored = (
+        tf.withColumn("df", df_)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
@@ -499,18 +516,24 @@ def t8_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_words", F.size(F.split(F.lower("text"), " ")))
         .filter(F.col("n_words") >= 10)
     )
-    n_total = kept.count()  # scalar: one count of the curated set
+    # doc_share denominator = sum of the per-lang counts, derived FROM
+    # the aggregate itself (1-row agg over ≤4 rows, broadcast back) —
+    # the previous eager kept.count() re-ran the whole window+filter
+    # pipeline a second time plus a driver sync; this shape scans the
+    # corpus exactly once (tests/test_plans.py pins the single scan).
+    per_lang = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+        ).alias("total_tokens"),
+    )
+    tot = per_lang.agg(F.sum("n_docs").alias("n_total"))
     return (
-        kept.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
-            ).alias("total_tokens"),
-        )
+        per_lang.crossJoin(F.broadcast(tot))
         .withColumn(
-            "doc_share", F.round(F.col("n_docs") / F.lit(n_total), 4)
+            "doc_share", F.round(F.col("n_docs") / F.col("n_total"), 4)
         )
+        .drop("n_total")
     )
 
 
@@ -578,8 +601,19 @@ def j20_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < F.col("t20")
     )
-    total = kept.count()  # scalar: one count of the sampled corpus
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.count(F.lit(1)) / F.lit(total), 4).alias("achieved_share"),
+    # achieved_share denominator from the per-lang agg itself (5-row
+    # agg → 1-row sum → broadcast back), not an eager kept.count():
+    # the count() executed the scan+join+filter twice and stalled the
+    # driver; this is one lazy plan with a single corpus scan.
+    per_lang = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    tot = per_lang.agg(F.sum("n_kept").alias("tot"))
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("tot"), 4).alias(
+                "achieved_share"
+            ),
+        )
     )

@@ -130,6 +130,26 @@ def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+#: footer-inferred schema cache, keyed (sf_dir, table). Schema
+#: inference launches 1-2 driver jobs per ``spark.read.parquet`` call;
+#: uncached, EVERY query construction paid that — measurable fixed
+#: overhead across 159 registered ids, and a driver sync a catalog
+#: (metastore) would never do. First touch per (dir, table) still
+#: infers from the footer (a1 schema-on-file semantics, drift caught
+#: once per session); later constructions are job-free.
+_INFERRED: dict[tuple[str, str], T.StructType] = {}
+
+
+def _read_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (sf_dir, name)
+    cached = _INFERRED.get(key)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path_of(sf_dir, name))
+    df = spark.read.parquet(path_of(sf_dir, name))
+    _INFERRED[key] = df.schema
+    return df
+
+
 def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """a1 semantics: footer-schema parquet scan (pushdown/pruning free).
 
@@ -148,12 +168,12 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path_of(sf_dir, name))
+        df = _read_cached(spark, sf_dir, name)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # ns-as-long generation
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return spark.read.parquet(path_of(sf_dir, name))
+    return _read_cached(spark, sf_dir, name)
 
 
 def scan_declared(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

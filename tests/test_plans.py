@@ -241,3 +241,35 @@ def test_range_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_no_eager_jobs_during_plan_construction(spark, sf_dir):
+    """j8/t8/j20 (and every registered id): building the DataFrame must
+    launch ZERO Spark jobs. An eager .count() mid-construction runs the
+    upstream pipeline a whole extra time and sync-barriers the driver —
+    the scalar belongs in the plan as a 1-row agg crossJoin(broadcast).
+    Gate the three formerly-offending ids explicitly."""
+    sc = spark.sparkContext
+    for qid in ("j8_tfidf", "t8_pipeline_curate", "j20_mixture_sample"):
+        _q(spark, sf_dir, qid)  # warm one-time scan metadata inference
+        before = sc._jsc.sc().dagScheduler().nextJobId()
+        _q(spark, sf_dir, qid)  # construct only — no action
+        after = sc._jsc.sc().dagScheduler().nextJobId()
+        assert after == before, (
+            f"{qid} launched {after - before} Spark job(s) while merely "
+            "building its plan (eager action in the query body)"
+        )
+
+
+def test_share_denominator_reuses_aggregate_exchange(spark, sf_dir):
+    """t8/j20: the total-count denominator derives from the per-group
+    aggregate itself; at runtime AQE must serve the second consumer
+    from the SAME exchange (ReusedExchange/table-cache), proving the
+    expensive upstream pipeline executes once, not per consumer."""
+    for qid in ("t8_pipeline_curate", "j20_mixture_sample"):
+        df = _q(spark, sf_dir, qid)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, (
+            f"{qid}: no exchange reuse in final adaptive plan"
+        )
