@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import scan
+from ..sources.tables import scan, spread
 
 N_HASHES = 32
 N_BANDS = 16
@@ -75,8 +75,12 @@ def _cap_buckets(bands: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, token) pairs — word-level shingles."""
-    d = scan(spark, sf_dir, "documents")
+    """Distinct (doc_id, token) pairs — word-level shingles. spread()
+    parallelizes the explode when the corpus reads as fewer splits than
+    cores (single-row-group testdata; no-op at scale)."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     return d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
@@ -496,56 +500,63 @@ def j2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc ids, the pattern a incremental-sync pipeline applies to
     old-vs-new row versions).
 
-    Shape note: NOT array_intersect over per-doc gram arrays —
-    array_distinct/array_intersect compare string elements pairwise
-    (quadratic per doc: measured ~6 s at sf0.1). Instead explode to
-    (doc_id, gram) rows, hash-distinct, and count intersections with
-    ONE equi-join keyed on (gram, adjacent-id) — every stage is a
-    codegen'd hash aggregate/join, and at 100 TB both sides
-    co-partition on the join key."""
-    d = scan(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("t")
+    Shape note: NOT array_intersect over per-doc gram arrays
+    (quadratic per doc: measured ~6 s at sf0.1), and NOT a self-join
+    keyed on the gram string (the r2–r4 shape: two extra shuffles, a
+    skewed string join key — " the" collides corpus-wide — and a
+    3-consumer persist of the exploded gram set, >2× the oracle at
+    every measurement). Instead each gram row is EXPLODED INTO ITS TWO
+    PAIRS — (doc_id, m=1) as the pair's left member and (doc_id-1,
+    m=2) as the right member — then ONE hash aggregate on (doc_a, ng)
+    bit_or's the membership mask (3 ⇔ both docs share the gram; dup
+    grams collapse for free, so no distinct pass) and ONE per-doc_a
+    aggregate counts na / nb / i in a single pass. One scan, two
+    shuffles, zero joins, zero persists; doc_a in the shuffle key
+    spreads hot grams, so no skew. At 100 TB nothing materializes but
+    (pair, gram) partials."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select(
+            "doc_id", F.lower("text").alias("t")
+        ),
+        "doc_id",
     )
     # explode positions FIRST, then substring — a plain codegen'd
     # expression per row. (A transform(..., i -> substring(...)) lambda
     # produces the same grams 17x slower: higher-order-function lambdas
     # are interpreted per element.)
-    grams = (
-        d.select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("t") - 3, F.lit(1)))
-            ).alias("i"),
+    grams = d.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - 3, F.lit(1)))
+        ).alias("i"),
+    ).select("doc_id", F.expr("substring(t, i, 4)").alias("ng"))
+    tagged = grams.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("doc_a"), F.lit(1).alias("m")),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("doc_a"), F.lit(2).alias("m")
+                ),
+            )
+        ).alias("x"),
+        "ng",
+    ).select("x.doc_a", "x.m", "ng")
+    g = tagged.groupBy("doc_a", "ng").agg(F.bit_or("m").alias("m"))
+    # na/nb > 0 ⇔ both pair members exist (every doc has ≥1 gram), so
+    # the filter reproduces the oracle's inner join on doc_b=doc_a+1.
+    scored = (
+        g.groupBy("doc_a")
+        .agg(
+            F.count(F.when(F.col("m").isin(1, 3), 1)).alias("na"),
+            F.count(F.when(F.col("m").isin(2, 3), 1)).alias("nb"),
+            F.count(F.when(F.col("m") == 3, 1)).alias("i"),
         )
-        .select("doc_id", F.expr("substring(t, i, 4)").alias("ng"))
-        .distinct()
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
     )
-    # grams feeds three consumers (both join sides + sizes): persist so
-    # the explode+distinct runs once, not three times (4x at sf0.1;
-    # MEMORY_AND_DISK spills rather than OOMs on a huge corpus)
-    from pyspark import StorageLevel
-
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-
-    ta = grams.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"))
-    tb = grams.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"))
-    inter = (
-        ta.join(
-            tb,
-            (F.col("ng_a") == F.col("ng_b"))
-            & (F.col("doc_b") == F.col("doc_a") + 1),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    pairs = sa.join(sb, F.col("doc_b") == F.col("doc_a") + 1)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("ngram_jaccard"))
+    return scored.select(
+        "doc_a",
+        (F.col("doc_a") + 1).alias("doc_b"),
+        F.round(jac, 6).alias("ngram_jaccard"),
     )

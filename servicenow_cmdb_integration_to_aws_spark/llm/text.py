@@ -15,15 +15,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import scan
+from ..sources.tables import scan, spread
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, token) with duplicates — term frequency granularity."""
-    return (
-        scan(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-    )
+    """(doc_id, token) with duplicates — term frequency granularity.
+
+    The explode is the expensive map; spread() parallelizes it when the
+    corpus arrives as fewer input splits than cores (single-row-group
+    testdata files read as ONE split — no-op at real scale)."""
+    return spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
 
 
 # BPE-ish tokenizer regex (GPT-2 flavor, ASCII-classed so Java regex
@@ -56,7 +59,9 @@ def j18_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex in whole-stage codegen — zero shuffle before the 5-group
     partial agg; tokens themselves never materialize into the shuffle,
     only (lang, count) partials."""
-    d = scan(spark, sf_dir, "documents")
+    d = spread(
+        scan(spark, sf_dir, "documents").select("lang", "n_chars", "text")
+    )
     n_tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
     return (
         d.select("lang", "n_chars", n_tok.alias("n_tok"))

@@ -176,6 +176,29 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_cached(spark, sf_dir, name)
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a narrow projection up to the session's parallelism
+    when the plan currently has fewer input partitions than cores.
+
+    Why: a single-row-group parquet file reads as ONE input split no
+    matter what ``maxPartitionBytes`` says (splits are assigned by
+    row-group start offset), so every downstream map — explodes,
+    regex tokenizers, per-row feature extraction — runs on one core.
+    The testdata files are exactly that shape. The gate makes this a
+    no-op at scale: a 100 TB table has thousands of splits, so the
+    extra shuffle never happens there; locally it ships only the
+    narrow projection (call AFTER selecting the few needed columns).
+
+    ``df.rdd.getNumPartitions()`` plans the query but launches no job
+    (plan-construction stays action-free; gated by
+    tests/test_plans.py::test_no_eager_jobs_during_plan_construction).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def scan_declared(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """a2 semantics: scan + enforce the declared StructType.
 
