@@ -172,8 +172,23 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # ns-as-long generation
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # NTZ→TimestampType keeps the wall-clock ONLY in a UTC session;
+        # any other tz would silently shift every event. Fail loudly.
+        _require_utc(spark)
         return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return _read_cached(spark, sf_dir, name)
+
+
+def _require_utc(spark: SparkSession) -> None:
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"events ts conversion requires a UTC session timezone, got "
+            f"{tz!r}: the TIMESTAMP_NTZ->TIMESTAMP cast reinterprets the "
+            "stored wall-clock in the session tz and would silently shift "
+            "every event. Set spark.sql.session.timeZone=UTC (session.py "
+            "does) or convert explicitly."
+        )
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:

@@ -88,6 +88,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(_stage_dir(sf_dir))
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.tables import _require_utc
+
+    _require_utc(spark)  # NTZ→TIMESTAMP cast is tz-sensitive
     raw = (
         spark.readStream.schema(_EVENTS_MICROS_SCHEMA)
         .format("parquet")

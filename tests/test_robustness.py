@@ -183,3 +183,27 @@ def test_watermark_store_concurrent_writers(tmp_path):
         t.join()
     for nm in names:
         assert store.read(nm, datetime(1970, 1, 1)) == ts, nm
+
+
+def test_non_utc_session_fails_loudly_on_events_scan(spark, sf_dir):
+    """The events NTZ->TIMESTAMP conversion is wall-clock-correct only
+    under a UTC session tz; any other tz must raise, not silently
+    shift every event (sources/tables._require_utc)."""
+    import pytest
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from servicenow_cmdb_integration_to_aws_spark.streaming import stream_ops
+
+    # only the MICROS generation takes the tz-sensitive branch
+    if stream_ops._events_ts_kind(spark, sf_dir) != "micros":
+        pytest.skip("NANOS testdata generation: no tz-sensitive cast")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC session timezone"):
+            scan(spark, sf_dir, "events")
+        with pytest.raises(ValueError, match="UTC session timezone"):
+            stream_ops._stream_events(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # restored session works again
+    assert scan(spark, sf_dir, "events").columns
