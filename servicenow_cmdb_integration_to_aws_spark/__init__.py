@@ -140,7 +140,15 @@ def _reorder_for_driver_budget() -> None:
     in the hard signal; (2) the never-driver-checked ids (no
     CORRECTNESS row in r1–r4), cheap-oracle ids before heavy/rows-only
     ones (_BUDGET_HEAVY); (3) the 97 ever-driver-green ids last."""
-    first = ["i11_foreach_batch_merge"]
+    # i11 = the r4 judge-parity FAIL; i5/i12/i4 = streaming ids
+    # oracle-ified in r5 via the availableNow-deterministic trick —
+    # all four lead so the streaming-ts fix gets driver hard-signal.
+    first = [
+        "i11_foreach_batch_merge",
+        "i5_stream_dedup",
+        "i12_stream_session_window",
+        "i4_watermark_late",
+    ]
     ids = list(registry.QUERIES)
     unchecked = [
         q for q in ids if q not in _DRIVER_GREEN and q not in first

@@ -139,13 +139,32 @@ def a7_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(s)
 
 
-@query("i4_watermark_late")  # rows-only: finalized-window emission
+@query(
+    "i4_watermark_late",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+             AS wend,
+           COUNT(*) AS n_events
+    FROM e
+    GROUP BY 1, 2
+    HAVING wend <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM e)
+    """,
+)
 def i4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data handling (i4): 10-minute watermark before
     an hourly window, append output — only windows the watermark has
     sealed are emitted; events later than the watermark are dropped at
     ingestion. (Late-row drop behavior is pinned with a crafted
-    out-of-order fixture in tests/test_streaming.py.)"""
+    out-of-order fixture in tests/test_streaming.py.)
+
+    SQL-oracle-checkable (the i11 trick): under availableNow the final
+    appended set is batch-deterministic — exactly the windows whose end
+    the final watermark (max event ts - 10 min) has passed; the
+    testdata arrives as one file ⇒ one micro-batch ⇒ no in-batch
+    drops, and the trailing no-data micro-batch flushes every sealed
+    window."""
     s = _stream_events(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -160,11 +179,21 @@ def i4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, output_mode="append")
 
 
-@query("i5_stream_dedup")  # rows-only: stateful dedup
+@query(
+    "i5_stream_dedup",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, ts, user_id, event_type, value FROM e
+    """,
+)
 def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (i5): the input is doubled (union of two reads of
     the same stream) and `dropDuplicatesWithinWatermark` on event_id
-    restores exactly-once — state bounded by the watermark horizon."""
+    restores exactly-once — state bounded by the watermark horizon.
+
+    SQL-oracle-checkable: event_id is unique in the source, dedup is a
+    pass-through filter (no buffering), so the final appended set is
+    exactly the original events regardless of micro-batching."""
     a = _stream_events(spark, sf_dir)
     b = _stream_events(spark, sf_dir)
     doubled = a.unionByName(b).withWatermark("ts", "1 hour")
@@ -365,19 +394,58 @@ def i11_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("i12_stream_session_window")  # rows-only: true-streaming session
+@query(
+    "i12_stream_session_window",
+    oracle=f"""
+    {EVENTS_US},
+    flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {10 * 60 * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM numbered
+    GROUP BY user_id, sid
+    HAVING session_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM e)
+    """,
+)
 def i12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True-streaming session windows (i12): per-user activity
     sessions with a 10-minute inactivity gap, 30-minute watermark,
     append mode — only watermark-sealed sessions emit. The batch
-    analogue (i3, batch_equiv.py) carries the SQL oracle; this id
-    proves the same gap-merge semantics under micro-batched state:
-    `session_window` state merges adjacent fragments per key and the
-    watermark bounds how long an open session is retained."""
+    analogue (i3, batch_equiv.py) proves gap-merge semantics over the
+    full history; this id pins the same semantics under micro-batched
+    state: `session_window` state merges adjacent fragments per key
+    and the watermark bounds how long an open session is retained.
+
+    SQL-oracle-checkable (the i11 trick): the final appended set is
+    the batch gap-islands computation restricted to sessions whose end
+    the final watermark (max ts - 30 min) has passed. The value sum
+    goes through DECIMAL for cross-engine bit-parity (aggregates.py
+    money-sum note)."""
+    from ..operators.numeric import dec
+
     s = _stream_events(spark, sf_dir).withWatermark("ts", "30 minutes")
     agg = (
         s.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
