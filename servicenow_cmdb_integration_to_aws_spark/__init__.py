@@ -48,6 +48,7 @@ def load_all():
             "servicenow_cmdb_integration_to_aws_spark.llm.multimodal",
             "servicenow_cmdb_integration_to_aws_spark.streaming.batch_equiv",
             "servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops",
+            "servicenow_cmdb_integration_to_aws_spark.streaming.compaction",
             "servicenow_cmdb_integration_to_aws_spark.operators.udf_surface",
             "servicenow_cmdb_integration_to_aws_spark.plans.encoded_query",
             "servicenow_cmdb_integration_to_aws_spark.operators.golden",

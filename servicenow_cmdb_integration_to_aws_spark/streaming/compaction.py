@@ -1,0 +1,193 @@
+"""Snapshot compaction over the CDC append log (a15, round-2 brief
+item 6): fold the keyed change log the i11 sink produces into a
+versioned, immutable base snapshot — the missing piece between
+"append-only log lands on S3" and "analysts read current state
+cheaply". Merge-on-read (i11) re-windows the whole log every query;
+compaction amortizes that into a base snapshot so reads window only
+the post-compaction tail.
+
+Layout (one directory per table)::
+
+    snap_root/
+      v=1/part-*.parquet     immutable snapshot versions
+      v=2/part-*.parquet
+      _LATEST                JSON {"version": 2, "compacted_through": 7}
+                             committed by atomic rename
+
+100 TB notes: each compaction is an incremental fold — base vN ∪ new
+log batches, ONE shuffle on the key — never a full-history replay, so
+cost tracks the delta, not the table. Versions are immutable dirs and
+readers resolve `_LATEST` once at plan time: snapshot isolation with
+zero read locks, the Iceberg/Hudi commit pattern rebuilt from
+primitives. The flock around the version bump stands in for the
+metastore/conditional-put a shared object store would use; concurrent
+compactors serialize, concurrent readers never block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import EVENTS_US, query
+from ..sources.tables import scan
+
+
+class SnapshotStore:
+    """Versioned latest-per-key snapshot over an append log.
+
+    `key` is the upsert key; `order` breaks ties — the LAST row under
+    (order) per key wins, which is associative, so any split of the
+    log across compactions yields the same final snapshot.
+    """
+
+    def __init__(self, snap_root: str, key: str, order: list[str]):
+        self.root = snap_root
+        self.key = key
+        self.order = order
+        os.makedirs(snap_root, exist_ok=True)
+
+    # -- commit metadata ------------------------------------------------
+    def _meta(self) -> dict:
+        p = os.path.join(self.root, "_LATEST")
+        if not os.path.exists(p):
+            return {"version": 0, "compacted_through": -1}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, meta: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.root, "_LATEST"))  # atomic
+
+    # -- the fold -------------------------------------------------------
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self.key).orderBy(
+            *[F.col(c).desc() for c in self.order]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def compact(self, spark: SparkSession, log_dir: str) -> int:
+        """Fold log batches newer than the last compaction (directories
+        ``batch_id=N`` under `log_dir`, the i11 sink layout) plus the
+        current base into version N+1. Returns the new version.
+
+        Serialized under an exclusive flock: two compactors racing
+        would both write vN+1 with different subsets and one commit
+        would vanish. Readers are unaffected (they pin a version)."""
+        with open(os.path.join(self.root, "_LOCK"), "w") as lf:
+            try:
+                import fcntl
+
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: single-compactor assumed
+                pass
+            meta = self._meta()
+            new_batches = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(log_dir)
+                if d.startswith("batch_id=")
+                and int(d.split("=", 1)[1]) > meta["compacted_through"]
+            )
+            if not new_batches:
+                return meta["version"]
+            delta = spark.read.parquet(
+                *[os.path.join(log_dir, f"batch_id={b}") for b in new_batches]
+            )
+            src = (
+                delta
+                if meta["version"] == 0
+                else self._read_version(spark, meta["version"]).unionByName(
+                    delta
+                )
+            )
+            new_v = meta["version"] + 1
+            self._latest_per_key(src).write.mode("overwrite").parquet(
+                os.path.join(self.root, f"v={new_v}")
+            )
+            self._commit(
+                {"version": new_v, "compacted_through": new_batches[-1]}
+            )
+            return new_v
+
+    def _read_version(self, spark: SparkSession, v: int) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, f"v={v}"))
+
+    def read(self, spark: SparkSession, log_dir: str | None = None) -> DataFrame:
+        """Current state: pinned base version, merged on read with any
+        log batches the base hasn't absorbed yet (the cheap tail)."""
+        meta = self._meta()
+        base = (
+            self._read_version(spark, meta["version"])
+            if meta["version"] > 0
+            else None
+        )
+        tail_dirs = []
+        if log_dir is not None and os.path.isdir(log_dir):
+            tail_dirs = [
+                os.path.join(log_dir, d)
+                for d in sorted(os.listdir(log_dir))
+                if d.startswith("batch_id=")
+                and int(d.split("=", 1)[1]) > meta["compacted_through"]
+            ]
+        if base is None and not tail_dirs:
+            raise ValueError(f"empty snapshot store {self.root}")
+        parts = ([base] if base is not None else []) + (
+            [spark.read.parquet(*tail_dirs)] if tail_dirs else []
+        )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        return self._latest_per_key(merged)
+
+
+@query(
+    "a15_snapshot_compact",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e)
+    WHERE rn = 1
+    """,
+)
+def a15_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log→snapshot compaction (a15): the i11 append log folded into a
+    versioned base snapshot, exercised across TWO compaction
+    generations — batch 0 → v1, batch 1 (+v1) → v2 — then read back.
+    Latest-per-key is associative under the (ts, event_id) total
+    order, so the split reproduces exactly the one-shot merge the
+    oracle computes. tests/test_streaming.py additionally pins
+    read-back equality between the compacted snapshot and pure
+    merge-on-read, and test_robustness.py races two compactors under
+    the flock."""
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    e = scan(spark, sf_dir, "events").select(*cols)
+    log_dir = tempfile.mkdtemp(prefix="a15_log_")
+    store = SnapshotStore(
+        tempfile.mkdtemp(prefix="a15_snap_"),
+        key="user_id",
+        order=["ts", "event_id"],
+    )
+    # two foreachBatch-style appends (identical sink layout to i11),
+    # a compaction after EACH — v2 must fold v1 with the new batch.
+    # Halves split by event_id parity so both generations touch keys.
+    e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(log_dir, "batch_id=0")
+    )
+    assert store.compact(spark, log_dir) == 1
+    e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(log_dir, "batch_id=1")
+    )
+    assert store.compact(spark, log_dir) == 2
+    return store.read(spark).select(*cols)

@@ -207,3 +207,40 @@ def test_non_utc_session_fails_loudly_on_events_scan(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     # restored session works again
     assert scan(spark, sf_dir, "events").columns
+
+
+def test_snapshot_compactors_race_under_flock(spark, sf_dir, tmp_path):
+    """a15: two compactors racing on the same store must serialize —
+    exactly one new version lands, _LATEST stays consistent, and the
+    read-back equals the single-compactor result."""
+    import os
+    import threading
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        SnapshotStore,
+    )
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    e = scan(spark, sf_dir, "events").select(*cols).limit(2000)
+    log_dir = str(tmp_path / "log")
+    e.write.parquet(os.path.join(log_dir, "batch_id=0"))
+    store = SnapshotStore(
+        str(tmp_path / "snap"), key="user_id", order=["ts", "event_id"]
+    )
+    results = []
+
+    def go():
+        results.append(store.compact(spark, log_dir))
+
+    threads = [threading.Thread(target=go) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # one folded batch 0 into v1; the loser saw nothing new
+    assert sorted(results) == [1, 1]
+    assert store._meta() == {"version": 1, "compacted_through": 0}
+    got = sorted(map(tuple, store.read(spark).collect()))
+    want = sorted(map(tuple, store._latest_per_key(e).collect()))
+    assert got == want

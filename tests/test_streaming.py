@@ -240,3 +240,43 @@ def test_stream_outer_join_matches_batch_modulo_watermark(spark, sf_dir):
     horizon = max_cts - datetime.timedelta(hours=3)
     must_emit = {pid for pid, ts in want_nulls.items() if ts < horizon}
     assert must_emit <= got_nulls, sorted(must_emit - got_nulls)[:5]
+
+
+def test_snapshot_compact_equals_merge_on_read(spark, sf_dir):
+    """a15: the compacted snapshot must equal pure merge-on-read over
+    the full log (latest-per-key is associative), and a second
+    compaction generation must fold the base, not replay history."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        SnapshotStore,
+    )
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    e = scan(spark, sf_dir, "events").select(*cols)
+    log_dir = tempfile.mkdtemp(prefix="a15t_log_")
+    store = SnapshotStore(
+        tempfile.mkdtemp(prefix="a15t_snap_"),
+        key="user_id",
+        order=["ts", "event_id"],
+    )
+    e.filter(F.col("event_id") % 2 == 0).write.parquet(
+        os.path.join(log_dir, "batch_id=0")
+    )
+    assert store.compact(spark, log_dir) == 1
+    e.filter(F.col("event_id") % 2 == 1).write.parquet(
+        os.path.join(log_dir, "batch_id=1")
+    )
+    # merge-on-read BEFORE the second compaction: v1 base + log tail
+    mor = sorted(map(tuple, store.read(spark, log_dir).select(*cols).collect()))
+    assert store.compact(spark, log_dir) == 2
+    compacted = sorted(map(tuple, store.read(spark).select(*cols).collect()))
+    expected = sorted(
+        map(tuple, store._latest_per_key(e).select(*cols).collect())
+    )
+    assert compacted == expected
+    assert mor == expected
