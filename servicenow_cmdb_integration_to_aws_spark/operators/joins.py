@@ -440,55 +440,89 @@ def c12_rel_closure_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(edges)
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u links its LARGER neighbors to
+    the minimum of its closed neighborhood m(u) = min(N(u) ∪ {u})."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))  # larger neighbors only
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("mv"), F.col("u")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges toward the smaller endpoint;
+    every node u links its smaller neighbors (and itself) to their
+    minimum."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("mv"))
+    relink = (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    return relink.unionByName(
+        mins.select("u", F.col("mv").alias("v"))
+    ).distinct()
+
+
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_iter: int = 50
 ) -> DataFrame:
-    """Connected components by min-label propagation: every node's
-    component id converges to the smallest node id reachable from it.
-    `edges` has (src, dst) (treated undirected), `nodes` has (id);
-    returns (id, component).
+    """Connected components by alternating large-star/small-star
+    pointer doubling (the MapReduce CC algorithm of Kiveris et al.):
+    every node's component id converges to the smallest node id in its
+    component. `edges` has (src, dst) (treated undirected), `nodes`
+    has (id); returns (id, component).
 
-    Each round: push labels across the symmetrized edge set, take the
-    per-node min, stop when no label improves. Rounds are O(component
-    diameter). 100 TB notes: the two shuffles per round (join on dst,
-    re-agg on id) both key on node id, so a co-partitioned layout is
-    reused across rounds; `localCheckpoint` truncates lineage exactly
-    as in :func:`transitive_closure`. For graphs with huge-diameter
-    components, graduate to the large-star/small-star algorithm
-    (alternating pointer-doubling) — same building blocks, O(log n)
-    rounds."""
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    Each round halves tree heights (doubling), so convergence is
+    O(log n) rounds — independent of component DIAMETER, unlike the
+    min-label propagation this replaced (a 1M-node path graph needs
+    ~20 rounds here vs 1M there). 100 TB notes: each half-round is one
+    groupBy + one co-keyed join on node id (same co-partitioned
+    layout), nothing driver-side but the per-round convergence
+    signature (count + hash sum, one tiny collect);
+    `localCheckpoint(eager)` truncates lineage per round exactly as in
+    :func:`transitive_closure`."""
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    lbl = nodes.select("id", F.col("id").alias("component")).localCheckpoint(
-        eager=True
-    )
+    prev_sig = None
     for _ in range(max_iter):
-        prop = sym.join(lbl, sym["dst"] == lbl["id"]).select(
-            F.col("src").alias("id"), "component"
-        )
-        new = (
-            lbl.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        improved = new.join(
-            lbl.select("id", F.col("component").alias("old")), "id"
-        ).filter(F.col("component") < F.col("old"))
-        done = improved.isEmpty()
-        lbl = new
-        if done:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # convergence signature: edge count + order-independent hash
+        # (bit_xor never overflows; the edge set is distinct, so xor
+        # self-cancellation cannot occur)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
             break
+        prev_sig = sig
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
-    sym.unpersist()
-    return lbl
+    # e is now a star forest: (member -> root). Roots and isolated
+    # nodes label themselves.
+    return nodes.select("id").join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", "id").alias("component"))
 
 
 # Window length == bucket width, so every interval spans at most two

@@ -244,3 +244,24 @@ def test_snapshot_compactors_race_under_flock(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, store.read(spark).collect()))
     want = sorted(map(tuple, store._latest_per_key(e).collect()))
     assert got == want
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    """Pointer-doubling regression: a 512-node path graph has diameter
+    511, far beyond max_iter=50 rounds — only an O(log n) algorithm
+    (large-star/small-star) converges; min-label propagation would
+    raise. All nodes must land in component 0."""
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        connected_components,
+    )
+
+    n = 512
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    ndf = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    got = connected_components(edf, ndf, max_iter=20).collect()
+    assert len(got) == n
+    assert all(r["component"] == 0 for r in got)
