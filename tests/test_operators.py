@@ -626,3 +626,50 @@ def test_gap_islands_at_2h_equals_session_windows(spark, sf_dir):
         (r["user_id"], r["session_start"], r["n_events"]) for r in i3.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bmp_decode_nonuniform_pixels_and_padding():
+    """m4 decoder: hand-built 3x2 24-bit BMP with distinct per-pixel
+    values — the 3-byte row padding must NOT leak into the means, and
+    BGR order must invert correctly."""
+    import struct
+
+    from servicenow_cmdb_integration_to_aws_spark.llm.multimodal import (
+        decode_image,
+    )
+
+    w, h = 3, 2
+    # rows bottom-up; pixel (x,y) value: B=10x+y, G=100+x, R=200+y
+    def px(x, y):
+        return bytes([10 * x + y, 100 + x, 200 + y])
+
+    rows = b""
+    for y in (1, 0):  # bottom-up storage
+        row = b"".join(px(x, y) for x in range(w))
+        rows += row + b"\xff" * ((-len(row)) % 4)  # NONZERO pad bait
+    off = 54
+    payload = (
+        b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+        + rows
+    )
+    fmt, dw, dh, mr, mg, mb = decode_image(payload)
+    n = w * h
+    exp_b = sum(10 * x + y for x in range(w) for y in range(h)) / n
+    exp_g = sum(100 + x for x in range(w) for y in range(h)) / n
+    exp_r = sum(200 + y for x in range(w) for y in range(h)) / n
+    assert (fmt, dw, dh) == ("bmp", 3, 2)
+    assert (mr, mg, mb) == (exp_r, exp_g, exp_b)
+
+
+def test_ppm_decode_nonuniform_pixels():
+    from servicenow_cmdb_integration_to_aws_spark.llm.multimodal import (
+        decode_image,
+    )
+
+    body = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])  # 2x2 RGB
+    fmt, w, h, mr, mg, mb = decode_image(b"P6\n2 2\n255\n" + body)
+    assert (fmt, w, h) == ("ppm", 2, 2)
+    assert (mr, mg, mb) == ((1 + 4 + 7 + 10) / 4, (2 + 5 + 8 + 11) / 4,
+                            (3 + 6 + 9 + 12) / 4)
