@@ -522,7 +522,13 @@ def j3c_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is 10/10 at sf0.01 and sf0.1 while scanning ~26% of the
     corpus at sf0.1 (pruning sharpens as buckets concentrate: near-dup
     queries collide in nearly every band, orthogonal noise in few).
-    Knobs: more bands -> recall, more bits -> pruning."""
+    Knobs: more bands -> recall, more bits -> pruning.
+
+    Cost note: this registered id deliberately runs BOTH the LSH probe
+    AND the brute-force audit (~2x the minimal work) because the
+    recall boolean is part of the contract. The PRODUCTION path is the
+    probe alone — drop the audit branch and the query does ~26% of the
+    brute-force scan."""
     e = scan(spark, sf_dir, "embeddings")
     planes = F.broadcast(
         spark.createDataFrame(_lsh_planes(), "plane INT, pos INT, sgn INT")
