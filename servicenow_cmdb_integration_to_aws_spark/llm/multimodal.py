@@ -293,3 +293,107 @@ def m4_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (padding bytes must not leak into the means)."""
     d = scan(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_roundtrip_decode, DECODE_SCHEMA)
+
+
+def encode_wav(
+    sample_rate: int, samples: list[int], pad_chunk: bool = True
+) -> bytes:
+    """Minimal PCM WAV writer (mono, 16-bit LE) with the real RIFF
+    chunk layout; optionally inserts a LIST chunk between fmt and data
+    so decoders must WALK chunks, not assume fixed offsets."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if pad_chunk:
+        info = b"INFOISFT" + struct.pack("<I", 4) + b"eng\x00"
+        chunks += b"LIST" + struct.pack("<I", len(info)) + info
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Decode a PCM WAV payload to (sample_rate, n_channels, n_samples,
+    peak_abs, mean). Real RIFF chunk walk: chunks appear in any order
+    with arbitrary extras between fmt and data (word-aligned sizes);
+    only uncompressed 16-bit PCM is supported — compressed audio needs
+    a codec library this container does not ship."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format={audio_fmt} bits={bits}: PCM-16 only"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise NotImplementedError("WAV missing fmt or data chunk")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    peak = max((abs(s) for s in samples), default=0)
+    mean = (sum(samples) / n) if n else 0.0
+    return (rate, channels, n // channels, peak, mean)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "peak int, mean double"
+)
+
+
+def _audio_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for m5: synthesize a real WAV payload per
+    row (constant amplitude, varying rate/length, plus a LIST chunk so
+    the walk is exercised), then run the REAL chunk-walking decoder."""
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "sample_rate", "n_channels", "n_samples",
+                 "peak", "mean")}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            rate = 8000 + (doc_id % 4) * 4000
+            n = doc_id % 100 + 1
+            amp = doc_id % 1001 - 500  # [-500, 500]
+            payload = encode_wav(rate, [amp] * n)
+            r, ch, ns, peak, mean = decode_audio(payload)
+            rows["doc_id"].append(doc_id)
+            rows["sample_rate"].append(r)
+            rows["n_channels"].append(ch)
+            rows["n_samples"].append(ns)
+            rows["peak"].append(peak)
+            rows["mean"].append(mean)
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "m5_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(doc_id % 100 + 1 AS BIGINT) AS n_samples,
+           CAST(abs(doc_id % 1001 - 500) AS INT) AS peak,
+           CAST(doc_id % 1001 - 500 AS DOUBLE) AS mean
+    FROM documents
+    """,
+)
+def m5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode (m5): PCM WAV payloads with genuine RIFF
+    layout (fmt/LIST/data chunk walk, word alignment, 16-bit LE
+    samples) parsed by the pure-Python decoder inside Arrow-batched
+    mapInPandas — the audio member of the multimodal family (m4 =
+    image). Constant-amplitude fills make rate/length/peak/mean
+    closed-form for the oracle; the decoder works purely off the
+    bytes."""
+    d = scan(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_audio_roundtrip, AUDIO_SCHEMA)

@@ -673,3 +673,32 @@ def test_ppm_decode_nonuniform_pixels():
     assert (fmt, w, h) == ("ppm", 2, 2)
     assert (mr, mg, mb) == ((1 + 4 + 7 + 10) / 4, (2 + 5 + 8 + 11) / 4,
                             (3 + 6 + 9 + 12) / 4)
+
+
+def test_wav_decode_chunk_walk_and_alignment():
+    """m5 decoder: the RIFF walk must skip unknown chunks (LIST) and
+    honor word alignment for odd-sized chunks; 16-bit LE signed
+    samples decode exactly."""
+    import struct
+
+    from servicenow_cmdb_integration_to_aws_spark.llm.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rate, ch, n, peak, mean = decode_audio(encode_wav(44100, [-32768, 32767]))
+    assert (rate, ch, n, peak) == (44100, 1, 2, 32768)
+    assert mean == -0.5
+
+    # odd-sized unknown chunk before data: walk must pad to word align
+    data = struct.pack("<3h", 5, -5, 10)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, ch, n, peak, mean = decode_audio(payload)
+    assert (rate, ch, n, peak) == (8000, 1, 3, 10)
+    assert abs(mean - 10 / 3) < 1e-12
