@@ -142,13 +142,17 @@ def _reorder_for_driver_budget() -> None:
     CORRECTNESS row in r1–r4), cheap-oracle ids before heavy/rows-only
     ones (_BUDGET_HEAVY); (3) the 97 ever-driver-green ids last."""
     # i11 = the r4 judge-parity FAIL; i5/i12/i4 = streaming ids
-    # oracle-ified in r5 via the availableNow-deterministic trick —
-    # all four lead so the streaming-ts fix gets driver hard-signal.
+    # oracle-ified in r5 via the availableNow-deterministic trick;
+    # a15/m4/m5 = new r5 components — all lead so the round's fixes
+    # and additions get driver hard-signal rows.
     first = [
         "i11_foreach_batch_merge",
         "i5_stream_dedup",
         "i12_stream_session_window",
         "i4_watermark_late",
+        "a15_snapshot_compact",
+        "m4_image_decode",
+        "m5_audio_decode",
     ]
     ids = list(registry.QUERIES)
     unchecked = [
