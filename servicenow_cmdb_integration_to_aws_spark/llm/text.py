@@ -622,3 +622,216 @@ def j20_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DOMAIN_CAP = 10
+
+
+@query(
+    "j21_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || '/cap'), doc_id
+                 ) AS rn
+          FROM documents)
+    WHERE rn <= {DOMAIN_CAP}
+    """,
+)
+def j21_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (j21, [NS]): keep at most DOMAIN_CAP
+    docs per source — the overrepresented-domain control of web-corpus
+    assembly (a handful of boilerplate-heavy domains otherwise
+    dominate the token budget). Selection is deterministic-random:
+    rank by a salted md5 of doc_id (f5/j14 discipline — every doc
+    keeps one fate across runs and engines), not by arrival order.
+
+    100 TB notes: one shuffle keyed on source. A mega-domain is the
+    known skew case — this exact-rank window puts one domain on one
+    task; at web scale, pre-trim each domain with the j14 hash-
+    threshold (rate = cap / approx count, slightly over-admitted),
+    then exact-rank only the small admitted set. The cap constant is
+    per-corpus policy."""
+    d = scan(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/cap"))),
+        "doc_id",
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rn")
+    )
+
+
+BENCH_MOD = 97  # docs with doc_id % 97 == 0 stand in for the eval benchmark
+SHINGLE_W = 5
+
+
+@query(
+    "j22_decontaminate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(toks) - {SHINGLE_W} + 2),
+                   i -> array_to_string(toks[i:i + {SHINGLE_W} - 1], ' ')
+               )) AS sh
+        FROM t WHERE len(toks) >= {SHINGLE_W}
+    ),
+    bench AS (
+        SELECT DISTINCT sh FROM s WHERE doc_id % {BENCH_MOD} = 0
+    )
+    SELECT doc_id, COUNT(DISTINCT sh) AS n_hits
+    FROM s
+    WHERE doc_id % {BENCH_MOD} <> 0 AND sh IN (SELECT sh FROM bench)
+    GROUP BY doc_id
+    """,
+)
+def j22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (j22, [NS]): flag training documents
+    sharing any word-{SHINGLE_W}-gram with the held-out benchmark set
+    (stand-in: doc_id % {BENCH_MOD} == 0) — the eval-leakage scrub
+    every pretraining pipeline runs. Reports the distinct shared-
+    shingle count per contaminated doc.
+
+    100 TB notes: the benchmark shingle set is tiny (benchmarks are
+    KBs, corpora are TBs) — broadcast it, so the corpus-side explode
+    never shuffles raw text; the only wide op is the per-doc count
+    aggregate keyed on doc_id. Shingles hash-join on the gram string;
+    at extreme scale hash the shingle to a long first (xxhash64) to
+    shrink both the broadcast and the join key."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    sh = (
+        d.filter(F.size("toks") >= SHINGLE_W)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - SHINGLE_W + 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", F.col("i"), SHINGLE_W), " ").alias(
+                "sh"
+            ),
+        )
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("sh").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hits"))
+    )
+
+
+#: ASCII-classed (Java regex ≡ RE2, j18 discipline): local@domain.tld
+_EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+@query(
+    "j23_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(combined, '{_EMAIL_PAT}'))
+                AS BIGINT) AS n_redactions,
+           CAST(length(regexp_replace(combined, '{_EMAIL_PAT}',
+                                      '<EMAIL>', 'g'))
+                AS BIGINT) AS redacted_len,
+           md5(regexp_replace(combined, '{_EMAIL_PAT}', '<EMAIL>', 'g'))
+             AS redacted_md5
+    FROM (SELECT doc_id,
+                 text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' AS combined
+          FROM documents)
+    """,
+)
+def j23_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (j23, [NS]): scrub email addresses from document
+    text before training — map-side regexp_replace in whole-stage
+    codegen, reporting per-doc redaction count, post-redaction length
+    and content hash. The corpus text carries no emails, so each doc
+    gets a synthetic contact line appended first; the REDACTOR works
+    purely on the combined text (both engines count and replace
+    independently — nothing is closed-form).
+
+    100 TB notes: pure narrow map, no shuffle, no Python; patterns are
+    ASCII-classed so Java regex and RE2 agree (j18 discipline). Add
+    phone/SSN patterns as further regexp_replace passes in the same
+    projection — still one codegen stage."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    combined = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    redacted = F.regexp_replace(combined, _EMAIL_PAT, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(combined, F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+REP_THRESHOLD = 0.1  # Gopher-style: top token >10% of the doc → repetitive
+
+
+@query(
+    "j24_repetition_filter",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tok,
+           CAST(MAX(tf) AS BIGINT) AS max_tf,
+           ROUND(MAX(tf) * 1.0 / SUM(tf), 6) AS top_ratio,
+           MAX(tf) * 1.0 / SUM(tf) > {REP_THRESHOLD} AS repetitive
+    FROM tf GROUP BY doc_id
+    """,
+)
+def j24_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (j24, [NS]): the Gopher-rule
+    quality gate — a document whose single most frequent token exceeds
+    {REP_THRESHOLD:.0%} of its tokens is boilerplate/spam-shaped.
+    Reports token count, top token frequency, ratio and the flag.
+
+    100 TB notes: explode → (doc_id, tok) partial-agg → per-doc
+    max/sum — two partial-aggregable shuffles both keyed on doc_id
+    (the second reuses the first's partitioning), raw text never
+    shuffles. The ratio is bigint/bigint → identical doubles on both
+    engines; rounded 6dp for the report column, the FLAG compares the
+    unrounded value."""
+    tf = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ratio = F.max("tf") / F.sum("tf")
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tok"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+        F.round(ratio, 6).alias("top_ratio"),
+        (ratio > REP_THRESHOLD).alias("repetitive"),
+    )
