@@ -835,3 +835,86 @@ def j24_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("top_ratio"),
         (ratio > REP_THRESHOLD).alias("repetitive"),
     )
+
+
+@query(
+    "j25_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+        SELECT DISTINCT md5(lower(text)) AS dg
+        FROM documents WHERE doc_id % 10 <> 7
+    ),
+    newb AS (
+        SELECT doc_id, md5(lower(text)) AS dg
+        FROM documents WHERE doc_id % 10 = 7
+    )
+    SELECT doc_id, dg
+    FROM newb WHERE dg NOT IN (SELECT dg FROM hist)
+    """,
+)
+def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (j25, [NS]): the daily-crawl pattern —
+    admit only new-batch documents (stand-in: doc_id % 10 == 7) whose
+    content digest does not already exist in the historical corpus.
+    j1 dedups WITHIN a corpus; this dedups a delta AGAINST one.
+
+    100 TB notes: both sides reduce to 16-byte digests before the
+    anti-join, so the shuffle carries digests, never text; the join
+    keys co-partition. At real scale the history side is a
+    digest-only index table (exactly what a15's snapshot would store),
+    and Spark's bloom-filter join pushdown prunes most of the delta
+    before the shuffle."""
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text")).alias("dg")
+    )
+    hist = d.filter(F.col("doc_id") % 10 != 7).select("dg").distinct()
+    newb = d.filter(F.col("doc_id") % 10 == 7)
+    return newb.join(hist, "dg", "left_anti").select("doc_id", "dg")
+
+
+EVAL_PCT = 5  # 5% held out, stratified per language
+
+
+@query(
+    "j26_train_eval_split",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) FILTER (WHERE NOT is_eval) AS n_train,
+           COUNT(*) FILTER (WHERE is_eval) AS n_eval
+    FROM (SELECT lang,
+                 '0' || substr(md5(CAST(doc_id AS VARCHAR) || '/split'), 1, 5)
+                   < printf('%06x', (1048576 * {EVAL_PCT}) // 100) AS is_eval
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def j26_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/eval split (j26, [NS]): hold out
+    ~{EVAL_PCT}% of documents per language by a salted-hash threshold
+    — every doc keeps ONE fate across runs, engines and reshards
+    (f5/j14/j20 discipline: integer-derived threshold, zero-padded
+    20-bit hex compare — no float rates). Reports per-language
+    train/eval counts.
+
+    100 TB notes: pure map-side predicate folded into the scan + one
+    5-group partial agg; assignment needs no state, no sampling pass,
+    and is reproducible from doc_id alone."""
+    d = scan(spark, sf_dir, "documents")
+    thr = F.format_string("%06x", F.lit((1048576 * EVAL_PCT) // 100))
+    is_eval = (
+        F.concat(
+            F.lit("0"),
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("/split"))
+                ),
+                1,
+                5,
+            ),
+        )
+        < thr
+    )
+    return d.select("lang", is_eval.alias("is_eval")).groupBy("lang").agg(
+        F.count(F.when(~F.col("is_eval"), 1)).alias("n_train"),
+        F.count(F.when(F.col("is_eval"), 1)).alias("n_eval"),
+    )
