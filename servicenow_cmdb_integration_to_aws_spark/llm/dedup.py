@@ -442,20 +442,59 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
     )
 
 
-@query("j2b_simhash")  # rows-only: DuckDB lacks xxhash64, values can't match
+@query(
+    "j2b_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               CASE WHEN ((instr('0123456789abcdef',
+                                 substring(md5(tok), 4 - (bit // 4), 1)) - 1)
+                          >> (bit % 4)) & 1 = 1
+                    THEN 1 ELSE -1 END AS v
+        FROM tok, range(0, 16) t(bit)
+    ),
+    sums AS (SELECT doc_id, bit, SUM(v) AS s FROM votes GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+                         ELSE 0 END) AS BIGINT) AS simhash16
+    FROM sums GROUP BY doc_id
+    """,
+)
 def j2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup fingerprint (j2 family): per token, xxhash64
-    bits vote +1/-1 per bit position; the sign vector packs into a
-    16-bit fingerprint. Near-dups = small Hamming distance (checked in
-    unit tests with hand-built fixtures). Deterministic, one shuffle."""
+    """SimHash near-dup fingerprint (j2 family): per token, hash bits
+    vote +1/-1 per bit position; the sign vector packs into a 16-bit
+    fingerprint. Near-dups = small Hamming distance (checked in unit
+    tests with hand-built fixtures). Deterministic, one shuffle.
+
+    Hash family: the 16 MSB nibble-bits of md5(token) — md5 exists
+    bit-identically in both engines, which upgrades this id from
+    rows-only to a full value-level SQL oracle (xxhash64, the previous
+    family, is Spark-only). Hex-nibble extraction stays inside codegen
+    (instr/substring/shift on a 4-char prefix); at 100 TB the md5-vs-
+    xxhash64 cost difference is noise next to the explode shuffle."""
     tok = _tokens(spark, sf_dir)
     bit = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
-    votes = tok.select("doc_id", F.xxhash64("tok").alias("h"), bit).select(
+    votes = tok.select("doc_id", F.md5("tok").alias("h"), bit).select(
         "doc_id",
         "bit",
-        # shiftright/shiftleft take literal shift amounts; use SQL expr
-        # for a column-valued shift.
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("v"),
+        # column-valued shift amounts need SQL expr (shiftright takes a
+        # literal); nibble = position in the hex alphabet of the char
+        # holding this bit (chars are MSB-first: bits 15..12 → char 1).
+        F.when(
+            F.expr(
+                "((instr('0123456789abcdef', substring(h, 4 - (bit div 4), 1))"
+                " - 1) >> (bit % 4)) & 1"
+            )
+            == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("v"),
     )
     return (
         votes.groupBy("doc_id", "bit")

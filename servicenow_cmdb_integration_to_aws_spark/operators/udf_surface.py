@@ -75,15 +75,39 @@ def k2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("k3_grouped_map")  # rows-only: pandas float accumulation order
+@query(
+    "k3_grouped_map",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CASE WHEN coalesce(stddev_samp(c_acctbal)
+                              OVER (PARTITION BY c_nationkey), 0) > 0
+                THEN ROUND((c_acctbal
+                            - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                           / stddev_samp(c_acctbal)
+                             OVER (PARTITION BY c_nationkey), 6)
+                ELSE 0.0 END AS z_acctbal
+    FROM customer
+    """,
+)
 def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (k3): per-nation z-score of customer
-    balances — each group arrives as one pandas DataFrame."""
+    balances — each group arrives as one pandas DataFrame.
+
+    Oracle-parity notes: the group is sorted by c_custkey before the
+    moment computations so the float accumulation order is fixed (the
+    shuffle delivers group rows in nondeterministic order), and the
+    z-score rounds to 6dp on both sides — pandas' pairwise summation
+    and DuckDB's streaming sum agree far below that precision."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("c_custkey")
         std = pdf["c_acctbal"].std(ddof=1)
         mean = pdf["c_acctbal"].mean()
-        z = (pdf["c_acctbal"] - mean) / std if std and std > 0 else 0.0
+        z = (
+            ((pdf["c_acctbal"] - mean) / std).round(6)
+            if std and std > 0
+            else 0.0
+        )
         return pd.DataFrame(
             {
                 "c_nationkey": pdf["c_nationkey"],
@@ -98,16 +122,36 @@ def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("k4_pandas_udaf")  # rows-only: pandas float accumulation order
+@query(
+    "k4_pandas_udaf",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.1) AS lo,
+                      quantile_cont(value, 0.9) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_type, ROUND(AVG(e.value), 6) AS trimmed_mean_value
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value >= b.lo AND e.value <= b.hi
+    GROUP BY e.event_type
+    """,
+)
 def k4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (k4): per-event-type trimmed mean
-    (drop top/bottom 10%) — a UDAF Spark has no builtin for."""
+    (drop top/bottom 10%) — a UDAF Spark has no builtin for.
+
+    Oracle-parity notes: values sort before the mean (fixes float
+    accumulation order under nondeterministic shuffle arrival), the
+    result rounds to 6dp on both sides, and pandas' linear-interpolated
+    quantile is the same estimator as DuckDB's quantile_cont — both
+    interpolate between the order statistics at (n-1)*q, so the
+    trim-boundary row set is identical."""
 
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
+        v = v.sort_values()
         lo, hi = v.quantile(0.1), v.quantile(0.9)
         inner = v[(v >= lo) & (v <= hi)]
-        return float(inner.mean()) if len(inner) else float("nan")
+        return round(float(inner.mean()), 6) if len(inner) else float("nan")
 
     e = scan(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(

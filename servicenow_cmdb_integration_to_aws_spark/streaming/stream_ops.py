@@ -21,6 +21,7 @@ import os
 import shutil
 import tempfile
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,10 +130,20 @@ def _run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
-@query("a7_replay_stream")  # rows-only: true streaming source
+@query(
+    "a7_replay_stream",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, ts, user_id, event_type, value FROM e
+    """,
+)
 def a7_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay stream source (a7): events re-read as a file stream and
-    passed through unchanged — the change-feed replay entry point."""
+    passed through unchanged — the change-feed replay entry point.
+
+    SQL-oracle-checkable (the i11 trick): the plan is stateless
+    append, so the final materialized set equals the batch read no
+    matter how availableNow micro-batches the files."""
     s = _stream_events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -203,10 +214,21 @@ def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped)
 
 
-@query("i6_stream_static_join")  # rows-only: stream enrichment
+@query(
+    "i6_stream_static_join",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment, c.c_nationkey
+    FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
 def i6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static join (i6): enrich the event stream with the static
-    customer dimension (broadcast — the dim never shuffles the stream)."""
+    customer dimension (broadcast — the dim never shuffles the stream).
+
+    SQL-oracle-checkable: stateless per-row enrichment in append mode —
+    the final set is the batch left join regardless of micro-batching."""
     from ..sources.tables import scan
 
     s = _stream_events(spark, sf_dir)
@@ -219,38 +241,84 @@ def i6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined)
 
 
-@query("i7_stateful_counter")  # rows-only: custom stateful operator
+@query(
+    "i7_stateful_counter",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS total_cents
+    FROM e GROUP BY user_id
+    """,
+)
 def i7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful per-key processing (i7): running per-user event counter
     and value total maintained in the state store across micro-batches
-    via applyInPandasWithState (Arrow-batched, per-key state)."""
+    via applyInPandasWithState (Arrow-batched, per-key state).
+
+    SQL-oracle-checkable: the state is monotone (count + integer-cents
+    sum), so after materialization the latest row per key equals the
+    batch aggregate no matter how many micro-batches touched the key
+    (update mode appends one row per touched key per batch; the final
+    per-key max IS the final state). The value total accumulates as
+    ``floor(value*100)`` in int64 — integer addition is associative, so
+    the result is bit-exact across engines and accumulation orders
+    (float += would diverge from DuckDB's SUM at the ulp level)."""
     s = _stream_events(spark, sf_dir).select("user_id", "value")
 
     def update(key, pdf_iter, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(np.floor(pdf["value"].to_numpy() * 100.0).sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
         )
 
     out = s.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n bigint, total double",
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, output_mode="update")
+    mat = _run_to_memory(out, output_mode="update")
+    # update mode may emit one row per key per micro-batch; n_events
+    # strictly increases each time a batch touches the key, so the row
+    # with the max n_events is the final state (cents alone is not
+    # monotone — negative values exist).
+    final = F.max(F.struct("n_events", "total_cents")).alias("s")
+    return mat.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_cents").alias("total_cents"),
+    )
 
 
-@query("i10_stream_stream_join")  # rows-only: dual-stream stateful join
+@query(
+    "i10_stream_stream_join",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT p.event_id AS purchase_id, p.user_id AS p_user, p.ts AS p_ts,
+           c.event_id AS click_id, c.ts AS c_ts
+    FROM e p JOIN e c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
 def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (i10): purchases stream ⋈ clicks
     stream, click within 1 hour BEFORE the purchase, both sides
     watermarked — the canonical attribution join.
+
+    SQL-oracle-checkable: an INNER interval join emits a match in the
+    first micro-batch where both rows are present; state eviction only
+    happens *between* batches, and the staged source is one file ⇒ one
+    data micro-batch ⇒ no row is evicted before all matches emit. The
+    final appended set is exactly the batch interval join (the outer
+    variant i13 stays rows-only: its null-row emission depends on the
+    watermark eviction boundary, pinned by test instead).
 
     Both streams buffer rows in the state store; the watermarks plus
     the interval condition bound how long each side is retained
