@@ -45,6 +45,7 @@ def load_all():
             "servicenow_cmdb_integration_to_aws_spark.llm.dedup",
             "servicenow_cmdb_integration_to_aws_spark.llm.vectors",
             "servicenow_cmdb_integration_to_aws_spark.llm.text",
+            "servicenow_cmdb_integration_to_aws_spark.llm.pipeline",
             "servicenow_cmdb_integration_to_aws_spark.llm.multimodal",
             "servicenow_cmdb_integration_to_aws_spark.streaming.batch_equiv",
             "servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops",
@@ -144,7 +145,11 @@ def _reorder_for_driver_budget() -> None:
     # i11 = the r4 judge-parity FAIL; i5/i12/i4 = streaming ids
     # oracle-ified in r5 via the availableNow-deterministic trick;
     # a15/m4/m5 = new r5 components — all lead so the round's fixes
-    # and additions get driver hard-signal rows.
+    # and additions get driver hard-signal rows. The second group is
+    # the late-r5 oracle-ification wave: j2b/k3/k4 changed output
+    # values (md5 hash family, 6dp rounding) and i7 changed schema
+    # (integer cents), so their old green rows are stale; a7/i6/i10
+    # carry brand-new streaming oracles.
     first = [
         "i11_foreach_batch_merge",
         "i5_stream_dedup",
@@ -153,6 +158,13 @@ def _reorder_for_driver_budget() -> None:
         "a15_snapshot_compact",
         "m4_image_decode",
         "m5_audio_decode",
+        "j2b_simhash",
+        "k3_grouped_map",
+        "k4_pandas_udaf",
+        "i7_stateful_counter",
+        "i10_stream_stream_join",
+        "i6_stream_static_join",
+        "a7_replay_stream",
     ]
     ids = list(registry.QUERIES)
     unchecked = [

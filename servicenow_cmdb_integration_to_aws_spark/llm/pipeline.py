@@ -1,0 +1,265 @@
+"""LLM-pipeline curation operators, wave 3 (SURVEY §2-addendum r5):
+cross-doc boilerplate removal, quality classification, sequence
+packing [NS].
+
+100 TB notes: j27 shuffles 16-byte chunk digests + (doc_id, chunk)
+pairs — raw text moves exactly once, into bounded W-word chunks; j28
+is a pure map (zero shuffle, whole-stage codegen); j29 is the textbook
+two-phase distributed prefix-sum — per-bucket partial sums first, a
+bucket-cardinality (tiny) running total second, broadcast back — so no
+single task ever sees a whole language partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan, spread
+
+#: j27 chunk width (words). Small on purpose: the synthetic corpus has
+#: a ~30-word vocabulary, so 3-grams actually repeat across documents
+#: and the removal path is exercised; production pipelines use larger
+#: W (e.g. CCNet-style line/paragraph units).
+CHUNK_W = 3
+
+#: j29 tokens per packed training sequence.
+SEQ_BUDGET = 256
+
+#: j29 docs per prefix-sum bucket (phase-1 parallel unit).
+PACK_BUCKET = 100
+
+
+@query(
+    "j27_chunk_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents),
+    ch AS (
+        SELECT doc_id, cid,
+               array_to_string(
+                   list_slice(w, cid * {CHUNK_W} + 1,
+                              cid * {CHUNK_W} + {CHUNK_W}), ' ') AS chunk_txt
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CAST(ceil(length(w) / {CHUNK_W}.0)
+                                          AS BIGINT))) AS cid
+              FROM d)
+    ),
+    freq AS (SELECT md5(chunk_txt) AS dig, COUNT(DISTINCT doc_id) AS ndocs
+             FROM ch GROUP BY 1)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           COALESCE(string_agg(CASE WHEN ndocs < 2 THEN chunk_txt END,
+                               ' ' ORDER BY cid), '') AS cleaned_text
+    FROM ch JOIN freq ON md5(chunk_txt) = dig
+    GROUP BY doc_id
+    """,
+)
+def j27_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk dedup (j27): the CCNet/RefinedWeb-style
+    boilerplate scrub. Every document splits into fixed-width
+    CHUNK_W-word chunks; a chunk whose text occurs in ≥2 distinct
+    documents is boilerplate and is removed from ALL of them; the
+    cleaned document is the surviving chunks re-joined in order.
+
+    Shape: explode → digest-keyed doc-frequency agg (partial-agg
+    friendly: countDistinct over 16-byte md5 keys) → digest join back →
+    one doc_id-keyed reassembly shuffle. Raw text crosses the wire
+    chunk-wise exactly once; the frequency side carries digests only.
+    At 100 TB the digest agg is the classic hot-key-free shuffle; the
+    reassembly is bounded by document size, not corpus size."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("w") / F.lit(float(CHUNK_W))).cast("int") - 1,
+            )
+        ).alias("cid"),
+        "w",
+    ).select(
+        "doc_id",
+        "cid",
+        F.array_join(
+            F.slice("w", F.col("cid") * CHUNK_W + 1, F.lit(CHUNK_W)), " "
+        ).alias("chunk_txt"),
+    )
+    freq = (
+        ch.groupBy(F.md5("chunk_txt").alias("dig"))
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+    )
+    joined = ch.join(freq, F.md5(ch["chunk_txt"]) == freq["dig"])
+    kept_struct = F.when(
+        F.col("ndocs") < 2, F.struct("cid", "chunk_txt")
+    )  # collect_list drops nulls -> only kept chunks are gathered
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk_txt,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+@query(
+    "j28_quality_classifier",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               string_split(lower(text), ' ') AS w,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               CAST(length(w) AS BIGINT) AS n_tok,
+               CAST(length(list_distinct(w)) AS DOUBLE) / length(w) AS ttr,
+               CAST(length(list_filter(w, x -> x IN ('a', 'the')))
+                    AS DOUBLE) / length(w) AS stop_ratio,
+               (n_chars - (length(w) - 1)) / length(w) AS mean_len
+        FROM f
+    )
+    SELECT doc_id, lang, n_tok,
+           ROUND(ttr, 6) AS ttr,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(0.3 + 1.2 * ttr - 0.8 * stop_ratio + 0.05 * mean_len
+                 - 0.002 * n_tok, 6) AS score,
+           ROUND(0.3 + 1.2 * ttr - 0.8 * stop_ratio + 0.05 * mean_len
+                 - 0.002 * n_tok, 6) >= 0.5 AS keep
+    FROM feat
+    """,
+)
+def j28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality classifier (j28): fixed-weight linear model over cheap
+    engineered features — type-token ratio, stopword ratio, mean word
+    length, length penalty — the shape of a fasttext-style quality
+    gate with the learned weights pinned as constants.
+
+    Pure map in one whole-stage-codegen span: zero shuffle, pushes to
+    the scan, embarrassingly parallel at any scale. Feature divisions
+    and the linear combination are written in the identical
+    parenthesization on both engines; the 6dp round is insurance, not
+    a crutch — each feature is a single IEEE division."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    w = F.split(F.lower("text"), " ")
+    n_tok = F.size(w)
+    n_chars = F.length("text").cast("double")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin("a", "the"))).cast("double")
+        / n_tok
+    )
+    mean_len = (n_chars - (n_tok - F.lit(1))) / n_tok
+    score = F.round(
+        F.lit(0.3)
+        + F.lit(1.2) * ttr
+        - F.lit(0.8) * stop_ratio
+        + F.lit(0.05) * mean_len
+        - F.lit(0.002) * n_tok,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("long").alias("n_tok"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+@query(
+    "j29_seq_pack",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(length(string_split(text, ' ')) AS BIGINT)
+                          AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, lang, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, lang, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS stream_off,
+           CAST((cum - n_tok) // {SEQ_BUDGET} AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def j29_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (j29): concat-and-chunk pretraining layout.
+    Documents stream in deterministic (lang, doc_id) order; each doc's
+    start offset in the per-language token stream assigns it to a
+    SEQ_BUDGET-token training sequence (seq_id = start div budget).
+
+    The naive plan — one window cumsum per language — funnels every
+    document of a language through ONE task (the classic 100 TB
+    prefix-sum wall). This runs the two-phase scan instead:
+    phase 1 computes within-bucket cumsums in parallel (bucket =
+    doc_id div PACK_BUCKET, a window over small bounded partitions);
+    phase 2 aggregates one row per bucket (corpus/PACK_BUCKET rows —
+    tiny), runs the running total over THAT, and broadcasts the bucket
+    base offsets back. Every offset is integer arithmetic ⇒ bit-exact
+    vs the oracle's single-window formulation."""
+    t = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (F.col("doc_id") / F.lit(PACK_BUCKET)).cast("long").alias("bucket"),
+    )
+    # Filter the join keys non-null BEFORE the plan branches: the join
+    # below would otherwise infer isnotnull constraints asymmetrically
+    # into the two branches, their canonical plans would diverge, and
+    # AQE's ReusedExchange would miss — doubling the corpus scan
+    # (verified: with this filter the executed plan has ONE FileScan).
+    t = t.filter(F.col("lang").isNotNull() & F.col("bucket").isNotNull())
+    in_bucket = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+    phase1 = t.withColumn(
+        "local_cum", F.sum("n_tok").over(in_bucket) - F.col("n_tok")
+    )
+    bucket_w = Window.partitionBy("lang").orderBy("bucket")
+    # Derive bucket totals FROM phase1 (last row's local_cum + n_tok ==
+    # the bucket sum), not from a second scan of t: the groupBy hashes
+    # on the same (lang, bucket) keys as phase1's window exchange, so
+    # AQE serves it from a ReusedExchange — the corpus is scanned and
+    # tokenized exactly once.
+    offsets = (
+        phase1.groupBy("lang", "bucket")
+        .agg(F.max(F.col("local_cum") + F.col("n_tok")).alias("btotal"))
+        .withColumn(
+            "base", F.sum("btotal").over(bucket_w) - F.col("btotal")
+        )
+        .select("lang", "bucket", "base")
+    )
+    return (
+        phase1.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn("stream_off", F.col("base") + F.col("local_cum"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            "stream_off",
+            # integer div, not /: double division truncates silently
+            # past 2^53 at real stream lengths
+            F.expr(f"stream_off div {SEQ_BUDGET}").alias("seq_id"),
+        )
+    )

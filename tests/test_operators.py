@@ -702,3 +702,89 @@ def test_wav_decode_chunk_walk_and_alignment():
     rate, ch, n, peak, mean = decode_audio(payload)
     assert (rate, ch, n, peak) == (8000, 1, 3, 10)
     assert abs(mean - 10 / 3) < 1e-12
+
+
+def _docs_fixture(spark, rows):
+    """Write a documents.parquet fixture dir and return its path."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="docsfix_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_chunk_dedup_removes_shared_keeps_unique(spark):
+    """j27: a 3-word chunk shared by two docs is scrubbed from both;
+    doc-unique chunks survive, in original order."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    d = _docs_fixture(
+        spark,
+        [
+            # chunk cells (W=3): doc1 = [common], [one two three]
+            (1, "common shared chunk one two three", "en", "s", 1),
+            # doc2 = [common], [four five six]
+            (2, "common shared chunk four five six", "en", "s", 1),
+            (3, "seven eight nine ten eleven twelve", "en", "s", 1),
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in QUERIES["j27_chunk_dedup"](spark, d).collect()
+    }
+    assert out[1]["n_removed"] == 1
+    assert out[1]["cleaned_text"] == "one two three"
+    assert out[2]["cleaned_text"] == "four five six"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == "seven eight nine ten eleven twelve"
+
+
+def test_quality_classifier_orders_docs_sanely(spark):
+    """j28: a diverse-vocab doc outscores a stopword-soup doc of the
+    same length; the keep flag follows the 0.5 threshold."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    d = _docs_fixture(
+        spark,
+        [
+            (1, "quantum relativity entropy manifold tensor gauge", "en", "s", 1),
+            (2, "the a the a the a the a the a the a", "en", "s", 1),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["j28_quality_classifier"](spark, d).collect()
+    }
+    assert out[1]["score"] > out[2]["score"]
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[2]["stop_ratio"] == 1.0
+
+
+def test_seq_pack_offsets_and_bucket_straddle(spark):
+    """j29: per-lang offsets are the exact running token total in
+    doc_id order — including across PACK_BUCKET boundaries (the
+    two-phase prefix-sum must splice bucket bases correctly) — and
+    seq_id is the SEQ_BUDGET-quotient of the start offset."""
+    from servicenow_cmdb_integration_to_aws_spark.llm.pipeline import (
+        PACK_BUCKET,
+        SEQ_BUDGET,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    # doc_ids straddle a bucket boundary on purpose
+    ids = [PACK_BUCKET - 2, PACK_BUCKET - 1, PACK_BUCKET, PACK_BUCKET + 1]
+    texts = ["w " * 200, "x " * 100, "y " * 50, "z " * 25]  # trailing space
+    d = _docs_fixture(
+        spark,
+        [(i, t.strip(), "en", "s", 1) for i, t in zip(ids, texts)]
+        + [(7, "solo doc here", "fr", "s", 1)],
+    )
+    rows = {
+        r["doc_id"]: r for r in QUERIES["j29_seq_pack"](spark, d).collect()
+    }
+    expect_off = {ids[0]: 0, ids[1]: 200, ids[2]: 300, ids[3]: 350, 7: 0}
+    for i, off in expect_off.items():
+        assert rows[i]["stream_off"] == off, (i, rows[i])
+        assert rows[i]["seq_id"] == off // SEQ_BUDGET
