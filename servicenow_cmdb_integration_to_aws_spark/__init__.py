@@ -46,6 +46,7 @@ def load_all():
             "servicenow_cmdb_integration_to_aws_spark.llm.vectors",
             "servicenow_cmdb_integration_to_aws_spark.llm.text",
             "servicenow_cmdb_integration_to_aws_spark.llm.pipeline",
+            "servicenow_cmdb_integration_to_aws_spark.operators.analytics",
             "servicenow_cmdb_integration_to_aws_spark.llm.multimodal",
             "servicenow_cmdb_integration_to_aws_spark.streaming.batch_equiv",
             "servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops",

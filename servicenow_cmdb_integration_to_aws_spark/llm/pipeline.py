@@ -30,6 +30,9 @@ SEQ_BUDGET = 256
 #: j29 docs per prefix-sum bucket (phase-1 parallel unit).
 PACK_BUCKET = 100
 
+#: j31 n-gram width (words).
+NOVELTY_N = 3
+
 
 @query(
     "j27_chunk_dedup",
@@ -261,5 +264,83 @@ def j29_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer div, not /: double division truncates silently
             # past 2^53 at real stream lengths
             F.expr(f"stream_off div {SEQ_BUDGET}").alias("seq_id"),
+        )
+    )
+
+
+@query(
+    "j31_novelty_score",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i + 1, i + {NOVELTY_N}), ' ')
+                   AS gram
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CASE WHEN length(w) >= {NOVELTY_N}
+                                          THEN length(w) - {NOVELTY_N} + 1
+                                          ELSE 0 END)) AS i
+              FROM d)
+    ),
+    first_seen AS (SELECT gram, MIN(doc_id) AS first_doc
+                   FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen_before,
+           ROUND(1.0 - CAST(SUM(CASE WHEN f.first_doc < g.doc_id
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*), 6) AS novelty
+    FROM grams g JOIN first_seen f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+)
+def j31_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (j31): for each document, the fraction
+    of its distinct word-3-grams that no earlier document (lower
+    doc_id = earlier in the stream) already contains — the
+    memorization-risk / freshness metric run over incoming crawl
+    batches. novelty 1.0 = all new text; ≈0 = the doc restates the
+    corpus.
+
+    Shape: sliding-gram explode → distinct → gram-keyed MIN(doc_id)
+    agg (partial-agg friendly) → gram join back → doc_id agg. Raw
+    grams shuffle once; the first-seen side carries (gram, min) pairs.
+    Same chassis as j27 with frequency replaced by first-occurrence —
+    at 100 TB the gram-keyed agg dominates and has no hot key (grams
+    near-unique by construction)."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    n = NOVELTY_N
+    # sliding 3-gram starts 0..len-3; guard len<3 (Spark's sequence()
+    # DESCENDS for start>stop instead of returning empty)
+    starts = F.when(
+        F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        d.select("doc_id", F.explode(starts).alias("i"), "w")
+        .select(
+            "doc_id",
+            F.array_join(F.slice("w", F.col("i") + 1, F.lit(n)), " ").alias(
+                "gram"
+            ),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            seen.alias("n_seen_before"),
+            F.round(
+                F.lit(1.0) - seen.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
         )
     )

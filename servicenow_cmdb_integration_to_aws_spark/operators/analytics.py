@@ -1,0 +1,153 @@
+"""Event-analytics workloads (SURVEY §2-addendum r5): conversion
+funnel and cohort retention — the two classic warehouse queries every
+event-stream consumer runs over the CMDB activity feed.
+
+100 TB notes: both queries move events through user_id-keyed shuffles
+exactly once (t9 computes all three funnel stages with consecutive
+window passes over ONE exchange; t10's per-user day-grain collapse
+happens before the cohort agg, so the second shuffle carries
+user-day rows, not raw events)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import EVENTS_US, query
+from ..sources.tables import scan
+
+#: funnel step window: the next stage must land within this horizon
+FUNNEL_DAYS = 7
+
+
+@query(
+    "t9_funnel",
+    oracle=f"""
+    {EVENTS_US},
+    v AS (SELECT user_id, MIN(ts) AS v_ts FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+            AND e.ts <= v.v_ts + INTERVAL {FUNNEL_DAYS} DAY
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+            AND e.ts <= c.c_ts + INTERVAL {FUNNEL_DAYS} DAY
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+           CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                     WHEN c.c_ts IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def t9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (t9): first view → first click within 7 days
+    of it → first purchase within 7 days of that, per user; `stage` is
+    how far the user got.
+
+    One user_id exchange total: each stage is a conditional window-min
+    over the SAME partitioning (stage n's predicate references stage
+    n-1's column, so they stack as consecutive selects; Catalyst folds
+    them into window passes over one shuffle — no self-joins, unlike
+    the textbook three-join funnel the oracle runs)."""
+    w = Window.partitionBy("user_id")
+    ev = scan(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    horizon = F.expr(f"INTERVAL {FUNNEL_DAYS} DAY")
+    staged = (
+        ev.withColumn(
+            "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("v_ts"))
+                    & (F.col("ts") <= F.col("v_ts") + horizon),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("c_ts"))
+                    & (F.col("ts") <= F.col("c_ts") + horizon),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.filter(F.col("v_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("v_ts").alias("v_ts"),
+            F.first("c_ts").alias("c_ts"),
+            F.first("p_ts").alias("p_ts"),
+        )
+        .withColumn(
+            "stage",
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long"),
+        )
+    )
+
+
+@query(
+    "t10_cohort",
+    oracle=f"""
+    {EVENTS_US},
+    cohort AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+               FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e)
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    WHERE a.day >= c.cohort_day
+    GROUP BY 1, 2
+    """,
+)
+def t10_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (t10): users grouped by signup day; for each
+    cohort and day-offset k, how many were active (any event) k days
+    after signing up — the retention triangle.
+
+    Events collapse to ONE user-day-grain aggregate; the cohort day is
+    then a window-min over the user partition of that SAME lineage (no
+    self-join, no second scan — a branched cohort-join formulation
+    scans the corpus twice because column pruning makes the branches
+    canonically unequal and defeats exchange reuse). Everything after
+    the first shuffle carries user-day rows (bounded by users x days,
+    not event volume); the per-user window partitions are bounded by
+    days-in-period, so there is no skew surface."""
+    ev = scan(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ud = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_min")
+    )
+    cohort_day = (
+        F.min("s_min").over(Window.partitionBy("user_id")).cast("date")
+    )
+    return (
+        ud.withColumn("cohort_day", cohort_day)
+        .filter(
+            F.col("cohort_day").isNotNull()
+            & (F.col("day") >= F.col("cohort_day"))
+        )
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

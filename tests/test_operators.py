@@ -788,3 +788,65 @@ def test_seq_pack_offsets_and_bucket_straddle(spark):
     for i, off in expect_off.items():
         assert rows[i]["stream_off"] == off, (i, rows[i])
         assert rows[i]["seq_id"] == off // SEQ_BUDGET
+
+
+def test_funnel_stage_semantics(spark):
+    """t9: the click must fall in [first view, +7d] and the purchase in
+    [first qualifying click, +7d]; out-of-order or out-of-window events
+    don't advance the funnel."""
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    rows = [
+        # u1: view -> click(+1h) -> purchase(+2h): reaches stage 3
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 01:00:00", 1, "click"),
+        (3, "2024-01-01 02:00:00", 1, "purchase"),
+        # u2: click BEFORE any view -> stuck at stage 1
+        (4, "2024-01-01 00:00:00", 2, "click"),
+        (5, "2024-01-01 01:00:00", 2, "view"),
+        # u3: view, click 8 days later (outside horizon) -> stage 1
+        (6, "2024-01-01 00:00:00", 3, "view"),
+        (7, "2024-01-09 00:00:01", 3, "click"),
+        # u4: no view at all -> not in the funnel
+        (8, "2024-01-01 00:00:00", 4, "purchase"),
+    ]
+    d = tempfile.mkdtemp(prefix="funnelfix_")
+    spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in QUERIES["t9_funnel"](spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["stage"] == 3
+    assert out[2]["stage"] == 1 and out[2]["c_ts"] is None
+    assert out[3]["stage"] == 1
+
+
+def test_novelty_first_doc_fully_novel(spark):
+    """j31: the lowest doc_id is 100% novel; an exact restatement of it
+    scores 0; a doc sharing no grams scores 1."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    d = _docs_fixture(
+        spark,
+        [
+            (1, "one two three four five", "en", "s", 1),
+            (2, "one two three four five", "en", "s", 1),
+            (3, "six seven eight nine ten", "en", "s", 1),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["j31_novelty_score"](spark, d).collect()
+    }
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[1]["n_grams"] == 3  # 5 words -> 3 sliding 3-grams
