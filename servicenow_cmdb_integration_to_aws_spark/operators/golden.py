@@ -279,3 +279,146 @@ def t7_golden_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+@query(
+    "t11_golden_q2",
+    oracle="""
+    WITH costed AS (
+        SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name,
+               l.l_extendedprice / l.l_quantity AS unit_cost,
+               MIN(l.l_extendedprice / l.l_quantity) OVER
+                   (PARTITION BY p.p_partkey) AS min_cost
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+    )
+    SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+           ROUND(unit_cost, 6) AS unit_cost
+    FROM costed WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def t11_golden_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q2 analogue — minimum-cost supplier: for every size-15
+    part, the EUROPE supplier(s) shipping it at the lowest unit cost
+    (the schema has no partsupp, so shipped lineitems stand in for the
+    supply catalog and extendedprice/quantity for ps_supplycost).
+    Q2's correlated-MIN subquery becomes a window-min over the part
+    key — one pass, no re-scan, ties emitted like the subquery form.
+
+    100 TB notes: supplier⋈nation⋈region and part are broadcast dims;
+    lineitem shuffles ONCE on p_partkey for the window; the final
+    top-100 is TakeOrderedAndProject. The equality filter compares the
+    same IEEE division both engines computed — bit-exact."""
+    s = scan(spark, sf_dir, "supplier")
+    n = scan(spark, sf_dir, "nation")
+    r = scan(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = scan(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    dims = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window
+
+    unit_cost = F.col("l_extendedprice") / F.col("l_quantity")
+    w = Window.partitionBy("p_partkey")
+    costed = (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("unit_cost", unit_cost)
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+    )
+    return (
+        costed.filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "t12_golden_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def t12_golden_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q21 analogue — sole-faulty-supplier report: suppliers
+    whose returned ('R') lineitems sit in finalized multi-supplier
+    orders where NO other supplier had a return (the schema has no
+    commit/receipt dates, so the returnflag stands in for "kept
+    waiting"). Q21's EXISTS / NOT-EXISTS pair compiles to a left-semi
+    and a left-anti self-join of lineitem on the order key.
+
+    100 TB notes: all three lineitem legs hash-shuffle on l_orderkey —
+    co-partitioned, so the semi/anti pair adds no extra full-table
+    exchange beyond the first; supplier is a broadcast dim and the
+    final top-20 is TakeOrderedAndProject."""
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    faulty = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        # orders is NOT broadcast: the status filter keeps ~1/3 of an
+        # arbitrarily large fact table; the join key is l_orderkey, the
+        # same key the semi/anti legs already hash on (co-partitioned).
+        faulty.join(
+            o.select("o_orderkey"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
