@@ -119,6 +119,39 @@ def j27_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_columns() -> list:
+    """The j28 feature/score column expressions — shared by the batch
+    classifier (j28) and its streaming application (i14): one
+    definition guarantees batch and stream gate documents
+    identically."""
+    w = F.split(F.lower("text"), " ")
+    n_tok = F.size(w)
+    n_chars = F.length("text").cast("double")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin("a", "the"))).cast("double")
+        / n_tok
+    )
+    mean_len = (n_chars - (n_tok - F.lit(1))) / n_tok
+    score = F.round(
+        F.lit(0.3)
+        + F.lit(1.2) * ttr
+        - F.lit(0.8) * stop_ratio
+        + F.lit(0.05) * mean_len
+        - F.lit(0.002) * n_tok,
+        6,
+    )
+    return [
+        F.col("doc_id"),
+        F.col("lang"),
+        n_tok.cast("long").alias("n_tok"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    ]
+
+
 @query(
     "j28_quality_classifier",
     oracle="""
@@ -161,32 +194,7 @@ def j28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(
         scan(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
-    w = F.split(F.lower("text"), " ")
-    n_tok = F.size(w)
-    n_chars = F.length("text").cast("double")
-    ttr = F.size(F.array_distinct(w)).cast("double") / n_tok
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: x.isin("a", "the"))).cast("double")
-        / n_tok
-    )
-    mean_len = (n_chars - (n_tok - F.lit(1))) / n_tok
-    score = F.round(
-        F.lit(0.3)
-        + F.lit(1.2) * ttr
-        - F.lit(0.8) * stop_ratio
-        + F.lit(0.05) * mean_len
-        - F.lit(0.002) * n_tok,
-        6,
-    )
-    return d.select(
-        "doc_id",
-        "lang",
-        n_tok.cast("long").alias("n_tok"),
-        F.round(ttr, 6).alias("ttr"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        score.alias("score"),
-        (score >= 0.5).alias("keep"),
-    )
+    return d.select(*quality_columns())
 
 
 @query(

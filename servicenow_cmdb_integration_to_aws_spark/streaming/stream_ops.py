@@ -49,6 +49,25 @@ _EVENTS_MICROS_SCHEMA = (
 
 _STAGED: dict[str, str] = {}
 _TS_KIND: dict[str, str] = {}
+_STAGED_DOCS: dict[str, str] = {}
+
+#: readStream schema for the documents table (stable across testdata
+#: generations — no timestamp column)
+_DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _stage_docs_dir(sf_dir: str) -> str:
+    """Stage documents.parquet into a directory for FileStreamSource
+    (same pattern as _stage_dir for events)."""
+    if sf_dir not in _STAGED_DOCS:
+        d = tempfile.mkdtemp(prefix="stream_docs_")
+        shutil.copy(
+            path_of(sf_dir, "documents"), os.path.join(d, "documents.parquet")
+        )
+        _STAGED_DOCS[sf_dir] = d
+    return _STAGED_DOCS[sf_dir]
 
 
 def _stage_dir(sf_dir: str) -> str:
@@ -523,3 +542,57 @@ def i12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, output_mode="append")
+
+
+@query(
+    "i14_stream_quality_gate",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               string_split(lower(text), ' ') AS w,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               CAST(length(w) AS BIGINT) AS n_tok,
+               CAST(length(list_distinct(w)) AS DOUBLE) / length(w) AS ttr,
+               CAST(length(list_filter(w, x -> x IN ('a', 'the')))
+                    AS DOUBLE) / length(w) AS stop_ratio,
+               (n_chars - (length(w) - 1)) / length(w) AS mean_len
+        FROM f
+    )
+    SELECT doc_id, lang, n_tok,
+           ROUND(0.3 + 1.2 * ttr - 0.8 * stop_ratio + 0.05 * mean_len
+                 - 0.002 * n_tok, 6) AS score
+    FROM feat
+    WHERE ROUND(0.3 + 1.2 * ttr - 0.8 * stop_ratio + 0.05 * mean_len
+                - 0.002 * n_tok, 6) >= 0.5
+    """,
+)
+def i14_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate (i14): j28's fixed-weight classifier
+    applied to a document STREAM — the always-on ingest filter that
+    admits crawl batches into the training corpus as they land. The
+    expressions are literally j28's (one shared definition,
+    llm/pipeline.quality_columns), so batch backfill and the live
+    gate can never disagree.
+
+    SQL-oracle-checkable: stateless per-row map in append mode — the
+    final set equals the batch classifier restricted to keep=true,
+    regardless of micro-batching. 100 TB notes: per-file map
+    parallelism, no state store, no watermark — the cheapest possible
+    streaming operator shape."""
+    from ..llm.pipeline import quality_columns
+
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .load(_stage_docs_dir(sf_dir))
+    )
+    gated = (
+        raw.select(*quality_columns())
+        .filter(F.col("keep"))
+        .select("doc_id", "lang", "n_tok", "score")
+    )
+    return _run_to_memory(gated)

@@ -280,3 +280,22 @@ def test_snapshot_compact_equals_merge_on_read(spark, sf_dir):
     )
     assert compacted == expected
     assert mor == expected
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_dir):
+    """i14: the streaming gate admits exactly the docs the batch
+    classifier (j28) keeps — same ids, same scores (shared expression
+    list makes divergence structurally impossible; this pins it)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    batch = {
+        r["doc_id"]: r["score"]
+        for r in q["j28_quality_classifier"](spark, sf_dir).collect()
+        if r["keep"]
+    }
+    stream = {
+        r["doc_id"]: r["score"]
+        for r in q["i14_stream_quality_gate"](spark, sf_dir).collect()
+    }
+    assert stream == batch and len(stream) > 0
