@@ -422,3 +422,240 @@ def t12_golden_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "t13_golden_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def t13_golden_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q4 analogue — order-priority checking: orders placed in
+    one quarter that had at least one returned ('R') lineitem, counted
+    per priority class (the schema has no commit/receipt dates, so the
+    returnflag stands in for "delivered late"). Q4's EXISTS compiles to
+    a left-semi join on the order key.
+
+    100 TB notes: the quarter filter pushes to the orders scan; both
+    semi-join legs hash-shuffle once on the order key (neither side is
+    broadcast-sized); the 5-group count is partial-aggregated map-side
+    so the final exchange carries five rows per task."""
+    o = scan(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = scan(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "t14_golden_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice, l_discount
+          FROM supplier s
+          JOIN lineitem l ON s_suppkey = l_suppkey
+          JOIN orders o ON o_orderkey = l_orderkey
+          JOIN customer cu ON cu.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON cu.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def t14_golden_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q7 analogue — volume shipping between two nations: yearly
+    bilateral revenue where the supplier sits in one of the pair and
+    the customer in the other. The nation pair predicate is applied to
+    the two broadcast dims BEFORE the spine join, so non-pair rows
+    never reach the shuffle.
+
+    100 TB notes: supplier⋈nation and customer⋈nation reduce to tiny
+    keyed dims (pair nations only) and broadcast into the two fact
+    scans; lineitem⋈orders is the single shuffled spine on the order
+    key; the cross-pair disjunction survives as a cheap post-join
+    filter on two broadcast-resolved columns; the (2×2×years)-group
+    agg is partial-aggregated."""
+    pair = ("NATION_3", "NATION_7")
+    n = scan(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = scan(spark, sf_dir, "supplier")
+    cu = scan(spark, sf_dir, "customer")
+    sdim = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cdim = cu.join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("n2_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("n2_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cdim), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "t15_golden_q17",
+    oracle="""
+    WITH pavg AS (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+        GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN pavg ON lineitem.l_partkey = pavg.l_partkey
+    WHERE l_quantity < qty_thresh
+    """,
+)
+def t15_golden_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q17 analogue — small-quantity-order revenue: weekly-ish
+    revenue lost if orders below 20% of a part's average quantity were
+    no longer taken, for one brand. Q17's correlated AVG subquery
+    becomes a per-part aggregate joined back to the same filtered
+    lineitems.
+
+    Float-parity: l_quantity values are integer-valued doubles, so the
+    per-part AVG (exact integer sum / count) is bit-identical in both
+    engines regardless of accumulation order; the revenue sum goes
+    through DECIMAL (numeric.py policy).
+
+    100 TB notes: the brand filter reduces part to ~1/brand-count and
+    broadcasts into the lineitem scan; the per-part threshold table is
+    part-cardinality-small, so it broadcasts BACK into the second pass
+    (two scans, zero fact shuffles) instead of hash-joining the fact on
+    l_partkey — at 100 TB a rescan with pushed filters beats a full
+    fact exchange."""
+    p13 = scan(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(
+        F.broadcast(p13.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pavg = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li_b.withColumnRenamed("l_partkey", "lk")
+        .join(F.broadcast(pavg), F.col("lk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (dsum(dec("l_extendedprice")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "t16_golden_q22",
+    oracle="""
+    WITH thresh AS (
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*) AS DOUBLE) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer, thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def t16_golden_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q22 analogue — dormant high-balance customers: per
+    nation, customers whose balance exceeds the positive-balance
+    average and who placed NO order since 2000 (every customer here
+    has historical orders, so Q22's "never ordered" becomes "gone
+    dormant" — the realistic churn variant anyway).
+
+    Float-parity: the global average is derived as exact DECIMAL sum →
+    DOUBLE, divided by the count in double — bit-identical both
+    engines (no order-dependent double accumulation).
+
+    100 TB notes: the threshold is a 1-row aggregate crossJoin-
+    broadcast back (never a driver-side collect); the NOT EXISTS is a
+    left-anti join — orders is fact-sized so both anti legs shuffle
+    once on the customer key; the date filter pushes to the orders
+    scan and shrinks the anti build side first."""
+    cu = scan(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thresh = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (dsum(dec("c_acctbal")) / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_bal")
+        )
+    )
+    recent = scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cu.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
