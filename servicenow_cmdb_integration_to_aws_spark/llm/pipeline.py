@@ -352,3 +352,32 @@ def j31_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+#: ASCII-classed email pattern (Java regex ≡ RE2, j18 discipline) —
+#: shared by j23 (batch) and i16 (stream).
+EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+def redact_columns() -> list:
+    """The j23 redaction column expressions — shared by the batch
+    redactor (j23) and its streaming application (i16): one definition
+    guarantees batch backfill and the live scrubber redact
+    identically. (The corpus text carries no emails, so each doc gets
+    a synthetic contact line appended before redaction — both engines
+    count and replace independently.)"""
+    combined = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    redacted = F.regexp_replace(combined, EMAIL_PAT, "<EMAIL>")
+    return [
+        F.col("doc_id"),
+        F.size(F.regexp_extract_all(combined, F.lit(EMAIL_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    ]

@@ -737,8 +737,10 @@ def j22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: ASCII-classed (Java regex ≡ RE2, j18 discipline): local@domain.tld
-_EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+#: ASCII-classed (Java regex ≡ RE2, j18 discipline): local@domain.tld.
+#: The column expressions live in pipeline.redact_columns() — shared
+#: with the streaming redactor (i16) so batch and stream can't diverge.
+from .pipeline import EMAIL_PAT as _EMAIL_PAT  # noqa: E402
 
 
 @query(
@@ -771,24 +773,12 @@ def j23_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII-classed so Java regex and RE2 agree (j18 discipline). Add
     phone/SSN patterns as further regexp_replace passes in the same
     projection — still one codegen stage."""
+    from .pipeline import redact_columns
+
     d = spread(
         scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
-    combined = F.concat(
-        F.col("text"),
-        F.lit(" contact: user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com"),
-    )
-    redacted = F.regexp_replace(combined, _EMAIL_PAT, "<EMAIL>")
-    return d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(combined, F.lit(_EMAIL_PAT), F.lit(0)))
-        .cast("bigint")
-        .alias("n_redactions"),
-        F.length(redacted).cast("bigint").alias("redacted_len"),
-        F.md5(redacted).alias("redacted_md5"),
-    )
+    return d.select(*redact_columns())
 
 
 REP_THRESHOLD = 0.1  # Gopher-style: top token >10% of the doc → repetitive
@@ -917,4 +907,149 @@ def j26_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("lang", is_eval.alias("is_eval")).groupBy("lang").agg(
         F.count(F.when(~F.col("is_eval"), 1)).alias("n_train"),
         F.count(F.when(F.col("is_eval"), 1)).alias("n_eval"),
+    )
+
+
+WIN_K = 3  # winnowing: word-gram width
+WIN_W = 4  # winnowing: hashes per selection window
+
+
+@query(
+    "j32_winnowing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(toks) - {WIN_K} + 1 AS n_grams,
+               unnest(range(1, len(toks) - {WIN_K} + 2)) AS pos, toks
+        FROM t WHERE len(toks) >= {WIN_K}
+    ),
+    h AS (
+        SELECT doc_id, n_grams, pos,
+               md5(array_to_string(toks[pos:pos + {WIN_K} - 1], ' ')) AS gh
+        FROM g
+    ),
+    wmin AS (
+        SELECT doc_id, pos, n_grams,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW
+                                      AND {WIN_W - 1} FOLLOWING) AS sel
+        FROM h
+    )
+    SELECT doc_id, COUNT(DISTINCT sel) AS n_fp, MIN(sel) AS fp_min
+    FROM wmin WHERE pos <= n_grams - {WIN_W} + 1
+    GROUP BY doc_id
+    """,
+)
+def j32_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (j32, [NS]): the
+    Schleimer-Wilkerson-Aiken local fingerprinting scheme — hash every
+    word-{WIN_K}-gram, slide a window of {WIN_W} consecutive hashes,
+    select each window's minimum; the distinct selected hashes are the
+    doc's fingerprint set. Guarantees any shared run of
+    {WIN_K}+{WIN_W}-1 words between two docs shares a fingerprint —
+    the positional near-dup detector that MinHash (global, unordered)
+    cannot express. Emits per-doc fingerprint count + canonical min
+    fingerprint.
+
+    100 TB notes: the gram explode is map-side; ONE shuffle on doc_id
+    feeds the selection window, and the final per-doc agg reuses that
+    exact partitioning (no second exchange). The shuffle carries
+    (doc_id, pos, 32-char hash) — never raw text. Cross-doc matching
+    (join docs on shared fingerprints) is then a fingerprint-keyed
+    join, LSH-bucket-capped exactly like j2."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    grams = (
+        d.filter(F.size("toks") >= WIN_K)
+        .select(
+            "doc_id",
+            (F.size("toks") - WIN_K + 1).alias("n_grams"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - WIN_K + 1)
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            F.md5(F.array_join(F.slice("toks", F.col("pos"), WIN_K), " ")).alias(
+                "gh"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WIN_W - 1)
+    )
+    return (
+        grams.withColumn("sel", F.min("gh").over(w))
+        .filter(F.col("pos") <= F.col("n_grams") - WIN_W + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sel").alias("n_fp"),
+            F.min("sel").alias("fp_min"),
+        )
+    )
+
+
+@query(
+    "j34_length_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(FLOOR(LOG2(n_chars)) AS BIGINT) AS bucket
+        FROM documents WHERE n_chars > 0
+    ),
+    per AS (
+        SELECT bucket, COUNT(*) AS n_docs FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_docs) AS total FROM per)
+    SELECT bucket,
+           CAST(POW(2, bucket) AS BIGINT) AS lo_chars,
+           CAST(POW(2, bucket + 1) - 1 AS BIGINT) AS hi_chars,
+           n_docs,
+           ROUND(n_docs * 1.0 / total, 6) AS share
+    FROM per, tot
+    ORDER BY bucket
+    """,
+)
+def j34_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram (j34, [NS]): documents bucketed by
+    power-of-two character length with per-bucket share — the
+    first-look distribution check every corpus audit starts with
+    (truncation spikes, boilerplate walls, and over-long outliers all
+    show up as bucket anomalies before any content analysis).
+
+    100 TB notes: one partial-aggregable shuffle carrying (bucket,
+    count) pairs; the share denominator derives from the per-bucket
+    result itself (bucket-cardinality rows → 1-row agg →
+    crossJoin-broadcast back), NEVER a second corpus scan or a
+    driver-side count."""
+    per = (
+        scan(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            F.floor(F.log2("n_chars")).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = per.agg(F.sum("n_docs").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.pow(F.lit(2), F.col("bucket")).cast("bigint").alias("lo_chars"),
+            (F.pow(F.lit(2), F.col("bucket") + 1) - 1)
+            .cast("bigint")
+            .alias("hi_chars"),
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("bucket")
     )

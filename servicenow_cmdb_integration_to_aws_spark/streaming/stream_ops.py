@@ -596,3 +596,82 @@ def i14_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tok", "score")
     )
     return _run_to_memory(gated)
+
+
+@query(
+    "i15_stream_complete_agg",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM e GROUP BY event_type
+    """,
+)
+def i15_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregation (i15): running
+    per-event-type totals re-emitted in FULL every micro-batch — the
+    live-dashboard output mode (i4's append emits each window once;
+    complete replaces the whole result table each batch and needs no
+    watermark). The only streaming output mode the suite didn't yet
+    exercise.
+
+    SQL-oracle-checkable: the memory sink in complete mode holds
+    exactly the last full emission, which after availableNow drains
+    the source equals the batch aggregate — deterministic regardless
+    of micro-batching (count and DECIMAL sum are associative).
+
+    100 TB notes: complete mode retains one state row per group —
+    viable precisely when group cardinality is dashboard-sized (event
+    types, not user ids); the per-batch re-emission cost is
+    O(groups), not O(stream). High-cardinality keys belong in update
+    mode (i7) or append windows (i4) instead."""
+    from ..operators.numeric import dec
+
+    s = _stream_events(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+    return _run_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "i16_stream_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(combined,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+             AS n_redactions,
+           CAST(length(regexp_replace(combined,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'))
+                AS BIGINT) AS redacted_len,
+           md5(regexp_replace(combined,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'))
+             AS redacted_md5
+    FROM (SELECT doc_id,
+                 text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' AS combined
+          FROM documents)
+    """,
+)
+def i16_stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII redaction (i16): j23's email scrubber over a
+    document STREAM — the ingest-time privacy gate that redacts crawl
+    batches before they ever land in the corpus store. The column
+    expressions are literally j23's (one shared definition,
+    llm/pipeline.redact_columns), so batch backfill and the live
+    scrubber can never disagree.
+
+    SQL-oracle-checkable: stateless per-row map in append mode — the
+    final set equals the batch redactor regardless of micro-batching.
+    100 TB notes: per-file map parallelism, no state store, no
+    watermark; the regex runs inside whole-stage codegen exactly as in
+    batch."""
+    from ..llm.pipeline import redact_columns
+
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .load(_stage_docs_dir(sf_dir))
+    )
+    return _run_to_memory(raw.select(*redact_columns()))
