@@ -381,3 +381,73 @@ def redact_columns() -> list:
         F.length(redacted).cast("bigint").alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     ]
+
+
+@query(
+    "j36_cluster_representative",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, md5(text) AS dig,
+               string_split(lower(text), ' ') AS w,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, dig,
+               ROUND(0.3
+                     + 1.2 * (CAST(length(list_distinct(w)) AS DOUBLE)
+                              / length(w))
+                     - 0.8 * (CAST(length(list_filter(w,
+                                   x -> x IN ('a', 'the'))) AS DOUBLE)
+                              / length(w))
+                     + 0.05 * ((n_chars - (length(w) - 1)) / length(w))
+                     - 0.002 * length(w), 6) AS score
+        FROM feat
+    ),
+    ranked AS (
+        SELECT doc_id, dig, score,
+               row_number() OVER (PARTITION BY dig
+                                  ORDER BY score DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY dig) AS cluster_size
+        FROM scored
+    )
+    SELECT dig AS cluster_digest, doc_id AS rep_doc_id,
+           cluster_size, score AS rep_score,
+           cluster_size - 1 AS n_discarded
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j36_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection (j36): after exact
+    dedup groups documents into clusters (j15's md5 digests), KEEP the
+    highest-quality copy — ranked by j28's quality score (shared
+    quality_columns expressions, tie-broken by doc_id) — and emit one
+    row per cluster with the chosen representative and the discard
+    count. This is the "which copy survives" policy stage every dedup
+    pipeline needs between detection (j1/j2/j15) and the output corpus
+    (min-doc_id keeps the oldest; this keeps the best).
+
+    100 TB notes: score is a pure map; ONE shuffle on the 16-byte text
+    digest feeds both the rank window and the cluster-size window
+    (same partitioning, single exchange); raw text never shuffles —
+    only (digest, doc_id, score)."""
+    d = spread(scan(spark, sf_dir, "documents"), "doc_id")
+    scored = d.select(
+        F.md5("text").alias("dig"), *quality_columns()
+    ).select("dig", "doc_id", "score")
+    w_rank = Window.partitionBy("dig").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    w_all = Window.partitionBy("dig")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("dig").alias("cluster_digest"),
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            F.col("score").alias("rep_score"),
+            (F.col("cluster_size") - 1).alias("n_discarded"),
+        )
+    )

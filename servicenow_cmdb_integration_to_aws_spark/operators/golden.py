@@ -659,3 +659,73 @@ def t16_golden_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "t17_golden_q11",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(part_value) AS total_value FROM pv)
+    SELECT l_partkey, part_value,
+           ROUND(part_value / total_value, 9) AS share
+    FROM pv, tot
+    WHERE part_value > 0.001 * total_value
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def t17_golden_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden Q11 analogue — important stock identification: parts
+    whose shipped value through NATION_5 suppliers exceeds 0.1% of the
+    total such value (no partsupp in the schema, so shipped lineitem
+    value stands in for supplycost×availqty). Q11's scalar HAVING
+    subquery becomes a 1-row aggregate over the per-part result,
+    broadcast back.
+
+    Float-parity: per-part values are exact DECIMAL sums cast to
+    DOUBLE; the total is a sum of those doubles in a single 1-row
+    aggregate — both engines accumulate part-cardinality values, and
+    the comparison/share use the identical IEEE expressions (share
+    rounded to 9dp as last-ulp insurance on the division).
+
+    100 TB notes: the nation filter reduces supplier to a broadcast
+    dim; lineitem shuffles ONCE on l_partkey; the threshold derives
+    from the per-part aggregate itself (part-cardinality rows → 1-row
+    agg → crossJoin-broadcast), never a second fact scan."""
+    n5 = scan(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = scan(spark, sf_dir, "supplier").join(
+        F.broadcast(n5.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    pv = (
+        li.join(
+            F.broadcast(s.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(dsum(dec("l_extendedprice")).alias("part_value"))
+    )
+    tot = pv.agg(F.sum("part_value").alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select(
+            "l_partkey",
+            "part_value",
+            F.round(F.col("part_value") / F.col("total_value"), 9).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )

@@ -58,25 +58,38 @@ _DOCS_SCHEMA = (
 )
 
 
+def _stage_copy(src: str, dst_dir: str, name: str) -> None:
+    """Copy a parquet table into a staging dir, whether it is a single
+    file (the testdata layout) or a directory of part files (the
+    Spark-written layout scale_probe and real pipelines produce)."""
+    if os.path.isdir(src):
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src, f),
+                    os.path.join(dst_dir, f"{name}_{i:05d}.parquet"),
+                )
+    else:
+        shutil.copy(src, os.path.join(dst_dir, f"{name}.parquet"))
+
+
 def _stage_docs_dir(sf_dir: str) -> str:
     """Stage documents.parquet into a directory for FileStreamSource
     (same pattern as _stage_dir for events)."""
     if sf_dir not in _STAGED_DOCS:
         d = tempfile.mkdtemp(prefix="stream_docs_")
-        shutil.copy(
-            path_of(sf_dir, "documents"), os.path.join(d, "documents.parquet")
-        )
+        _stage_copy(path_of(sf_dir, "documents"), d, "documents")
         _STAGED_DOCS[sf_dir] = d
     return _STAGED_DOCS[sf_dir]
 
 
 def _stage_dir(sf_dir: str) -> str:
-    """FileStreamSource needs a *directory*; stage the single events
-    parquet into a tmp dir once per sf_dir (the production layout is a
+    """FileStreamSource needs a *directory*; stage the events parquet
+    into a tmp dir once per sf_dir (the production layout is a
     directory of arriving files — this recreates it)."""
     if sf_dir not in _STAGED:
         d = tempfile.mkdtemp(prefix="stream_src_")
-        shutil.copy(path_of(sf_dir, "events"), os.path.join(d, "events.parquet"))
+        _stage_copy(path_of(sf_dir, "events"), d, "events")
         _STAGED[sf_dir] = d
     return _STAGED[sf_dir]
 
