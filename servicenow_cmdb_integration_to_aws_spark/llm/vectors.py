@@ -561,3 +561,147 @@ def j3c_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return true10.crossJoin(F.broadcast(n_hit)).select(
         "vec_id", "cos_sim", (F.col("n_hit") >= 7).alias("lsh_recall_ok")
     )
+
+
+PQ_S = 4  # product-quantization subspaces (dim 64 → 4 × 16)
+PQ_SUBDIM = 16
+PQ_K = 16  # codewords per subspace
+
+
+def _sq_l2(a: Column | str, b: Column | str) -> Column:
+    """Σ (aᵢ−bᵢ)² in double, in-order fold (same discipline as dot)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_D(x) - _D(y)) * (_D(x) - _D(y))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_SQ_L2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+@query(
+    "j35_pq_adc",
+    oracle=f"""
+    WITH subs AS (
+        SELECT vec_id, s,
+               embedding[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}]
+                 AS sub
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s)
+    ),
+    ranked AS (
+        SELECT s, sub,
+               row_number() OVER (
+                   PARTITION BY s
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || ':'
+                                || CAST(s AS VARCHAR)), vec_id) AS k
+        FROM subs
+    ),
+    anchors AS (SELECT s, k, sub AS cw FROM ranked WHERE k <= {PQ_K}),
+    dists AS (
+        SELECT subs.vec_id, subs.s, anchors.k,
+               {_SQL_SQ_L2.format(a='subs.sub', b='anchors.cw')} AS d2
+        FROM subs JOIN anchors ON subs.s = anchors.s
+    ),
+    enc AS (
+        SELECT vec_id, s, k AS code
+        FROM (SELECT vec_id, s, k,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d2, k) AS rn
+              FROM dists)
+        WHERE rn = 1
+    ),
+    dtab AS (
+        SELECT s, k, d2 AS qd2 FROM dists WHERE vec_id = 0
+    )
+    SELECT enc.vec_id, ROUND(SUM(dtab.qd2), 6) AS adc_dist
+    FROM enc JOIN dtab ON enc.s = dtab.s AND enc.code = dtab.k
+    WHERE enc.vec_id <> 0
+    GROUP BY enc.vec_id
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+)
+def j35_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (j35, [NS]) — the Jégou-Douze-Schmid PQ scheme: split each 64-dim
+    vector into {PQ_S} subvectors, quantize each against a
+    {PQ_K}-codeword-per-subspace codebook, and approximate L2 distance
+    as the sum of per-subspace query→codeword distances looked up from
+    a table (ADC). This is the memory-side scale path the IVF probe
+    (j3b) doesn't cover: codes are {PQ_S} bytes per vector instead of
+    256, so a 100 TB embedding corpus compresses ~64× before any scan.
+
+    Deterministic-codebook discipline: codewords are the subvectors of
+    the {PQ_K} salted-hash-ranked anchor vectors per subspace (no
+    k-means iteration — same fate across runs/engines; production
+    swaps in trained centroids without touching the plan). Encoding
+    argmin ties break on codeword id via a (d2, k) struct-min.
+
+    100 TB notes: the codebook is {PQ_S}×{PQ_K} rows — broadcast
+    everywhere; encoding is one partial-aggregable shuffle keyed
+    (vec_id, s) carrying (d2, k) pairs, run ONCE offline and stored as
+    codes in production; the query-time scan is map-side (codes join a
+    broadcast {PQ_S}×{PQ_K} distance table) + a top-k
+    TakeOrderedAndProject — no full-vector reads at query time at all.
+    Per-subspace d2 folds are in-order doubles; the final ADC sum
+    rounds to 6dp (vectors.py parity note)."""
+    e = scan(spark, sf_dir, "embeddings")
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(
+                            "embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("sub"),
+                    )
+                    for s in range(PQ_S)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+    w = Window.partitionBy("s").orderBy(
+        F.md5(
+            F.concat(
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                F.col("s").cast("string"),
+            )
+        ),
+        "vec_id",
+    )
+    anchors = (
+        subs.withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") <= PQ_K)
+        .select("s", "k", F.col("sub").alias("cw"))
+    )
+    dists = subs.join(F.broadcast(anchors), "s").select(
+        "vec_id", "s", "k", _sq_l2("sub", "cw").alias("d2")
+    )
+    enc = (
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "k")).alias("m"))
+        .select("vec_id", "s", F.col("m.k").alias("code"))
+    )
+    dtab = dists.filter(F.col("vec_id") == 0).select(
+        F.col("s").alias("ds"), F.col("k").alias("dk"), F.col("d2").alias("qd2")
+    )
+    return (
+        enc.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(dtab),
+            (F.col("s") == F.col("ds")) & (F.col("code") == F.col("dk")),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
