@@ -50,6 +50,9 @@ STREAMING_IDS = {
     "i11_foreach_batch_merge",
     "i12_stream_session_window",
     "i13_stream_outer_join",
+    "i14_stream_quality_gate",
+    "i15_stream_complete_agg",
+    "i16_stream_pii_redact",
 }
 
 

@@ -122,6 +122,62 @@ class SnapshotStore:
     def _read_version(self, spark: SparkSession, v: int) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, f"v={v}"))
 
+    def changes(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Change feed between two pinned snapshot versions: one row
+        per key whose state differs, classified insert / update /
+        delete — what an incremental downstream consumer reads instead
+        of re-diffing full snapshots itself.
+
+        Implementation is a single co-keyed full-outer join of the two
+        immutable versions (g7's delta-detect shape); unchanged keys
+        are filtered before anything leaves the join. 100 TB notes:
+        both sides shuffle once on the key — and on a real object
+        store both versions are range-clustered by the same key (a14's
+        sink), so the exchange is the only wire cost; the output is
+        delta-sized, not snapshot-sized."""
+        old = self._read_version(spark, v_from).alias("o")
+        new = self._read_version(spark, v_to).alias("n")
+        k = self.key
+        cond = F.col(f"o.{k}") == F.col(f"n.{k}")
+        ver_cols = [c for c in self.order]
+        import functools
+        import operator
+
+        diff_any = functools.reduce(
+            operator.or_,
+            [F.col(f"o.{c}") != F.col(f"n.{c}") for c in ver_cols],
+        )
+        # one side entirely null (insert/delete) makes diff_any NULL;
+        # the explicit isNull legs turn that into True, and a coalesce
+        # here would be WRONG (a non-null False leg short-circuits past
+        # a later True inequality).
+        changed = (
+            F.col(f"o.{k}").isNull()
+            | F.col(f"n.{k}").isNull()
+            | diff_any
+        )
+        op = (
+            F.when(F.col(f"o.{k}").isNull(), F.lit("insert"))
+            .when(F.col(f"n.{k}").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        return (
+            old.join(new, cond, "full_outer")
+            .filter(changed)
+            .select(
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k),
+                op.alias("change_op"),
+                *[
+                    F.col(f"o.{c}").alias(f"old_{c}") for c in ver_cols
+                ],
+                *[
+                    F.col(f"n.{c}").alias(f"new_{c}") for c in ver_cols
+                ],
+            )
+        )
+
     def read(self, spark: SparkSession, log_dir: str | None = None) -> DataFrame:
         """Current state: pinned base version, merged on read with any
         log batches the base hasn't absorbed yet (the cheap tail)."""
@@ -191,3 +247,65 @@ def a15_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert store.compact(spark, log_dir) == 2
     return store.read(spark).select(*cols)
+
+
+@query(
+    "a16_change_feed",
+    oracle=f"""
+    {EVENTS_US},
+    v1 AS (
+        SELECT user_id, ts, event_id
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn
+              FROM e WHERE event_id % 2 = 0)
+        WHERE rn = 1
+    ),
+    v2 AS (
+        SELECT user_id, ts, event_id
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn
+              FROM e)
+        WHERE rn = 1
+    )
+    SELECT COALESCE(v2.user_id, v1.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'insert'
+                WHEN v2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_op,
+           v1.ts AS old_ts, v1.event_id AS old_event_id,
+           v2.ts AS new_ts, v2.event_id AS new_event_id
+    FROM v1 FULL JOIN v2 ON v1.user_id = v2.user_id
+    WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+       OR v1.ts <> v2.ts OR v1.event_id <> v2.event_id
+    """,
+)
+def a16_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change feed (a16): what changed between two pinned
+    snapshot versions — the incremental-consumer read over the a15
+    store. Builds the same two-generation store as a15 (even-event
+    batch → v1, odd-event batch folded → v2), then emits one row per
+    key whose latest state moved, classified insert/update/delete with
+    old and new version columns.
+
+    Oracle: v1/v2 recomputed directly from events in SQL; the feed is
+    their full-outer diff. Both versions are immutable dirs, so the
+    feed is reproducible forever — the property downstream retries
+    depend on."""
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    e = scan(spark, sf_dir, "events").select(*cols)
+    log_dir = tempfile.mkdtemp(prefix="a16_log_")
+    store = SnapshotStore(
+        tempfile.mkdtemp(prefix="a16_snap_"),
+        key="user_id",
+        order=["ts", "event_id"],
+    )
+    e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(log_dir, "batch_id=0")
+    )
+    assert store.compact(spark, log_dir) == 1
+    e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(log_dir, "batch_id=1")
+    )
+    assert store.compact(spark, log_dir) == 2
+    return store.changes(spark, 1, 2)

@@ -273,3 +273,38 @@ def test_share_denominator_reuses_aggregate_exchange(spark, sf_dir):
         assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, (
             f"{qid}: no exchange reuse in final adaptive plan"
         )
+
+
+def test_winnowing_single_exchange(spark, sf_dir):
+    """j32: the selection window and the per-doc fingerprint aggregate
+    must both ride the input spread's doc_id partitioning — exactly ONE
+    Exchange in the whole plan (a second doc_id shuffle would double
+    the wire cost of the gram explosion at corpus scale)."""
+    import re
+
+    plan = plan_of(_q(spark, sf_dir, "j32_winnowing"))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"j32 plan has {n_exchange} exchanges, want 1"
+
+
+def test_pq_adc_scan_is_broadcast_mapside(spark, sf_dir):
+    """j35: the ADC query scan must join codes against a BROADCAST
+    distance table (4x16 rows) and fuse the top-k into
+    TakeOrderedAndProject — a shuffled join or global sort here would
+    shuffle the whole corpus per query."""
+    plan = plan_of(_q(spark, sf_dir, "j35_pq_adc"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_golden_additions_broadcast_dims_and_push_filters(spark, sf_dir):
+    """t14/t17: nation-filtered supplier/customer dims broadcast into
+    the fact scans; t13: the quarter filter reaches the orders parquet
+    scan as a pushed predicate."""
+    p14 = plan_of(_q(spark, sf_dir, "t14_golden_q7"))
+    assert p14.count("BroadcastHashJoin") >= 2
+    p17 = plan_of(_q(spark, sf_dir, "t17_golden_q11"))
+    assert "BroadcastHashJoin" in p17
+    p13 = plan_of(_q(spark, sf_dir, "t13_golden_q4"))
+    assert "PushedFilters: [" in p13
+    assert "1997" in p13  # the quarter bound reached the scan

@@ -299,3 +299,51 @@ def test_stream_quality_gate_matches_batch(spark, sf_dir):
         for r in q["i14_stream_quality_gate"](spark, sf_dir).collect()
     }
     assert stream == batch and len(stream) > 0
+
+
+def test_change_feed_classifies_and_catches_same_ts_updates(spark, sf_dir):
+    """a16: changes(v1, v2) classifies insert/update and — the edge a
+    coalesce-based inequality would silently drop — reports a key
+    whose new latest row has the SAME ts but a different event_id.
+    Unchanged keys never appear in the feed."""
+    import datetime
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        SnapshotStore,
+    )
+
+    t1 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t2 = datetime.datetime(2024, 1, 2, 12, 0, 0)
+    log_dir = tempfile.mkdtemp(prefix="a16t_log_")
+    store = SnapshotStore(
+        tempfile.mkdtemp(prefix="a16t_snap_"),
+        key="user_id",
+        order=["ts", "event_id"],
+    )
+    b0 = spark.createDataFrame(
+        [(10, 1, t1), (20, 2, t1), (40, 4, t1)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    b0.write.parquet(os.path.join(log_dir, "batch_id=0"))
+    assert store.compact(spark, log_dir) == 1
+    b1 = spark.createDataFrame(
+        [(11, 1, t2), (21, 2, t1), (30, 3, t1)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    b1.write.parquet(os.path.join(log_dir, "batch_id=1"))
+    assert store.compact(spark, log_dir) == 2
+    feed = {
+        r["user_id"]: r.asDict()
+        for r in store.changes(spark, 1, 2).collect()
+    }
+    assert set(feed) == {1, 2, 3}  # user 4 unchanged → absent
+    assert feed[1]["change_op"] == "update"
+    assert feed[1]["new_event_id"] == 11
+    # user 2: same ts, higher event_id wins → must surface as update
+    assert feed[2]["change_op"] == "update"
+    assert (feed[2]["old_event_id"], feed[2]["new_event_id"]) == (20, 21)
+    assert feed[2]["old_ts"] == feed[2]["new_ts"]
+    assert feed[3]["change_op"] == "insert"
+    assert feed[3]["old_event_id"] is None
