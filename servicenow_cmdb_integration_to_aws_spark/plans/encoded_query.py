@@ -463,3 +463,104 @@ def p5_dotwalk_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey.c_nationkey.n_name",
         ],
     )
+
+
+def aggregate_encoded(
+    df: DataFrame,
+    query: str | None = None,
+    group_by: list[str] | None = None,
+    count: bool = True,
+    sum_fields: list[str] | None = None,
+    avg_fields: list[str] | None = None,
+    min_fields: list[str] | None = None,
+    max_fields: list[str] | None = None,
+    having: str | None = None,
+    order_by: list[tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """The Aggregate/Stats-API surface (public ServiceNow
+    ``/api/now/stats`` parameter model [SN-API]): an encoded row query
+    (sysparm_query), GROUP BY fields (sysparm_group_by), COUNT /
+    SUM / AVG / MIN / MAX field lists, a HAVING term in the same
+    encoded-term grammar over the aggregated columns
+    (sysparm_having), and result ordering — compiled to one
+    filter→groupBy→agg→filter→sort Catalyst plan.
+
+    Column naming contract: ``row_count``, ``sum_<f>``, ``avg_<f>``,
+    ``min_<f>``, ``max_<f>`` — HAVING terms reference these names.
+    Money-parity policy (numeric.py): SUM folds DECIMAL(18,2) and AVG
+    is that exact sum divided by the count in double, so both engines
+    agree bit-exactly on 2dp money fields.
+
+    100 TB notes: the row predicate pushes to the scan (it is compiled
+    BEFORE the aggregate); the aggregate is one partial-agg shuffle on
+    the group keys; HAVING filters group-cardinality rows; ordering
+    group-cardinality output is driver-cheap."""
+    from ..operators.numeric import dec
+
+    out = compile_encoded(df, query) if query else df
+    aggs: list[Column] = []
+    if count:
+        aggs.append(F.count(F.lit(1)).alias("row_count"))
+    for f in sum_fields or []:
+        aggs.append(F.sum(dec(f)).cast("double").alias(f"sum_{f}"))
+    for f in avg_fields or []:
+        aggs.append(
+            (F.sum(dec(f)).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias(f"avg_{f}")
+        )
+    for f in min_fields or []:
+        aggs.append(F.min(f).alias(f"min_{f}"))
+    for f in max_fields or []:
+        aggs.append(F.max(f).alias(f"max_{f}"))
+    if not aggs:
+        raise ValueError("aggregate_encoded: no aggregates requested")
+    grouped = (
+        out.groupBy(*group_by).agg(*aggs) if group_by else out.agg(*aggs)
+    )
+    if having:
+        grouped = grouped.filter(_term_to_column(parse_term(having)))
+    if order_by:
+        grouped = grouped.orderBy(
+            *[F.col(c).desc() if d else F.col(c).asc() for c, d in order_by]
+        )
+    return grouped
+
+
+@query(
+    "p6_encoded_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS row_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_o_totalprice,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_o_totalprice,
+           MIN(o_totalprice) AS min_o_totalprice,
+           MAX(o_totalprice) AS max_o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 100
+    ORDER BY row_count DESC, o_orderpriority
+    """,
+)
+def p6_encoded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-API path (p6): the Stats-API parameter model compiled
+    end-to-end — encoded row filter, group-by, COUNT/SUM/AVG/MIN/MAX,
+    encoded HAVING over the aggregate columns, ordered output. The
+    domain's second query surface (the REST Aggregate API) alongside
+    the Table-API encoded filters (p1–p5)."""
+    o = scan(spark, sf_dir, "orders")
+    return aggregate_encoded(
+        o,
+        query="o_orderstatus=F",
+        group_by=["o_orderpriority"],
+        count=True,
+        sum_fields=["o_totalprice"],
+        avg_fields=["o_totalprice"],
+        min_fields=["o_totalprice"],
+        max_fields=["o_totalprice"],
+        having="row_count>100",
+        order_by=[("row_count", True), ("o_orderpriority", False)],
+    )
