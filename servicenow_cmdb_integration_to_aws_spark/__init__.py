@@ -55,6 +55,7 @@ def load_all():
             "servicenow_cmdb_integration_to_aws_spark.plans.encoded_query",
             "servicenow_cmdb_integration_to_aws_spark.operators.golden",
             "servicenow_cmdb_integration_to_aws_spark.sources.rest_source",
+            "servicenow_cmdb_integration_to_aws_spark.sources.python_source",
             "servicenow_cmdb_integration_to_aws_spark.operators.sinks",
             "servicenow_cmdb_integration_to_aws_spark.operators.scans",
             "servicenow_cmdb_integration_to_aws_spark.operators.aggregates",

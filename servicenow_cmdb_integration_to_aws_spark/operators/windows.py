@@ -338,3 +338,48 @@ def e10_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("island_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "e11_windowed_count_distinct",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts,
+           COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_types_seen
+    FROM e
+    """,
+)
+def e11_windowed_count_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running distinct count over a window (e11): how many distinct
+    event types each user has touched as of each event — the
+    behavioral-breadth signal funnels and engagement scores key on.
+    Spark has NO native DISTINCT window aggregate (DuckDB does — the
+    oracle uses it directly); the engine expresses it as
+    ``size(collect_set(...))`` over the running frame, which the
+    window operator evaluates incrementally per partition.
+
+    100 TB notes: ONE user_id exchange; per-key state is the set of
+    distinct types (bounded by type cardinality, ~5 here — this
+    workaround is only safe when the distinct domain is small; an
+    unbounded domain needs the e4-style segmented recount or an HLL
+    sketch column instead, see d18). The (ts, event_id) ordering is a
+    total order, so the ROWS frame is deterministic on both engines."""
+    e = scan(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("n_types_seen"),
+    )

@@ -308,3 +308,17 @@ def test_golden_additions_broadcast_dims_and_push_filters(spark, sf_dir):
     p13 = plan_of(_q(spark, sf_dir, "t13_golden_q4"))
     assert "PushedFilters: [" in p13
     assert "1997" in p13  # the quarter bound reached the scan
+
+
+def test_python_datasource_plans_one_task_per_page(spark, sf_dir):
+    """a17: the custom Python data source must expose its key-range
+    pages as input partitions — ingest parallelism is planned, not a
+    driver loop (one task per page)."""
+    from servicenow_cmdb_integration_to_aws_spark.sources.python_source import (
+        PAGE_KEYS,
+    )
+
+    df = _q(spark, sf_dir, "a17_python_datasource")
+    n_rows = df.count()
+    expect_pages = (n_rows - 1) // PAGE_KEYS + 1  # orderkeys are dense
+    assert df.rdd.getNumPartitions() == expect_pages
