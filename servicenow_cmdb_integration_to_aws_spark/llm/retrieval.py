@@ -1,0 +1,346 @@
+"""LLM-pipeline retrieval / clustering operators (SURVEY §2.J cont.):
+j37 k-means semantic clustering, j38 BM25 retrieval, j39 edit-distance
+nearest neighbour — the three classic "find related text" primitives a
+curation pipeline needs beyond hash/LSH dedup (semantic grouping,
+lexical relevance ranking, and typo-tolerant near-match).
+
+Parity policy: every iterative/float step is made cross-engine
+deterministic the same way the rest of the J-series is — seeds and
+tie-breaks from md5 hash-ranks (engine-identical hex), element means
+rounded to 6dp each iteration (j5's trick: sum-order double drift
+~1e-13 ≪ the 5e-7 rounding boundary), argmins tie-broken on id, and
+scores rounded 6dp at emission.
+
+100 TB notes per-op in docstrings; the shared discipline: centroid /
+query-term / threshold tables are tiny and broadcast; the corpus
+shuffles at most once per logical step; raw text/vectors never ride a
+shuffle that a digest or id could ride instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+
+_K = 8  # j37 cluster count
+_ITERS = 2  # j37 Lloyd iterations (unrolled identically in the oracle)
+
+#: DuckDB fragment: squared L2 distance between two DOUBLE lists
+_SQL_SQDIST = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² in double, in-order fold — bit-identical both engines
+    for identical inputs (no reassociation: linear aggregate fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dvec(c: str) -> Column:
+    return F.transform(F.col(c), lambda x: x.cast("double"))
+
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid per vector (squared
+    L2, argmin tie-broken on cid via struct-min)."""
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "cid",
+        _sqdist(F.col("v"), F.col("c")).alias("dist"),
+    )
+    return (
+        d.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("m"),
+            F.first("v").alias("v"),  # K identical copies per vec — safe
+        )
+        .select("vec_id", "v", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+    )
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """Element-wise member mean per cluster, rounded 6dp (cross-engine
+    determinism — j5's policy), re-packed to array<double>."""
+    elem = assigned.select(
+        "cid", F.posexplode("v").alias("pos", "val")
+    )
+    means = elem.groupBy("cid", "pos").agg(
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("mv")
+    )
+    return (
+        means.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("c")
+        )
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-_ITERS DuckDB mirror of j37 (same seeds, same rounding,
+    same tie-breaks), built programmatically so both engines always
+    unroll the SAME number of iterations."""
+    dist = _SQL_SQDIST.format(a="v", b="c")
+    sql = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent0 AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+               v AS c
+        FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR))
+        LIMIT {_K}
+    )"""
+    prev = "cent0"
+    for it in range(1, _ITERS + 1):
+        sql += f""",
+    d{it} AS (
+        SELECT vec_id, v, cid, {dist} AS dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY {dist}, cid)
+                 AS rn
+        FROM e, {prev}
+    ),
+    a{it} AS (SELECT vec_id, v, cid, dist FROM d{it} WHERE rn = 1)"""
+        if it < _ITERS:
+            sql += f""",
+    m{it} AS (
+        SELECT cid, pos, round(SUM(v[pos]) / COUNT(*), 6) AS mv
+        FROM a{it},
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS pos)
+        GROUP BY cid, pos
+    ),
+    cent{it} AS (SELECT cid, list(mv ORDER BY pos) AS c FROM m{it} GROUP BY cid)"""
+            prev = f"cent{it}"
+    sql += f"""
+    SELECT cid AS cluster, COUNT(*) AS n_members,
+           round(SUM(dist) / COUNT(*), 6) AS mean_sq_dist
+    FROM a{_ITERS}
+    GROUP BY cid
+    ORDER BY cid
+    """
+    return sql
+
+
+@query("j37_kmeans_cluster", oracle=_kmeans_oracle())
+def j37_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering (j37): K-means (K=8, 2 Lloyd iterations)
+    over the embedding corpus — the grouping stage of semantic dedup /
+    topic balancing (pick one representative per tight cluster, or
+    re-weight clusters in the training mixture).
+
+    Determinism across engines AND runs: seed centroids are the K
+    vectors with the smallest md5(vec_id) hex rank (no RNG);
+    assignment argmin tie-breaks on centroid id via struct-min;
+    iteration means round to 6dp (sum-order drift 1e-13 ≪ boundary) so
+    both engines feed bit-identical centroids into the next iteration.
+
+    100 TB notes: the centroid table is K rows — broadcast; each
+    iteration is one embarrassingly-parallel distance scan plus one
+    (cid,pos)-keyed partial-aggregable mean shuffle whose output is
+    K·dim rows regardless of corpus size. Fixed iteration count keeps
+    the plan static (no driver-side convergence loop over actions); at
+    petabyte scale seeds come from a hash-ranked SAMPLE instead of a
+    global sort — same determinism, no full-corpus ordering."""
+    e = scan(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")))
+    cent = (
+        e.select("vec_id", "v", F.row_number().over(w).alias("cid"))
+        .filter(F.col("cid") <= _K)
+        .select("cid", F.col("v").alias("c"))
+    )
+    assigned = None
+    for it in range(1, _ITERS + 1):
+        assigned = _assign(e, cent)
+        if it < _ITERS:
+            cent = _recenter(assigned)
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("dist") / F.count(F.lit(1)), 6).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "j38_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM tc GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               (SELECT SUM(dl) FROM dl) / COUNT(*) AS avgdl
+        FROM documents
+    ),
+    qtf AS (SELECT doc_id, token, CAST(tf AS DOUBLE) AS tf FROM tc
+            WHERE token IN {str(tuple(_BM25_TERMS))}),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM qtf GROUP BY token),
+    scored AS (
+        SELECT qtf.doc_id,
+               SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * ({_BM25_K1} + 1.0)
+                   / (tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)))
+                 AS s
+        FROM qtf
+        JOIN df USING (token)
+        JOIN dl ON dl.doc_id = qtf.doc_id, stats
+        GROUP BY qtf.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def j38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (j38): Okapi BM25 (k1=1.2, b=0.75) top-20 for a
+    fixed multi-term query — the lexical-relevance ranker of a data-
+    curation search/inspection surface (and the classic hard-negative
+    miner for retrieval training sets).
+
+    Parity: idf/tf/length-norm are the identical IEEE expression both
+    engines; the per-doc score sums ≤|Q| terms (order drift last-ulp)
+    and rounds to 6dp before the top-k.
+
+    100 TB notes: one explode feeds ONE (doc_id, token)-keyed
+    partial-aggregable shuffle; doc lengths derive from that same
+    aggregate (ReusedExchange — no second corpus scan); df and the
+    N/avgdl scalars are term-cardinality / 1-row aggregates broadcast
+    back; top-20 is TakeOrderedAndProject (per-partition heaps, no
+    global sort). Raw text never shuffles — only (id, token, count)."""
+    docs = scan(spark, sf_dir, "documents").select("doc_id", "text")
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    qtf = tc.filter(F.col("token").isin(*_BM25_TERMS)).select(
+        "doc_id", "token", F.col("tf").cast("double").alias("tf")
+    )
+    df = qtf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        qtf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_LEV_PREFIX = 80  # chars compared
+_LEV_BUCKET = 24  # n_chars blocking width
+
+
+@query(
+    "j39_edit_distance_nn",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // {_LEV_BUCKET} AS bucket,
+               substr(text, 1, {_LEV_PREFIX}) AS prefix
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS other_id,
+               levenshtein(a.prefix, b.prefix) AS dist,
+               row_number() OVER (
+                   PARTITION BY a.doc_id
+                   ORDER BY levenshtein(a.prefix, b.prefix), b.doc_id
+               ) AS rn
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.bucket = b.bucket
+         AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_id, other_id, dist FROM pairs WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance nearest neighbour (j39): per document, the
+    closest other document by Levenshtein distance on an 80-char
+    prefix, candidates blocked by (lang, length-bucket) — the typo-
+    tolerant near-match primitive (OCR-noise dedup, template
+    detection) that hash families like j2/j2b structurally miss
+    (one character edit changes every shingle).
+
+    Determinism: argmin tie-breaks on the neighbour id (struct-min);
+    Levenshtein is integer-exact in both engines.
+
+    100 TB notes: blocking bounds the quadratic — the self-join keys
+    on (lang, bucket) so pair work is per-block O(m²) with m = block
+    size, and the compared payload is a fixed 80-char prefix (cost cap
+    independent of document length). Mega-blocks get the j14 salted-
+    hash pre-trim to a per-block candidate cap before pairing; the
+    per-doc argmin folds map-side into the SAME (lang,bucket) shuffle
+    the join created. Raw full text never moves."""
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / _LEV_BUCKET).cast("int").alias("bucket"),
+        F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
+    )
+    a = d.alias("a")
+    b = (
+        d.select(
+            F.col("doc_id").alias("other_id"),
+            F.col("lang").alias("b_lang"),
+            F.col("bucket").alias("b_bucket"),
+            F.col("prefix").alias("b_prefix"),
+        )
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b_lang"))
+        & (F.col("a.bucket") == F.col("b_bucket"))
+        & (F.col("a.doc_id") != F.col("other_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        "other_id",
+        F.levenshtein(F.col("a.prefix"), F.col("b_prefix")).alias("dist"),
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(F.min(F.struct("dist", "other_id")).alias("m"))
+        .select("doc_id", F.col("m.other_id").alias("other_id"), F.col("m.dist").alias("dist"))
+        .orderBy("doc_id")
+    )

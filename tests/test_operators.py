@@ -850,3 +850,80 @@ def test_novelty_first_doc_fully_novel(spark):
     assert out[2]["novelty"] == 0.0
     assert out[3]["novelty"] == 1.0
     assert out[1]["n_grams"] == 3  # 5 words -> 3 sliding 3-grams
+
+
+def test_kmeans_identical_vectors_collapse(spark):
+    """j37: a corpus of identical vectors yields one non-empty cluster
+    (argmin tie-breaks to cid 1) with zero mean squared distance."""
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    d = tempfile.mkdtemp(prefix="kmfix_")
+    vec = [1.5, -2.0, 3.25, 0.0]
+    spark.createDataFrame(
+        [(i, vec, "a") for i in range(20)],
+        "vec_id long, embedding array<float>, label string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = QUERIES["j37_kmeans_cluster"](spark, d).collect()
+    assert [(r["cluster"], r["n_members"], r["mean_sq_dist"]) for r in out] == [
+        (1, 20, 0.0)
+    ]
+
+
+def test_kmeans_partitions_corpus(spark, sf_dir):
+    """j37: cluster sizes sum to the corpus size; distances are
+    non-negative; at most K clusters come back."""
+    from servicenow_cmdb_integration_to_aws_spark.llm.retrieval import _K
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    out = QUERIES["j37_kmeans_cluster"](spark, sf_dir).collect()
+    n = scan(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in out) == n
+    assert len(out) <= _K
+    assert all(r["mean_sq_dist"] >= 0.0 for r in out)
+
+
+def test_bm25_ranks_term_rich_doc_first(spark):
+    """j38: the doc stuffed with query terms outranks a doc with one
+    occurrence; a doc with no query terms is absent."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    d = _docs_fixture(
+        spark,
+        [
+            (1, "spark join vector spark join vector spark", "en", "s", 1),
+            (2, "spark table row column filter sort merge", "en", "s", 1),
+            (3, "alpha beta gamma delta epsilon zeta eta", "en", "s", 1),
+        ],
+    )
+    out = [r["doc_id"] for r in QUERIES["j38_bm25"](spark, d).collect()]
+    assert out[0] == 1
+    assert 2 in out
+    assert 3 not in out
+
+
+def test_edit_distance_nn_finds_planted_pair(spark):
+    """j39: two docs differing by one character in the same block are
+    mutual nearest neighbours at distance 1; blocking separates the
+    different-language doc."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    d = _docs_fixture(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the dog", "en", "s", 100),
+            (2, "the quick brown fox jumps over the hog", "en", "s", 100),
+            (3, "the quick brown fox jumps over the log", "de", "s", 100),
+            (4, "completely different words here today now", "en", "s", 100),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["other_id"], r["dist"])
+        for r in QUERIES["j39_edit_distance_nn"](spark, d).collect()
+    }
+    assert out[1] == (2, 1) and out[2] == (1, 1)
+    assert 3 not in out  # alone in its (lang, bucket) block
+    assert out[4][1] > 1
