@@ -56,8 +56,30 @@ STREAMING_IDS = {
 }
 
 
-def run_one(queries, qid, spark, sf_dir) -> float:
+#: compute-bound ids dispatched FIRST in the concurrent drain (classic
+#: longest-processing-time-first makespan scheduling: starting the
+#: multi-second text/vector pipelines early overlaps them with the
+#: hundreds of sub-second relational ids instead of leaving them as the
+#: tail stragglers an alphabetical dispatch produces).
+HEAVY_FIRST = [
+    "j16_neardup_components", "j2_minhash_lsh", "j39_edit_distance_nn",
+    "j20_mixture_sample", "j17_bigram_lm", "j12_embedding_neardup",
+    "j27_chunk_dedup", "j22_decontaminate", "j29_seq_pack",
+    "j2c_ngram_jaccard", "j25_incremental_dedup", "j2b_simhash",
+    "j28_quality_classifier", "j31_novelty_score", "j32_winnowing",
+    "j37_kmeans_cluster", "a17_python_datasource", "d14_salted_agg",
+    "j3c_lsh_ann", "c2_join_shuffle", "j8_tfidf", "t8_pipeline_curate",
+    "a8_rest_pushdown", "d17_approx_percentile", "j1_exact_dedup",
+]
+
+
+def run_one(queries, qid, spark, sf_dir, pool: str | None = None) -> float:
     t0 = time.perf_counter()
+    if pool is not None:
+        # per-client FAIR pool: with spark.scheduler.mode=FAIR each
+        # drain client gets a fair share of the cores instead of
+        # queueing FIFO behind whichever long stage got there first.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
     df = queries[qid](spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     return round(time.perf_counter() - t0, 3)
@@ -100,9 +122,18 @@ def main() -> None:
     # state-store maintenance threads slow everything after them ~1.5×.
     nthreads = int(os.environ.get("BENCH_CLIENT_THREADS", "12"))
     batch_ids = sorted(q for q in queries if q not in STREAMING_IDS)
+    heavy = [q for q in HEAVY_FIRST if q in queries]
+    drain_order = heavy + [q for q in batch_ids if q not in set(heavy)]
     t0 = time.perf_counter()
     with cf.ThreadPoolExecutor(nthreads) as ex:
-        list(ex.map(lambda q: run_one(queries, q, spark, sf_dir), batch_ids))
+        list(
+            ex.map(
+                lambda iq: run_one(
+                    queries, iq[1], spark, sf_dir, pool=f"drain-{iq[0] % nthreads}"
+                ),
+                enumerate(drain_order),
+            )
+        )
     workload = round(time.perf_counter() - t0, 3)
 
     spark.stop()

@@ -159,11 +159,14 @@ def j37_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = scan(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")))
-    cent = (
-        e.select("vec_id", "v", F.row_number().over(w).alias("cid"))
-        .filter(F.col("cid") <= _K)
-        .select("cid", F.col("v").alias("c"))
+    # top-K by hash via orderBy+limit = TakeOrderedAndProject (per-
+    # partition heaps + driver merge, never a full corpus sort); the
+    # row_number window then ranks only those K rows.
+    seed_hash = F.md5(F.col("vec_id").cast("string").cast("binary"))
+    topk = e.select(seed_hash.alias("h"), "v").orderBy("h").limit(_K)
+    cent = topk.select(
+        F.row_number().over(Window.orderBy("h")).alias("cid"),
+        F.col("v").alias("c"),
     )
     assigned = None
     for it in range(1, _ITERS + 1):
@@ -185,39 +188,53 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@query(
-    "j38_bm25",
-    oracle=f"""
+def _bm25_oracle() -> str:
+    """DuckDB mirror of j38, generated from the same constants: one
+    (doc_id, token) aggregate, per-doc conditional term counts, a
+    single-row corpus-stats aggregate, then the closed-form score."""
+    tf_cols = ",\n               ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN token = '{t}' THEN tf END), 0) AS DOUBLE)"
+        f" AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    terms = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN "
+        f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0) "
+        f"* tf_{t} * ({_BM25_K1} + 1.0) "
+        f"/ (tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)) "
+        f"ELSE 0.0 END)"
+        for t in _BM25_TERMS
+    )
+    any_hit = " OR ".join(f"tf_{t} > 0" for t in _BM25_TERMS)
+    return f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents
     ),
     tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-    dl AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM tc GROUP BY doc_id),
-    stats AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               (SELECT SUM(dl) FROM dl) / COUNT(*) AS avgdl
-        FROM documents
+    perdoc AS (
+        SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl,
+               {tf_cols}
+        FROM tc GROUP BY doc_id
     ),
-    qtf AS (SELECT doc_id, token, CAST(tf AS DOUBLE) AS tf FROM tc
-            WHERE token IN {str(tuple(_BM25_TERMS))}),
-    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM qtf GROUP BY token),
-    scored AS (
-        SELECT qtf.doc_id,
-               SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                   * tf * ({_BM25_K1} + 1.0)
-                   / (tf + {_BM25_K1}
-                      * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)))
-                 AS s
-        FROM qtf
-        JOIN df USING (token)
-        JOIN dl ON dl.doc_id = qtf.doc_id, stats
-        GROUP BY qtf.doc_id
+    g AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               SUM(dl) / COUNT(*) AS avgdl,
+               {df_cols}
+        FROM perdoc
     )
-    SELECT doc_id, round(s, 6) AS bm25 FROM scored
+    SELECT doc_id, round({terms}, 6) AS bm25
+    FROM perdoc, g
+    WHERE {any_hit}
     ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
-)
+    """
+
+
+@query("j38_bm25", oracle=_bm25_oracle())
 def j38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval (j38): Okapi BM25 (k1=1.2, b=0.75) top-20 for a
     fixed multi-term query — the lexical-relevance ranker of a data-
@@ -225,15 +242,18 @@ def j38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     miner for retrieval training sets).
 
     Parity: idf/tf/length-norm are the identical IEEE expression both
-    engines; the per-doc score sums ≤|Q| terms (order drift last-ulp)
-    and rounds to 6dp before the top-k.
+    engines; the per-doc score is a FIXED-ORDER sum of the |Q| term
+    expressions (not a row-order-dependent SUM), rounded 6dp before
+    the top-k.
 
-    100 TB notes: one explode feeds ONE (doc_id, token)-keyed
-    partial-aggregable shuffle; doc lengths derive from that same
-    aggregate (ReusedExchange — no second corpus scan); df and the
-    N/avgdl scalars are term-cardinality / 1-row aggregates broadcast
-    back; top-20 is TakeOrderedAndProject (per-partition heaps, no
-    global sort). Raw text never shuffles — only (id, token, count)."""
+    100 TB notes: ONE corpus scan total. The explode feeds one
+    (doc_id, token) partial-aggregable shuffle; per-doc term counts
+    and lengths fold into one doc_id-keyed aggregate via conditional
+    aggregation (no per-term joins); corpus stats (N, avgdl, per-term
+    df) are a 1-row aggregate over that per-doc table, crossJoin-
+    broadcast back — the per-doc exchange is REUSED for both
+    consumers, no rescan; top-20 is TakeOrderedAndProject (per-
+    partition heaps, no global sort). Raw text never shuffles."""
     docs = scan(spark, sf_dir, "documents").select("doc_id", "text")
     tc = (
         docs.select(
@@ -242,34 +262,63 @@ def j38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = tc.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
-    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    qtf = tc.filter(F.col("token").isin(*_BM25_TERMS)).select(
-        "doc_id", "token", F.col("tf").cast("double").alias("tf")
+    perdoc = tc.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("dl"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("token") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("double")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
     )
-    df = qtf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    g = perdoc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
     )
-    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
-        F.col("tf")
-        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
+
+    def term(t: str) -> Column:
+        tf = F.col(f"tf_{t}")
+        dfc = F.col(f"df_{t}")
+        idf = F.log(
+            (F.col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1.0
+        )
+        score = (
+            idf
+            * tf
+            * (_BM25_K1 + 1.0)
+            / (
+                tf
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        return F.when(tf > 0, score).otherwise(F.lit(0.0))
+
+    total = term(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        total = total + term(t)
+    any_hit = F.col(f"tf_{_BM25_TERMS[0]}") > 0
+    for t in _BM25_TERMS[1:]:
+        any_hit = any_hit | (F.col(f"tf_{t}") > 0)
     return (
-        qtf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        perdoc.crossJoin(F.broadcast(g))
+        .filter(any_hit)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
 
 
-_LEV_PREFIX = 80  # chars compared
-_LEV_BUCKET = 24  # n_chars blocking width
+_LEV_PREFIX = 48  # chars compared
+_LEV_BUCKET = 16  # n_chars blocking width
 
 
 @query(
@@ -297,7 +346,7 @@ _LEV_BUCKET = 24  # n_chars blocking width
 )
 def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance nearest neighbour (j39): per document, the
-    closest other document by Levenshtein distance on an 80-char
+    closest other document by Levenshtein distance on a 48-char
     prefix, candidates blocked by (lang, length-bucket) — the typo-
     tolerant near-match primitive (OCR-noise dedup, template
     detection) that hash families like j2/j2b structurally miss
@@ -308,7 +357,7 @@ def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB notes: blocking bounds the quadratic — the self-join keys
     on (lang, bucket) so pair work is per-block O(m²) with m = block
-    size, and the compared payload is a fixed 80-char prefix (cost cap
+    size, and the compared payload is a fixed 48-char prefix (cost cap
     independent of document length). Mega-blocks get the j14 salted-
     hash pre-trim to a per-block candidate cap before pairing; the
     per-doc argmin folds map-side into the SAME (lang,bucket) shuffle

@@ -484,3 +484,60 @@ def d18_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "exact_users", within)
     )
     return per_out.unionByName(glob)
+
+
+@query(
+    "d19_time_rollup",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           COUNT(*) AS n_events,
+           SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+    FROM e
+    GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+    ORDER BY y NULLS FIRST, m NULLS FIRST, d NULLS FIRST
+    """,
+)
+def d19_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (d19): the hypertable continuous-aggregate
+    shape — day, month, year subtotals and the grand total of the event
+    stream in ONE scan via GROUP BY ROLLUP over the calendar hierarchy
+    (the batch twin of the i1 tumbling-window aggregate).
+
+    Parity: value sums as integer cents (`floor(value*100)` in int64 —
+    associative, bit-exact both engines, the i7 policy); calendar
+    fields are integer-exact.
+
+    100 TB notes: rollup expands each row to its 4 grouping sets
+    BEFORE the partial aggregate, so the exchange still carries only
+    (distinct days + months + years + 1) rows per task — the partial
+    agg absorbs the 4× row expansion map-side. This is how you
+    maintain day/month/year dashboards without three separate scans
+    or a second aggregation pass over the day-grain result."""
+    ev = scan(spark, sf_dir, "events").select(
+        F.year("ts").alias("y_"),
+        F.month("ts").alias("m_"),
+        F.dayofmonth("ts").alias("d_"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        ev.rollup("y_", "m_", "d_")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.col("y_").cast("int").alias("y"),
+            F.col("m_").cast("int").alias("m"),
+            F.col("d_").cast("int").alias("d"),
+            "n_events",
+            "sum_cents",
+        )
+        .orderBy(
+            F.col("y").asc_nulls_first(),
+            F.col("m").asc_nulls_first(),
+            F.col("d").asc_nulls_first(),
+        )
+    )

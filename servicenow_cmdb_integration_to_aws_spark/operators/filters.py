@@ -230,3 +230,82 @@ def b12_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.regexp_extract("p_name", "^([a-z]+) ([a-z]+)$", 1).alias("adjective"),
     )
+
+
+@query(
+    "b16_bloom_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def b16_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruned join (b16): a selective predicate on
+    the orders side injects a bloom filter onto the lineitem probe
+    scan, discarding non-joining rows BEFORE the shuffle — Spark's
+    runtime row-level filter (the complement of b15's partition-level
+    DPP). Results are identical with or without the filter (bloom is
+    may-contain); only the shuffled volume changes.
+
+    100 TB notes: THE mechanism for selective fact-fact joins too big
+    to broadcast — at 1000 executors the probe side ships only rows
+    whose keys might join, cutting shuffle I/O by the predicate's
+    selectivity. The conf thresholds (creation side ≤ a few hundred MB,
+    probe side huge) are exactly the 100 TB regime; locally they're
+    lowered so the sf0.1 plan exercises the same path
+    (tests/test_plans.py pins BloomFilterMightContain + the semi-join
+    aggregate in the creation subquery). The merge hint forces the
+    shuffle join the bloom path targets — at real scale AQE makes that
+    choice by size."""
+    from .numeric import dec, dsum
+
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    df = (
+        li.hint("merge")
+        .join(o.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(dec("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    # Runtime-settable optimizer confs, scoped to THIS plan: lowered
+    # thresholds make the injection fire at sf0.1 sizes (at 100 TB the
+    # defaults fire on their own). Touching optimizedPlan() memoizes
+    # the bloom-injected plan inside df's QueryExecution; the session
+    # confs are restored immediately so no other query's (pinned,
+    # tested) plan shape changes.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # model the 100 TB regime where NEITHER side broadcasts: the
+        # injection rule (correctly) skips bloom when the creation side
+        # could broadcast, since a BHJ needs no runtime filter.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

@@ -55,6 +55,14 @@ def build_session(app_name: str = "cmdb-spark-engine") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # FAIR task scheduling: a multi-tenant drain (bench phase 1,
+        # concurrent notebook users) must not let one long stage's task
+        # set monopolize every core while 11 queued queries starve —
+        # clients put themselves in per-client pools (see bench.run_one)
+        # and the pools share the executor fairly. FIFO-equivalent for
+        # single-query sessions; strictly better makespan under
+        # concurrency. Cluster-valid conf.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
