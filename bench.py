@@ -142,7 +142,17 @@ def main() -> None:
 
     times: dict[str, float] = {}
     stream_times: dict[str, float] = {}
-    for qid in batch_ids:
+    for i, qid in enumerate(batch_ids):
+        if i and i % 64 == 0:
+            # periodic context restart: ~200 executions of one context
+            # inflate LATE serial numbers up to 12× (codegen-cache/GC
+            # churn — r2 evidence: j12 18.2 s in-bench vs 1.6 s clean;
+            # r5: j39 15.3 s at position ~150 vs 1.1 s clean). Restarts
+            # keep every query's number within one 64-query window of a
+            # fresh JVM at ~5 s wall each.
+            spark.stop()
+            spark = build_session("bench-serial")
+            entrymod.entry(spark).collect()
         times[qid] = run_one(queries, qid, spark, sf_dir)
     for qid in sorted(STREAMING_IDS & set(queries)):
         stream_times[qid] = run_one(queries, qid, spark, sf_dir)

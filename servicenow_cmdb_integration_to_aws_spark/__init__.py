@@ -39,6 +39,7 @@ def load_all():
         for mod in (
             "servicenow_cmdb_integration_to_aws_spark.operators.golden2",
             "servicenow_cmdb_integration_to_aws_spark.llm.retrieval",
+            "servicenow_cmdb_integration_to_aws_spark.operators.graph",
             "servicenow_cmdb_integration_to_aws_spark.operators.extended",
             "servicenow_cmdb_integration_to_aws_spark.operators.transform_map",
             "servicenow_cmdb_integration_to_aws_spark.operators.evolution",

@@ -1,0 +1,147 @@
+"""Graph analytics beyond reachability (SURVEY §2.C cont.): c16
+PageRank over the customer→supplier shipment graph — the influence /
+centrality primitive that complements the closure (c11/c12) and
+connected-components (j16) coverage.
+
+Parity policy: fixed iteration count unrolled identically in the
+DuckDB oracle (the j37 pattern); per-iteration ranks rounded to 12dp —
+per-node contribution sums accumulate in engine-specific order, but
+their drift (~1e-18 abs at rank scale 1e-3..1e-5) is ten orders below
+the 5e-13 rounding boundary, so both engines feed bit-identical ranks
+into the next iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import scan
+
+_DAMP = 0.85
+_PR_ITERS = 2
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-_PR_ITERS DuckDB mirror of c16 (same graph, damping,
+    rounding), generated from the same constants."""
+    sql = """
+    WITH edges AS (
+        SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (
+        SELECT 'C' || c_custkey AS node FROM customer
+        UNION ALL
+        SELECT 'S' || s_suppkey AS node FROM supplier
+    ),
+    n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+               FROM edges GROUP BY src),
+    pr0 AS (SELECT node, (SELECT 1.0 / n FROM n1) AS pr FROM nodes)"""
+    prev = "pr0"
+    for it in range(1, _PR_ITERS + 1):
+        sql += f""",
+    dang{it} AS (
+        SELECT COALESCE(SUM(p.pr), 0.0) AS mass
+        FROM {prev} p LEFT JOIN outdeg o ON o.src = p.node
+        WHERE o.src IS NULL
+    ),
+    contrib{it} AS (
+        SELECT e.dst AS node, SUM(p.pr / o.deg) AS c
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    pr{it} AS (
+        SELECT nd.node,
+               round((1.0 - {_DAMP}) / n1.n
+                     + {_DAMP} * (COALESCE(c.c, 0.0)
+                                  + (SELECT mass FROM dang{it}) / n1.n),
+                     12) AS pr
+        FROM nodes nd LEFT JOIN contrib{it} c ON c.node = nd.node, n1
+    )"""
+        prev = f"pr{it}"
+    sql += f"""
+    SELECT node, pr FROM pr{_PR_ITERS}
+    ORDER BY pr DESC, node LIMIT 20
+    """
+    return sql
+
+
+@query("c16_pagerank", oracle=_pagerank_oracle())
+def c16_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (c16): damping 0.85, 2 unrolled power iterations over
+    the bipartite customer→supplier shipment graph (edge = "customer
+    ordered from supplier at least once"), dangling mass (suppliers
+    have no out-edges) redistributed uniformly; top-20 by final rank —
+    the classic "which suppliers matter most" centrality read.
+
+    Determinism: fixed iteration count (static plan, no driver-side
+    convergence actions); per-iteration ranks rounded 12dp (module
+    docstring); final ordering tie-broken on the node id.
+
+    100 TB notes: the edge list derives once — orders⋈lineitem on the
+    orderkey (the only fact-fact shuffle) then a distinct on the pair;
+    per iteration the rank table joins edges co-partitioned on src
+    (edges carry deg pre-joined ONCE outside the loop, so the loop
+    body is join → dst-keyed partial-agg sum → map), and the dangling
+    mass is a 1-row aggregate crossJoin-broadcast — never a driver
+    collect. State per iteration is node-cardinality, edge-cardinality
+    work partial-aggs before the dst exchange. At petabyte scale the
+    same loop runs with persisted rank tables and AQE-coalesced
+    exchanges; a convergence-checked variant adds one 1-row delta
+    aggregate per iteration."""
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        scan(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node"))
+        .unionByName(
+            scan(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+            )
+        )
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # deg rides the edge list once, outside the loop
+    ewd = edges.join(outdeg, "src")
+    pr = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        dang = (
+            pr.join(outdeg, pr["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass"))
+        )
+        contrib = (
+            ewd.join(pr, ewd["src"] == pr["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(n1))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - _DAMP) / F.col("n")
+                    + _DAMP
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("mass") / F.col("n")),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    return pr.orderBy(F.col("pr").desc(), "node").limit(20)

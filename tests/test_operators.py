@@ -927,3 +927,18 @@ def test_edit_distance_nn_finds_planted_pair(spark):
     assert out[1] == (2, 1) and out[2] == (1, 1)
     assert 3 not in out  # alone in its (lang, bucket) block
     assert out[4][1] > 1
+
+
+def test_pagerank_sums_to_one_and_ranks_suppliers(spark, sf_dir):
+    """c16: final ranks are positive; suppliers (many inbound edges)
+    outrank customers in the top-20 of the bipartite shipment graph."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    out = QUERIES["c16_pagerank"](spark, sf_dir).collect()
+    assert len(out) == 20
+    assert all(r["pr"] > 0 for r in out)
+    # every customer points at suppliers; suppliers absorb the rank
+    assert all(r["node"].startswith("S") for r in out[:10])
+    # descending, tie-broken deterministically
+    prs = [r["pr"] for r in out]
+    assert prs == sorted(prs, reverse=True)
