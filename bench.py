@@ -53,6 +53,7 @@ STREAMING_IDS = {
     "i14_stream_quality_gate",
     "i15_stream_complete_agg",
     "i16_stream_pii_redact",
+    "a18_python_stream_source",
 }
 
 

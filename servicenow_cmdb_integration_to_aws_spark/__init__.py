@@ -136,7 +136,7 @@ _BUDGET_HEAVY = frozenset(
         "i6_stream_static_join", "i7_stateful_counter",
         "i10_stream_stream_join", "i12_stream_session_window",
         "i13_stream_outer_join", "k3_grouped_map", "k4_pandas_udaf",
-        "m3_frame_sample",
+        "m3_frame_sample", "a18_python_stream_source",
     }
 )
 

