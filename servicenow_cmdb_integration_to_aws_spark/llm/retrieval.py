@@ -393,3 +393,82 @@ def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("m.other_id").alias("other_id"), F.col("m.dist").alias("dist"))
         .orderBy("doc_id")
     )
+
+
+_VOCAB_SIZE = 256
+
+
+@query(
+    "j40_vocab_oov",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    vocab AS (
+        SELECT token FROM tc ORDER BY cnt DESC, token LIMIT {_VOCAB_SIZE}
+    ),
+    perdoc AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tok,
+               SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON v.token = t.token
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           round(SUM(CAST(n_oov AS DOUBLE) / n_tok) / COUNT(*), 6)
+             AS avg_oov_rate
+    FROM perdoc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def j40_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit (j40): build a top-256
+    frequency vocabulary over the corpus, then report each language's
+    average per-document out-of-vocabulary token rate — the tokenizer-
+    coverage check run before committing to a vocab/tokenizer (high
+    OOV in a language ⇒ the tokenizer will shred it into bytes).
+
+    Parity: per-doc rates are exact-integer ratios in double; the
+    per-lang average sums doc-count many doubles (engine order) and
+    rounds 6dp. Vocabulary selection ties break on the token string.
+
+    100 TB notes: ONE corpus explode; the global term-count aggregate
+    partial-aggs to vocabulary-cardinality rows and its top-K is
+    TakeOrderedAndProject; the vocab (K rows) broadcasts back into the
+    same exploded lineage (left anti-ish via left join + null test),
+    and the per-doc / per-lang aggregates are two partial-aggable
+    shuffles on shrinking keys. Raw text never shuffles — tokens do,
+    once, into the (doc_id, lang) aggregate."""
+    tok = scan(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(_VOCAB_SIZE)
+        .select(F.col("token").alias("vtoken"))
+    )
+    perdoc = (
+        tok.join(F.broadcast(vocab), tok["token"] == vocab["vtoken"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("vtoken").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_oov").cast("double") / F.col("n_tok"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_oov_rate"),
+        )
+        .orderBy("lang")
+    )

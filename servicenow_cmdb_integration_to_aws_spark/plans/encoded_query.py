@@ -564,3 +564,52 @@ def p6_encoded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         having="row_count>100",
         order_by=[("row_count", True), ("o_orderpriority", False)],
     )
+
+
+@query(
+    "p7_sql_passthrough",
+    oracle="""
+    SELECT n_name AS nation, o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    GROUP BY n_name, o_orderpriority
+    ORDER BY nation, priority
+    """,
+)
+def p7_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL entry point (p7): the engine's third query surface —
+    ANSI SQL strings over registered views (`spark.sql`), for the
+    users who bypass both the encoded-query grammar (p1–p5) and the
+    DataFrame API. The SAME Catalyst plan space as the DataFrame
+    build: the optimizer sees one logical plan regardless of surface,
+    so every plan gate (pushdown, broadcast, partial agg) holds here
+    too.
+
+    Views are registered under a `sqlv_` prefix (idempotent,
+    per-table) so the shared session's catalog never collides with
+    sinks or other operators' temp objects.
+
+    100 TB notes: identical to the equivalent DataFrame query — SQL is
+    a frontend, not an execution path; dims broadcast, the fact
+    shuffles once on the groupBy keys after partial aggregation."""
+    for t in ("orders", "customer", "nation"):
+        scan(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        SELECT n_name AS nation, o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM sqlv_orders
+        JOIN sqlv_customer ON c_custkey = o_custkey
+        JOIN sqlv_nation   ON n_nationkey = c_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        GROUP BY n_name, o_orderpriority
+        ORDER BY nation, priority
+        """
+    )
