@@ -391,3 +391,43 @@ def h11_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.md5(F.lower(F.trim("text"))).alias("norm_md5"),
     )
+
+
+@query(
+    "h15_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)
+             * CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_sq,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 AS k_big,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER)
+             AS missing_attr
+    FROM events
+    """,
+)
+def h15_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (h15): `events.props` parsed ONCE
+    into Spark 4's binary-encoded VARIANT, then typed extractions with
+    `try_variant_get` — the modern replacement for per-path
+    get_json_object string re-parsing (h10): one parse, many typed
+    reads, shreddable at the storage layer.
+
+    100 TB notes: h10's get_json_object re-parses the JSON string per
+    extraction expression; VARIANT parses once per row into a binary
+    form whose field reads are O(log fields) offset lookups — on wide
+    payloads (AWS Config snapshots are KBs of JSON) that's the
+    difference between N full parses and one. All expressions here are
+    codegen'd JVM-side, zero shuffles, and the missing-path read is
+    `try_` (null, not error) exactly like the oracle's CAST of an
+    absent extract."""
+    e = scan(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id",
+        k.alias("k_int"),
+        (k * k).alias("k_sq"),
+        (k > 50).alias("k_big"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_attr"),
+    )
