@@ -151,3 +151,62 @@ def t10_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "c18_scd2_intervals",
+    oracle=f"""
+    {EVENTS_US},
+    c AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_state
+        FROM e
+    ),
+    ch AS (
+        SELECT user_id, state, ts, event_id FROM c
+        WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def c18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build (c18): fold the per-user
+    change log into validity intervals — consecutive repeats of the
+    same state collapse, each surviving change opens a version row
+    `[valid_from, valid_to)` closed by the NEXT change (open-ended =
+    current). This is the CMDB history table every as-of join (c8/c15)
+    and audit query reads; the reverse of a16's change feed.
+
+    100 TB notes: ONE user_id exchange end-to-end — the change filter
+    preserves the lag window's hash partitioning AND its (ts,
+    event_id) sort order, so the lead/row_number pass re-uses both
+    (no second Exchange, no second Sort — pinned by
+    tests/test_plans.py). State per partition is O(1); skew bound is
+    events-per-user. At petabyte history depth the same plan holds:
+    versions-per-key out is |changes|, not |events|."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = scan(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+    )
+    ch = (
+        e.withColumn("prev_state", F.lag("state").over(w))
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .drop("prev_state")
+    )
+    nxt = F.lead("ts").over(w)
+    return ch.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        nxt.isNull().alias("is_current"),
+    )

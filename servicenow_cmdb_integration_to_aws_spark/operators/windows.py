@@ -383,3 +383,83 @@ def e11_windowed_count_distinct(
         .cast("bigint")
         .alias("n_types_seen"),
     )
+
+
+#: sessionization inactivity gap (µs): 12 h — chosen so the synthetic
+#: event cadence (median inter-event gap ~7 h) yields multi-event
+#: sessions; the operator is gap-parametric.
+SESSION_GAP_US = 12 * 3600 * 1_000_000
+
+
+@query(
+    "e12_sessionize",
+    oracle=f"""
+    {EVENTS_US},
+    f AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_no
+        FROM f
+    )
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+           SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+    FROM s GROUP BY user_id, sess_no
+    """,
+)
+def e12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (e12): a new session starts when a
+    user's inactivity exceeds :data:`SESSION_GAP_US`; emits one row
+    per session with event count, bounds, duration and exact-cents
+    value sum — the batch twin of the i12 streaming session window,
+    and the canonical web/CMDB-activity segmentation every funnel
+    (t9) and retention (t10) read sits on.
+
+    Parity: gap arithmetic on integer epoch-µs (`unix_micros` /
+    `epoch_us` — no float time math); value summed as integer cents
+    (the i7/d19 policy); (ts, event_id) is a total order so the
+    running-sum frame is deterministic.
+
+    100 TB notes: ONE user_id exchange serves both window passes (lag
+    and the running sum share partitioning AND ordering, so Catalyst
+    evaluates them in a single Window operator chain over one sort);
+    the final (user_id, sess_no) aggregate happens on rows already
+    partitioned by user_id — partial agg collapses each user's events
+    locally, so the second exchange carries session-grain rows.
+    Per-partition state is O(1) (previous row), unlike a
+    collect_list-based sessionizer; skew bound = events per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = scan(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", F.unix_micros("ts").alias("us")
+    )
+    prev = F.lag("us").over(w)
+    new_sess = (
+        F.when(prev.isNull() | (F.col("us") - prev > SESSION_GAP_US), 1)
+        .otherwise(0)
+    )
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "sess_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", F.col("sess_no").cast("bigint").alias("sess_no")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+    )

@@ -397,3 +397,20 @@ def test_time_rollup_partial_aggs_single_scan(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sessionize_and_scd2_single_exchange_single_sort(spark, sf_dir):
+    """e12/c18: both window passes AND the downstream consumer
+    (session aggregate / lead+row_number) must ride ONE user_id
+    exchange and ONE sort — e12's (user_id, sess_no) aggregate is
+    clustered by the user_id partitioning, and c18's change filter
+    preserves the lag pass's partitioning and order. A second
+    Exchange or Sort here re-shuffles the full event stream at scale."""
+    import re
+
+    for qid in ("e12_sessionize", "c18_scd2_intervals"):
+        plan = plan_of(_q(spark, sf_dir, qid))
+        n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        n_sort = len(re.findall(r"^\(\d+\) Sort", plan, re.M))
+        assert n_ex == 1, f"{qid}: {n_ex} exchanges, want 1"
+        assert n_sort == 1, f"{qid}: {n_sort} sorts, want 1"
