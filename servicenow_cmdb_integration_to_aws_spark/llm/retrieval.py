@@ -472,3 +472,105 @@ def j40_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SD_K = 8  # j41 blocking clusters
+_SD_TAU = 0.35  # j41 semantic-dup cosine threshold (6dp-rounded compare)
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB mirror of j41 (same seeds, argmax tie-break, τ policy)."""
+    from .vectors import _SQL_DOT, _SQL_NORM
+
+    sim_vc = (
+        f"{_SQL_DOT.format(a='e.v', b='cent.c')}"
+        f" / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='cent.c')})"
+    )
+    sim_xy = (
+        f"{_SQL_DOT.format(a='x.embedding', b='y.embedding')}"
+        f" / ({_SQL_NORM.format(a='x.embedding')}"
+        f" * {_SQL_NORM.format(a='y.embedding')})"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+               v AS c
+        FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR))
+        LIMIT {_SD_K}
+    ),
+    d0 AS (
+        SELECT e.vec_id, e.embedding, cent.cid, {sim_vc} AS sim
+        FROM e, cent
+    ),
+    d AS (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid)
+                 AS rn
+        FROM d0
+    ),
+    a AS (SELECT vec_id, embedding, cid FROM d WHERE rn = 1),
+    dup AS (
+        SELECT DISTINCT y.vec_id
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE round({sim_xy}, 6) >= {_SD_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+           (dup.vec_id IS NOT NULL) AS is_dup
+    FROM a LEFT JOIN dup ON dup.vec_id = a.vec_id
+    """
+
+
+@query("j41_semdedup", oracle=_semdedup_oracle())
+def j41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (j41, after Abbas et al. 2023):
+    block the corpus by LEARNED clusters (cosine-nearest of K
+    hash-ranked seed centroids — one K-means assignment step), then
+    mark as duplicate every vector with a smaller-id near-neighbor
+    (cosine ≥ τ, 6dp-rounded) in its cluster — the min-id chain
+    survivor policy. Complements j12 (metadata-label blocking) with
+    blocking learned from the data itself: works when no label exists.
+
+    100 TB notes: the cluster assignment is a K-row broadcast scan
+    (never a shuffle); within-cluster all-pairs go through the j12
+    chunked triangle join, so per-task pair work is ≤ cap² even if one
+    cluster swallows the corpus (the real SemDeDup failure mode —
+    k-means on web data is heavily skewed); the dup-mark join carries
+    ids only. Raw vectors ride exactly two shuffles (chunk replication
+    + the id-keyed mark join), text/metadata none."""
+    from .vectors import dot, l2norm, neardup_blocked
+
+    e = scan(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _dvec("embedding").alias("v")
+    )
+    seed_hash = F.md5(F.col("vec_id").cast("string").cast("binary"))
+    topk = e.select(seed_hash.alias("h"), "v").orderBy("h").limit(_SD_K)
+    cent = topk.select(
+        F.row_number().over(Window.orderBy("h")).alias("cid"),
+        F.col("v").alias("c"),
+    )
+    sim = dot(F.col("v"), F.col("c")) / (l2norm(F.col("v")) * l2norm(F.col("c")))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", F.col("cid"), sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct((-F.col("sim")).alias("ns"), F.col("cid"))).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("m.cid").alias("label"))
+    )
+    pairs = neardup_blocked(assigned, tau=_SD_TAU, cap=128)
+    dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return assigned.join(
+        dup.withColumn("d", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("cluster"),
+        F.coalesce(F.col("d"), F.lit(False)).alias("is_dup"),
+    )

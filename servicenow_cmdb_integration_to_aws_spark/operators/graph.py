@@ -145,3 +145,108 @@ def c16_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.orderBy(F.col("pr").desc(), "node").limit(20)
+
+
+#: c17 scopes the co-supply graph to one order month: projection
+#: graphs densify quadratically with window size, so production runs
+#: window the projection and union counts across windows.
+_TRI_LO, _TRI_HI = "1995-03-01", "1995-04-01"
+
+
+@query(
+    "c17_triangle_count",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_TRI_LO}'
+          AND o_orderdate <  TIMESTAMP '{_TRI_HI}'
+    ),
+    lo AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+    ),
+    pairs AS (
+        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM lo x JOIN lo y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.b
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_tri
+    FROM nodes GROUP BY node
+    ORDER BY n_tri DESC, node LIMIT 20
+    """,
+)
+def c17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting (c17): suppliers are linked when
+    they co-supply an order in the scoped month; a triangle is three
+    mutually-linked suppliers. Top-20 nodes by triangle membership —
+    the clustering-coefficient numerator, the classic community /
+    anomaly signal on the co-occurrence graph (c16 ranks influence;
+    this measures cohesion).
+
+    Each triangle a<b<c is enumerated exactly ONCE via the oriented
+    edge list (every edge stored low->high key), then exploded to its
+    three corners for the per-node count.
+
+    100 TB notes: orientation is THE triangle-counting scale lever —
+    the candidate join e1(a,b)⋈e2(b,c) fans out by the out-degree of
+    b, and orienting edges toward the higher-degree endpoint (here:
+    key order, degree order at production scale) caps that fan-out at
+    O(sqrt(|E|)) per node (the Ortmann/Brandes bound). The month
+    window bounds the projection's densification; the pair list
+    (|E| << lineitem) broadcasts for e2/e3, so the only fact-sized
+    shuffle is the orderkey self-join that builds it. Counting rides
+    partial aggs; no global sort (TakeOrderedAndProject)."""
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_TRI_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_TRI_HI).cast("timestamp"))
+        )
+        .select("o_orderkey")
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    lo = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey"
+    )
+    x, y = lo.alias("x"), lo.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .orderBy(F.col("n_tri").desc(), "node")
+        .limit(20)
+    )
