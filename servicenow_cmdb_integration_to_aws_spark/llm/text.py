@@ -1053,3 +1053,70 @@ def j34_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "j42_bpe_pair_stats",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    wc AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    p AS (
+        SELECT substring(word, i, 2) AS pair, n
+        FROM wc,
+             LATERAL (SELECT unnest(generate_series(1, length(word) - 1))
+                      AS i)
+        WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ
+    FROM p GROUP BY pair
+    ORDER BY n_occ DESC, pair LIMIT 20
+    """,
+)
+def j42_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (j42): the inner loop of
+    byte-pair-encoding tokenizer TRAINING — corpus-wide adjacent
+    symbol-pair frequencies (symbols start as characters), top-20 =
+    the next merge candidates. One full iteration of Sennrich et al.'s
+    algorithm, distributed.
+
+    The trick that makes BPE trainable at corpus scale is counting
+    over the WORD-TYPE vocabulary, not word occurrences: pair count =
+    Σ over distinct words (word_freq × in-word pair occurrences). The
+    corpus collapses to its vocabulary in the first aggregate; the
+    character-pair explosion then runs over ~|vocab| rows, orders of
+    magnitude smaller than the corpus.
+
+    100 TB notes: the word explode is the only corpus-sized map
+    (spread() parallelizes the single-row-group local file; no-op at
+    scale); the (word) aggregate partial-aggs map-side into vocab-
+    cardinality keys; everything after is vocab-sized, and the final
+    (pair) aggregate has ≤26² keys — the exchange carries a few
+    hundred rows per task. Top-K fuses to TakeOrderedAndProject.
+    Successive merge iterations rerun only the vocab-sized stages."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("text"), "text"
+    )
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "n")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(20)
+    )

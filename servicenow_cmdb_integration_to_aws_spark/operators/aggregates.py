@@ -541,3 +541,63 @@ def d19_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").asc_nulls_first(),
         )
     )
+
+
+#: d20 profiled columns (name -> quoted once in both engines)
+_PROFILE_COLS = ("l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice")
+
+
+def _profile_oracle() -> str:
+    """Per-column UNION ALL mirror of d20 (DuckDB re-scans per column;
+    the Spark side is the interesting one — ONE scan via Expand)."""
+    parts = [
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_v,
+           CAST(MAX({c}) AS VARCHAR) AS max_v
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("d20_column_profile", oracle=_profile_oracle())
+def d20_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (d20): per column — null count, exact
+    distinct count, min and max (stringified to unify types) — the
+    data-quality / catalog-stats sweep every ingest job runs before
+    trusting a feed, and the stats layer CBO estimates come from.
+
+    100 TB notes: ALL columns profile in ONE scan. Multiple exact
+    COUNT(DISTINCT)s in one aggregate compile to a single Expand
+    (one projection per distinct column + one for the plain aggs), so
+    the scan cost is paid once and the expansion collapses in the
+    map-side partial aggregate — vs the naive per-column loop that
+    scans the table N times (the oracle runs that form). The final
+    stack() to long format is a 1-row map. At extreme cardinality the
+    exact distinct swaps for approx_count_distinct (d5's tolerance
+    contract) without touching the plan shape."""
+    li = scan(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_v, max_v)"
+        )
+    )

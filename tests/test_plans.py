@@ -414,3 +414,16 @@ def test_sessionize_and_scd2_single_exchange_single_sort(spark, sf_dir):
         n_sort = len(re.findall(r"^\(\d+\) Sort", plan, re.M))
         assert n_ex == 1, f"{qid}: {n_ex} exchanges, want 1"
         assert n_sort == 1, f"{qid}: {n_sort} sorts, want 1"
+
+
+def test_column_profile_single_scan_expand(spark, sf_dir):
+    """d20: all four column profiles (incl. 4 exact COUNT DISTINCTs)
+    must come from ONE parquet scan via Expand — a per-column loop
+    would scan the 100 TB table N times (that's the oracle's shape,
+    not ours)."""
+    import re
+
+    plan = plan_of(_q(spark, sf_dir, "d20_column_profile"))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, f"d20 plan has {n_scans} scans, want 1"
+    assert "Expand" in plan, plan
