@@ -1120,3 +1120,73 @@ def j42_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "pair")
         .limit(20)
     )
+
+
+#: 2^40 — the j43 inclusion test compares 40-bit hash draws
+_J43_SCALE = 1 << 40
+
+
+@query(
+    "j43_importance_sample",
+    oracle=f"""
+    WITH w AS (SELECT MAX(n_chars) AS wmax FROM documents)
+    SELECT doc_id, lang, n_chars,
+           round(CAST(wmax AS DOUBLE) / n_chars, 6) AS ht_weight
+    FROM documents, w
+    WHERE CAST('0x' || substr(
+              md5('is:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 10)
+            AS BIGINT) * wmax
+          < n_chars * {_J43_SCALE}
+    """,
+)
+def j43_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (importance) sampling (j43): each document is kept
+    with probability proportional to its length — the
+    size-proportional Poisson sampling used to build token-budgeted
+    subcorpora — and carries its Horvitz-Thompson reweight
+    (1/inclusion-prob) so downstream statistics stay unbiased.
+
+    Membership is EXACT integer arithmetic: keep iff
+    u40 * w_max < w * 2^40, where u40 is a 40-bit md5 draw
+    (zero float rates anywhere — the j20/j26 integer-threshold
+    discipline extended to per-row variable probabilities; hex parsed
+    to int via conv/0x-cast, verified identical). Same doc → same
+    fate across runs, engines, and reshards.
+
+    100 TB notes: w_max is a 1-row aggregate crossJoin-broadcast; the
+    inclusion predicate is map-side codegen over two pruned columns +
+    the text hash — one scan, no shuffle at all (the aggregate's scan
+    reads one integer column). Only the HT weight emission touches
+    floats, after membership is settled."""
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    wm = d.agg(F.max("n_chars").alias("wmax"))
+    u40 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("is:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("text"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.crossJoin(F.broadcast(wm))
+        .filter(u40 * F.col("wmax") < F.col("n_chars") * F.lit(_J43_SCALE))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("wmax").cast("double") / F.col("n_chars"), 6).alias(
+                "ht_weight"
+            ),
+        )
+    )

@@ -601,3 +601,126 @@ def d20_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_null, n_distinct, min_v, max_v)"
         )
     )
+
+
+@query(
+    "d21_zscore_outliers",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s1,
+               SUM(CAST(cents AS HUGEINT) * cents) AS s2
+        FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents
+    FROM e JOIN s USING (event_type)
+    WHERE (n * e.cents - s1) * (n * e.cents - s1)
+          > 9 * (n * s2 - s1 * s1)
+    """,
+)
+def d21_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-sigma outlier detection (d21): events whose value sits
+    more than 3 population standard deviations from their type's mean
+    — the monitoring/data-quality anomaly gate. The z-score test is
+    algebraically cleared of divisions: (c-mu)^2 > 9*sigma^2 becomes
+    (n*c - S1)^2 > 9*(n*S2 - S1^2) over integer cents — EXACT integer
+    arithmetic on both engines (Spark DECIMAL(38,0), DuckDB HUGEINT),
+    so membership can never flip on a float ulp, unlike every
+    stddev()-based formulation.
+
+    100 TB notes: the stats pass partial-aggs (type, cents) down to
+    |types| rows — its rescan of events reads two pruned columns only
+    — and broadcasts back into the probe scan (a type-partitioned
+    window would put each type on ONE task: skew by construction).
+    The filter runs map-side in codegen; output is outlier-sized."""
+    cents = F.col("value").cast("decimal(18,2)") * 100
+    e = scan(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents.cast("bigint").alias("cents")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = e.groupBy("event_type").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        d38(F.sum("cents")).alias("s1"),
+        F.sum(d38(F.col("cents")) * F.col("cents")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(dev * dev > 9 * var_n2)
+        .select("event_id", "event_type", "cents")
+    )
+
+
+@query(
+    "d22_corr_moments",
+    oracle="""
+    WITH li AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS HUGEINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM li GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+             6) AS corr_qty_price
+    FROM m
+    """,
+)
+def d22_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation via exact moments (d22): corr(quantity,
+    price) per returnflag — the feature-relationship scan of any
+    profiling pass. Neither engine's native corr() is used: streaming
+    corr accumulates in engine-specific float order, so two correct
+    implementations disagree in the last ulps. Instead all five
+    moments (sum x, y, xy, x^2, y^2) accumulate EXACTLY (integer qty,
+    integer price-cents; Spark DECIMAL(38,0) / DuckDB HUGEINT), and
+    the closed form evaluates once per group in double with identical
+    shape — bit-reproducible across engines, run order, and
+    partitioning.
+
+    100 TB notes: one scan, one partial-aggregable shuffle carrying
+    |groups| x 6 integer cells per task; the float math happens on
+    the |groups|-row result. This is THE pattern for distributed
+    statistics: exact associative moments in fixed-point, float only
+    at the end."""
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        d38(F.count(F.lit(1))).alias("n"),
+        d38(F.sum("x")).alias("sx"),
+        d38(F.sum("y")).alias("sy"),
+        F.sum(d38(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(d38(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(d38(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "l_returnflag",
+        F.round(num / (dx * dy), 6).alias("corr_qty_price"),
+    )

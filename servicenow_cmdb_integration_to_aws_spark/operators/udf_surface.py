@@ -224,3 +224,58 @@ def k7_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.round(model_score("n_chars"), 6).alias("model_score")
     )
+
+
+@query(
+    "k8_arrow_grouped",
+    oracle="""
+    SELECT doc_id, lang,
+           round(n_chars
+                 - CAST(SUM(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY lang),
+                 6) AS demeaned_chars
+    FROM documents
+    """,
+)
+def k8_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow (k8): per-language demeaned document
+    length, with each group arriving as a pyarrow.Table — Spark 4's
+    zero-copy grouped-map surface (k3's applyInPandas minus the
+    pandas materialization: no index, no object boxing, the Arrow
+    batch IS the working set; the right escape hatch when the group
+    fn is itself Arrow/numpy-native).
+
+    Parity without sorting: the group mean comes from pa.compute.sum
+    over int64 (EXACT, order-free — unlike k3's float moments which
+    need the in-UDF sort) divided once in double; the per-row
+    subtraction is then bit-identical to the oracle's window form at
+    any row order. 6dp rounding is belt-and-braces.
+
+    100 TB notes: one lang-keyed exchange; each group crosses the
+    JVM->Python boundary once as Arrow record batches (no
+    per-row pickling); per-task memory is the group, so a skewed
+    mega-language at corpus scale would move this to the d22
+    moment-broadcast form — the UDF here demonstrates the surface."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def demean(tbl: pa.Table) -> pa.Table:
+        n_chars = tbl.column("n_chars")
+        total = pc.sum(n_chars).as_py()  # int64: exact, order-free
+        mean = total / tbl.num_rows
+        dem = pc.round(
+            pc.subtract(n_chars.cast(pa.float64()), pa.scalar(mean)),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "lang": tbl.column("lang"),
+                "demeaned_chars": dem,
+            }
+        )
+
+    d = scan(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInArrow(
+        demean, "doc_id long, lang string, demeaned_chars double"
+    )

@@ -463,3 +463,79 @@ def e12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("us") - F.min("us")).alias("duration_us"),
         F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
     )
+
+
+_EWMA_ALPHA = 0.25
+_EWMA_TAPS = 8
+#: tap weights a*(1-a)^k — 0.25 and 0.75 are dyadic, so every weight
+#: is binary-exact and its repr() round-trips identically into both
+#: engines' literals.
+_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k for k in range(_EWMA_TAPS)]
+
+
+def _ewma_oracle() -> str:
+    """Unrolled-tap DuckDB mirror of e13, generated from _EWMA_W."""
+    num = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+        f" THEN lag(value, {k}) OVER w * {w!r} ELSE 0.0 END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+        f" THEN {w!r} ELSE 0.0 END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts,
+           round(({num}) / ({den}), 6) AS ewma_value
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("e13_ewma", oracle=_ewma_oracle())
+def e13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (e13): per-user smoothed
+    event value, alpha=0.25 truncated at 8 taps — the trend/smoothing
+    primitive behind burn-rate alerts and adaptive thresholds. True
+    EWMA is a recursion no SQL window computes; the 8-tap truncation
+    (residual weight 0.75^8 ~= 10%) re-expresses it as a FIXED linear
+    combination of lag(value, k) terms, renormalized over the taps
+    present (so partition-opening rows average over what exists
+    instead of decaying toward zero).
+
+    Parity: both engines evaluate the same generated expression — same
+    tap order, same dyadic (binary-exact) weight literals — so the sum
+    is bit-identical before the 6dp emission rounding.
+
+    100 TB notes: ONE user_id exchange + one in-partition sort; all 8
+    lags come from the SAME window frame buffer (Spark evaluates the
+    lag family over one WindowExec pass), per-row state is the 8-row
+    ring — no self-joins, no recursion, no UDF."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    taps = [F.lag("value", k).over(w) for k in range(_EWMA_TAPS)]
+    num = sum(
+        (
+            F.when(t.isNotNull(), t * F.lit(wt)).otherwise(F.lit(0.0))
+            for t, wt in zip(taps, _EWMA_W)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(t.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+            for t, wt in zip(taps, _EWMA_W)
+        ),
+        F.lit(0.0),
+    )
+    return (
+        scan(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(num / den, 6).alias("ewma_value"),
+        )
+    )
