@@ -250,3 +250,90 @@ def c17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tri").desc(), "node")
         .limit(20)
     )
+
+
+#: c19 scopes co-purchase similarity to one year of orders
+_C19_LO, _C19_HI = "1995-01-01", "1996-01-01"
+_C19_MIN_CO = 2  # pairs sharing a single customer are noise
+
+
+@query(
+    "c19_cooccur_similarity",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '{_C19_LO}'
+          AND o_orderdate <  TIMESTAMP '{_C19_HI}'
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM edges GROUP BY s),
+    co AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS co
+        FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s
+        HAVING COUNT(*) >= {_C19_MIN_CO}
+    )
+    SELECT s1, s2, CAST(co AS BIGINT) AS n_shared,
+           round(CAST(co AS DOUBLE) / (d1.d + d2.d - co), 6) AS jaccard
+    FROM co JOIN deg d1 ON d1.s = co.s1 JOIN deg d2 ON d2.s = co.s2
+    ORDER BY jaccard DESC, s1, s2 LIMIT 20
+    """,
+)
+def c19_cooccur_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity (c19): supplier pairs ranked
+    by Jaccard over their customer sets in the scoped year — the
+    collaborative-filtering / "related items" primitive (c16 ranks
+    global influence, c17 counts 3-cliques; this scores 2-paths).
+
+    Parity: counts and degrees are exact integers; the Jaccard
+    co/(d1+d2-co) evaluates once per surviving pair in double,
+    6dp-rounded; min-co floor keeps single-shared-customer noise out.
+
+    100 TB notes: the (customer, supplier) edge list distincts down
+    BEFORE pairing, so the self-join fan-out is per-customer distinct
+    breadth (catalog behavior, not order volume); the pair aggregate
+    partial-aggs into (s1,s2) keys bounded by catalog^2, not events.
+    A whale customer touching everything is the known hazard — the
+    production form caps per-customer breadth with the j12 chunked
+    triangle join; degrees broadcast (catalog-sized); top-K is
+    TakeOrderedAndProject."""
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_C19_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_C19_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = edges.alias("a"), edges.alias("b")
+    co = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _C19_MIN_CO)
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        co.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "s1", "s2")
+        .limit(20)
+    )

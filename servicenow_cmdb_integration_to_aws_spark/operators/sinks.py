@@ -129,3 +129,55 @@ def a14_sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(
         (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-06-01")
     )
+
+
+#: a19 compaction target: bytes per output file (tiny here so the
+#: testdata still produces >1 file; 128-512 MB in production)
+COMPACT_TARGET_BYTES = 256 * 1024
+
+
+@query(
+    "a19_small_file_compact",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def a19_small_file_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (a19): the table-maintenance job every
+    streaming/incremental sink needs — a directory fragmented into
+    many tiny parquet files (here: a 64-way write simulating
+    micro-batch commits) is rewritten into size-targeted files.
+
+    The compactor is SIZE-AWARE, not count-aware: the target file
+    count derives from the directory's actual bytes
+    (ceil(bytes / COMPACT_TARGET_BYTES), driver-side footer/stat
+    metadata only — no data read), then `coalesce(n)` merges splits
+    WITHOUT a shuffle — each output task concatenates whole input
+    files, so compaction I/O is read-once write-once with zero wire
+    cost. `repartition(n)` here would shuffle the full table; that's
+    the difference between a nightly maintenance job and a cluster
+    hog at 100 TB. Registered result is the compacted read-back
+    (oracle: source equality); tests/test_operators.py pins the file
+    count and the no-shuffle plan."""
+    import math
+    import os
+
+    o = scan(spark, sf_dir, "orders")
+    frag = tempfile.mkdtemp(prefix="sink_a19_frag_")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    n_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(frag)
+        if e.name.endswith(".parquet")
+    )
+    n_target = max(1, math.ceil(n_bytes / COMPACT_TARGET_BYTES))
+    out = tempfile.mkdtemp(prefix="sink_a19_out_")
+    (
+        spark.read.parquet(frag)
+        .coalesce(n_target)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

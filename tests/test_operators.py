@@ -942,3 +942,37 @@ def test_pagerank_sums_to_one_and_ranks_suppliers(spark, sf_dir):
     # descending, tie-broken deterministically
     prs = [r["pr"] for r in out]
     assert prs == sorted(prs, reverse=True)
+
+
+def test_small_file_compact_merges_without_shuffle(spark, sf_dir):
+    """a19: the compactor must (1) actually shrink the file count to
+    the size-derived target and (2) do it via coalesce — no Exchange
+    in the rewrite plan (a shuffling compactor is a cluster hog, not
+    a maintenance job)."""
+    import glob
+    import math
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.sinks import (
+        COMPACT_TARGET_BYTES,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    o = scan(spark, sf_dir, "orders")
+    frag = tempfile.mkdtemp(prefix="a19_test_frag_")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(glob.glob(frag + "/*.parquet"))
+    assert n_frag == 64
+    n_bytes = sum(
+        e.stat().st_size for e in os.scandir(frag) if e.name.endswith(".parquet")
+    )
+    n_target = max(1, math.ceil(n_bytes / COMPACT_TARGET_BYTES))
+    compacted = spark.read.parquet(frag).coalesce(n_target)
+    plan = compacted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    out = tempfile.mkdtemp(prefix="a19_test_out_")
+    compacted.write.mode("overwrite").parquet(out)
+    n_out = len(glob.glob(out + "/*.parquet"))
+    assert n_out <= n_target < n_frag
+    assert spark.read.parquet(out).count() == o.count()
