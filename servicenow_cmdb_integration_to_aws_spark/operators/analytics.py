@@ -210,3 +210,64 @@ def c18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "e14_seq_pattern",
+    oracle=f"""
+    {EVENTS_US},
+    s AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(instr(seq, 'vcp') AS BIGINT) AS pos_vcp,
+           regexp_matches(seq, 'v.*c.*p') AS has_funnel
+    FROM s
+    """,
+)
+def e14_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (e14): MATCH_RECOGNIZE-style CEP
+    over the batch event log — each user's history collapses to an
+    ordered event-initial string (v/c/p/s/e, initials are unique),
+    then pattern hits are plain string ops: `pos_vcp` = first
+    IMMEDIATELY-consecutive view→click→purchase run, `has_funnel` =
+    the eventual v..c..p subsequence (t9's funnel as a regex). The
+    encode-as-string trick turns arbitrary sequence patterns into
+    regexes — the standard SQL workaround for engines without
+    MATCH_RECOGNIZE, identical in both.
+
+    Parity: the aggregation orders by the (ts, event_id) total order
+    on both engines (Spark: array_sort over (ts, event_id, initial)
+    structs — lexicographic struct compare IS the order-by; DuckDB:
+    ORDER BY inside string_agg); pattern results are integer/boolean.
+
+    100 TB notes: ONE user_id shuffle; per-user state is the
+    initial string (1 byte/event — 67 MB for a pathological 67M-event
+    user, but real CEP at that depth belongs to the i-series state
+    machines; the docstring contract caps this operator at bounded
+    per-key activity). Pattern evaluation is map-side codegen on
+    user-grain rows."""
+    ev = scan(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("i"),
+    )
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "i"))),
+            lambda s: s["i"],
+        ),
+    )
+    g = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return g.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.instr("seq", "vcp").cast("bigint").alias("pos_vcp"),
+        F.col("seq").rlike("v.*c.*p").alias("has_funnel"),
+    )

@@ -688,3 +688,42 @@ def i16_stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_stage_docs_dir(sf_dir))
     )
     return _run_to_memory(raw.select(*redact_columns()))
+
+
+#: p8's encoded filter — the domain query language applied to a LIVE
+#: feed (same string a saved CMDB list view would carry)
+_P8_ENCODED = "event_type=purchase^value>=250"
+
+
+@query(
+    "p8_encoded_stream",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts, value FROM e
+    WHERE event_type = 'purchase' AND value >= 250
+    """,
+)
+def p8_encoded_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded query over a stream (p8): the ServiceNow encoded-query
+    string — the SAME compiler the batch surface uses
+    (plans.encoded_query.compile_encoded, one grammar, one codepath)
+    — applied to the live event feed: a saved list-view filter
+    becomes a standing streaming subscription. This is the fourth
+    frontend x execution-mode cell (encoded/DataFrame/SQL x
+    batch/stream); because both modes share the compiled Column tree,
+    a filter can never mean different things live vs backfill.
+
+    SQL-oracle-checkable: the compiled predicate is a stateless
+    row-wise filter in append mode — final set ≡ the batch compile.
+    100 TB notes: the predicate lands in the stream scan exactly as
+    in batch (codegen map, no state store, no watermark); per-file
+    parallelism carries it."""
+    from ..plans.encoded_query import compile_encoded
+
+    s = _stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    out = compile_encoded(s, _P8_ENCODED).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return _run_to_memory(out)
