@@ -411,7 +411,10 @@ def h15_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     into Spark 4's binary-encoded VARIANT, then typed extractions with
     `try_variant_get` — the modern replacement for per-path
     get_json_object string re-parsing (h10): one parse, many typed
-    reads, shreddable at the storage layer.
+    reads, shreddable at the storage layer. The parse is `try_` too:
+    a malformed payload row becomes NULL instead of failing the whole
+    100 TB ingest job (ANSI-mode `parse_json` throws) — the oracle's
+    CAST-of-extract has the same row-local null semantics.
 
     100 TB notes: h10's get_json_object re-parses the JSON string per
     extraction expression; VARIANT parses once per row into a binary
@@ -422,7 +425,7 @@ def h15_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     `try_` (null, not error) exactly like the oracle's CAST of an
     absent extract."""
     e = scan(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
     return e.select(
         "event_id",

@@ -542,14 +542,39 @@ def j41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster swallows the corpus (the real SemDeDup failure mode —
     k-means on web data is heavily skewed); the dup-mark join carries
     ids only. Raw vectors ride exactly two shuffles (chunk replication
-    + the id-keyed mark join), text/metadata none."""
+    + the id-keyed mark join), text/metadata none.
+
+    SCALING CONTRACT: total pair work is Σ cluster² — with K FIXED,
+    cluster size grows with the corpus and pair work grows
+    quadratically (measured at 8x embeddings: exponent 1.05 with
+    K=8 fixed, 0.24 with K scaled 8x to 64 — SCALING.md). Production
+    therefore sets K = N / target_cluster_size (the paper's regime:
+    cluster size stays ~constant); the registered query pins K=8 only
+    so the oracle is reproducible. :func:`semdedup` takes k
+    explicitly."""
+    return semdedup(spark, sf_dir, k=_SD_K, tau=_SD_TAU)
+
+
+def semdedup(
+    spark: SparkSession, sf_dir: str, k: int, tau: float, cap: int = 128
+) -> DataFrame:
+    """Parametric SemDeDup (see :func:`j41_semdedup`): k blocking
+    clusters, dup threshold tau. Scale rule: k ∝ corpus size, which
+    keeps cluster size — and so Σ cluster² pair work — linear in N.
+    The assignment scan is then N·k folds; when THAT becomes the
+    bottleneck (k in the tens of thousands), the production move is
+    IVF-style coarse quantization of the seed table (j3b's cell-probe
+    shape). A two-level probe was prototyped and measured here: at
+    16k×64-dim it saves nothing (broadcast/overhead-dominated) and
+    its cell-border approximation cannot be validated on isotropic
+    random synthetic vectors, so it is deliberately NOT shipped."""
     from .vectors import dot, l2norm, neardup_blocked
 
     e = scan(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _dvec("embedding").alias("v")
     )
     seed_hash = F.md5(F.col("vec_id").cast("string").cast("binary"))
-    topk = e.select(seed_hash.alias("h"), "v").orderBy("h").limit(_SD_K)
+    topk = e.select(seed_hash.alias("h"), "v").orderBy("h").limit(k)
     cent = topk.select(
         F.row_number().over(Window.orderBy("h")).alias("cid"),
         F.col("v").alias("c"),
@@ -565,7 +590,7 @@ def j41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "embedding", F.col("m.cid").alias("label"))
     )
-    pairs = neardup_blocked(assigned, tau=_SD_TAU, cap=128)
+    pairs = neardup_blocked(assigned, tau=tau, cap=cap)
     dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return assigned.join(
         dup.withColumn("d", F.lit(True)), "vec_id", "left"

@@ -579,8 +579,20 @@ def d20_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans the table N times (the oracle runs that form). The final
     stack() to long format is a 1-row map. At extreme cardinality the
     exact distinct swaps for approx_count_distinct (d5's tolerance
-    contract) without touching the plan shape."""
-    li = scan(spark, sf_dir, "lineitem")
+    contract) without touching the plan shape.
+
+    The near-unique price column is the honest cost: its expanded rows
+    barely collapse in the partial agg, so ~|rows| cells cross the
+    wire — exact distinct on a unique key costs a full shuffle in ANY
+    engine; that, not the Expand, is what approx_count_distinct buys
+    back. spread() parallelizes the single-row-group local file's
+    Expand (no-op at real scale)."""
+    from ..sources.tables import spread
+
+    li = spread(
+        scan(spark, sf_dir, "lineitem").select(*_PROFILE_COLS),
+        *_PROFILE_COLS,
+    )
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
