@@ -1190,3 +1190,66 @@ def j43_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_J44_BUCKETS = 1024
+
+
+@query(
+    "j44_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        FROM documents
+    ),
+    b AS (
+        SELECT token,
+               CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                 % {_J44_BUCKETS} AS bucket
+        FROM tok
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           COUNT(DISTINCT token) AS n_tokens
+    FROM b GROUP BY bucket
+    ORDER BY n_occ DESC, bucket LIMIT 20
+    """,
+)
+def j44_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit (j44): the hashing trick maps
+    an unbounded vocabulary into {_J44_BUCKETS} fixed feature slots
+    (md5-derived bucket — no dictionary, no coordination); this query
+    reports the 20 hottest buckets with occupancy and DISTINCT-token
+    collision counts — the audit run before committing to a hashed
+    feature space (hot buckets ⇒ aliased features ⇒ a bigger space or
+    a signed second hash).
+
+    Parity: bucket = 32-bit md5 prefix mod buckets, integer-exact in
+    both engines (the j43 '0x'-cast/conv discipline); counts exact.
+
+    100 TB notes: the token explode partial-aggs into ≤buckets·|vocab
+    slice| keys map-side; the only exchange carries (bucket, token)
+    pre-counts for the distinct, bounded by vocabulary not corpus;
+    top-K is TakeOrderedAndProject. The hash is applied scan-side —
+    this is the whole point of the hashing trick at scale: feature
+    extraction with NO vocabulary broadcast and NO global dictionary
+    build."""
+    d = spread(scan(spark, sf_dir, "documents").select("text"), "text")
+    tok = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % _J44_BUCKETS
+    )
+    return (
+        tok.select(bucket.alias("bucket"), "token")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("token").alias("n_tokens"),
+        )
+        .orderBy(F.col("n_occ").desc(), "bucket")
+        .limit(20)
+    )

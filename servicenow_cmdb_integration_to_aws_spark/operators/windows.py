@@ -539,3 +539,42 @@ def e13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / den, 6).alias("ewma_value"),
         )
     )
+
+
+@query(
+    "e15_rank_distribution",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, event_type,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def e15_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window surface (e15): percent_rank and cume_dist
+    of each event's value within its type — where a value sits in its
+    peer distribution, the normalized form dashboards and SLO
+    percentile gates consume (e2 gives ordinal ranks; these are the
+    [0,1]-scaled complements that stay comparable across group
+    sizes).
+
+    Parity: (value, event_id) totally orders each partition, and both
+    functions are exact small-integer ratios evaluated in double with
+    the same formula on both engines — bit-identical, no rounding
+    needed.
+
+    100 TB notes: one event_type exchange + one in-partition sort
+    serves both functions (same spec → one WindowExec); per-row state
+    is O(1) given the frame's precomputed partition count. A 5-type
+    partitioning is the skew warning case — the production form
+    partitions by (type, time-bucket) and recombines, same as d19's
+    hierarchy."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return scan(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
