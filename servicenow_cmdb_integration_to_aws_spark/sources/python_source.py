@@ -23,11 +23,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..registry import query
-from ..sources.tables import path_of
+from ..sources.tables import path_of, scan
 
 PAGE_KEYS = 2_000  # orderkey span per page/partition
 
@@ -241,3 +243,127 @@ def a18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return _run_to_memory(s)
+
+
+# ---------------------------------------------------------------------------
+# a20 — Python Data Source WRITER (the upsert/export direction of a17)
+
+
+class _UpsertCommit(WriterCommitMessage):
+    """Per-task commit message: staged file + row count (picklable)."""
+
+    def __init__(self, staged: str, n_rows: int):
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+class OrdersUpsertWriter(DataSourceWriter):
+    """Two-phase-commit export sink: tasks stage, the driver commits.
+
+    Each task writes its rows to a uniquely-named file under
+    `_staging/` and returns a commit message; `commit()` (driver, runs
+    once, only after EVERY task succeeded) atomically renames staged
+    files into the committed dir and writes a `_MANIFEST` with the
+    total row count; `abort()` discards the staging files. A retried
+    or zombie task therefore can never double-deliver — only files
+    named in commit messages move. Against a real REST target the
+    staged file is a page of pending upserts and commit() is the
+    batch-submit call (import-set style); the local directory stands
+    in exactly like rest_source's simulated server."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fn = os.path.join(staging, f"part-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(fn, "w") as f:
+            for row in iterator:
+                f.write(f"{row[0]},{row[1]},{row[2]!r}\n")
+                n += 1
+        return _UpsertCommit(fn, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        final = os.path.join(self.path, "committed")
+        os.makedirs(final, exist_ok=True)
+        total = 0
+        for m in messages:
+            os.rename(m.staged, os.path.join(final, os.path.basename(m.staged)))
+            total += m.n_rows
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump({"n_rows": total, "n_files": len(messages)}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class OrdersUpsertSink(DataSource):
+    """`df.write.format("cmdb_upsert")` — paged upsert export."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cmdb_upsert"
+
+    def writer(self, schema, overwrite: bool):
+        return OrdersUpsertWriter(self.options)
+
+
+def register_sink(spark: SparkSession) -> None:
+    key = ("sink", id(spark))
+    if key not in _REGISTERED:
+        spark.dataSource.register(OrdersUpsertSink)
+        _REGISTERED.add(key)
+
+
+@query(
+    "a20_python_datasource_writer",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def a20_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source writer (a20): the export/upsert DIRECTION of
+    the a17/a18 source family — Spark 4's `DataSourceWriter` with real
+    two-phase commit (stage on executors → single driver commit +
+    manifest, abort discards). Completes the pluggable-source story:
+    read (a17), streaming read (a18), write (this).
+
+    The registered result is the committed read-back (doubles emitted
+    via shortest-roundtrip repr, so the CSV hop is bit-exact); oracle
+    = the source table. tests/test_rest_source.py pins the 2PC
+    semantics: manifest totals match, staging is empty after commit,
+    one file per task.
+
+    100 TB notes: write parallelism = input partitions (each task
+    streams its page independently); the driver touches only commit
+    messages (file names + counts, not data). The rename-on-commit
+    discipline is what makes speculative/retried tasks safe — the
+    same protocol Spark's own FileOutputCommitter v1 uses."""
+    import json
+    import os
+    import tempfile
+
+    register_sink(spark)
+    out = tempfile.mkdtemp(prefix="a20_sink_")
+    o = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.format("cmdb_upsert").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    assert manifest["n_rows"] > 0
+    return spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).csv(os.path.join(out, "committed"))

@@ -146,3 +146,30 @@ def test_sidecar_reset_on_new_scan(spark, sf_dir):
     assert "c_acctbal>9000.0" in rest_source.last_pushed(path_of(sf_dir, "customer"))
     _read(spark, sf_dir).count()  # unfiltered scan
     assert rest_source.last_pushed(path_of(sf_dir, "customer")) == ""
+
+
+def test_python_sink_two_phase_commit(spark, sf_dir):
+    """a20: after the write, staging must be EMPTY (all files renamed
+    on commit, none leaked), the manifest totals must match the input
+    exactly, and there is one committed file per write task."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.python_source import (
+        register_sink,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    register_sink(spark)
+    out = tempfile.mkdtemp(prefix="a20_test_")
+    o = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartition(4)
+    o.write.format("cmdb_upsert").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["n_rows"] == o.count()
+    committed = glob.glob(os.path.join(out, "committed", "*.csv"))
+    assert len(committed) == manifest["n_files"] == 4
+    assert glob.glob(os.path.join(out, "_staging", "*")) == []
