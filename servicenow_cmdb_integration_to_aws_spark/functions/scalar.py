@@ -434,3 +434,47 @@ def h15_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k > 50).alias("k_big"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_attr"),
     )
+
+
+@query(
+    "h16_try_functions",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, props,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id,
+           cents / NULLIF(cents % 7, 0) AS safe_div,
+           TRY_CAST(substr(props, 7, 2) AS INTEGER) AS k_try,
+           string_split(event_type, 'u')[2] AS after_u
+    FROM e
+    """,
+)
+def h16_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe function family (h16): `try_divide`,
+    `try_cast`, `try_element_at` — under ANSI mode (this engine's
+    default, like the reference domain's strict typing) a division by
+    zero, bad cast, or out-of-range index THROWS and kills the 100 TB
+    job; the try_ family turns exactly those rows into NULL while
+    every other row keeps full-error semantics. The oracle mirrors
+    each with DuckDB's native null-safe form (NULLIF guard, TRY_CAST,
+    OOB list index) — same rows null, same values elsewhere.
+
+    100 TB notes: all map-side codegen, zero shuffles; the point is
+    operational — row-local fault tolerance beats job-level retries
+    when one poison row hides in a petabyte."""
+    e = scan(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "props",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("cents"), F.col("cents") % 7).alias("safe_div"),
+        F.substring("props", 7, 2).try_cast("int").alias("k_try"),
+        F.try_element_at(F.split("event_type", "u"), F.lit(2)).alias("after_u"),
+    )

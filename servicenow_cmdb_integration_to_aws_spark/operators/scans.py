@@ -145,3 +145,43 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
+
+
+def open_orders_observed(spark: SparkSession, sf_dir: str, observation=None):
+    """a21's pipeline with an attachable Observation: open orders with
+    ingest metrics (row count, exact cents revenue, null-price count)
+    accumulated ON the pipeline's own pass — no second scan."""
+    o = scan(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("sum_cents"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "n_null_price"
+        ),
+    ]
+    observed = o.observe(
+        observation if observation is not None else "a21_ingest", *metrics
+    )
+    return observed.select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "a21_observed_metrics",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def a21_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-metrics pipeline (a21): `df.observe()` — Spark's
+    built-in accumulator surface for data-quality counters. The ingest
+    job's metrics (row count, exact-cents revenue, null-rate) ride the
+    SAME physical pass that produces the output: zero extra scans,
+    zero extra shuffles, metrics delivered to the driver/listener at
+    action completion. This is how a 100 TB ingest self-reports
+    volume/quality without the monitoring-query-rescans-the-table
+    antipattern (d20 profiles a table at rest; this instruments a
+    pipeline in flight). tests/test_operators.py pins that the
+    observed values equal independently-aggregated truth."""
+    return open_orders_observed(spark, sf_dir)

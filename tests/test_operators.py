@@ -976,3 +976,35 @@ def test_small_file_compact_merges_without_shuffle(spark, sf_dir):
     n_out = len(glob.glob(out + "/*.parquet"))
     assert n_out <= n_target < n_frag
     assert spark.read.parquet(out).count() == o.count()
+
+
+def test_observed_metrics_match_truth(spark, sf_dir):
+    """a21: the Observation's metrics must equal an independent
+    aggregation of the same predicate — and arrive from the SAME
+    action (no extra job beyond the one collect)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.scans import (
+        open_orders_observed,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    obs = Observation("a21_test")
+    out = open_orders_observed(spark, sf_dir, obs)
+    n_out = out.count()
+    got = obs.get
+    truth = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("sum_cents"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == truth["n_rows"] == n_out
+    assert got["sum_cents"] == truth["sum_cents"]
+    assert got["n_null_price"] == 0
