@@ -613,3 +613,97 @@ def p7_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, priority
         """
     )
+
+
+@query(
+    "p9_sql_recursive",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '2001-12-01'
+    )
+    SELECT months.m AS month_start,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months
+    LEFT JOIN orders ON date_trunc('month', o_orderdate) = months.m
+    GROUP BY months.m
+    """,
+)
+def p9_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (p9): Spark 4's WITH RECURSIVE — the
+    calendar-spine pattern every warehouse report needs (a month axis
+    with NO gaps, so zero-activity months appear as 0 instead of
+    vanishing; a bare GROUP BY month silently drops them). c11/c12
+    express recursion as driver-side DataFrame loops; this is the
+    same fixpoint machinery surfaced through plain SQL — the fourth
+    frontend capability proof (encoded / DataFrame / SQL / recursive
+    SQL), one optimizer under all of them.
+
+    100 TB notes: the recursion generates the 84-row spine — O(depth)
+    tiny steps, then ONE broadcast of the spine into the fact join
+    (84 rows vs 150k orders: Catalyst broadcasts the spine side); the
+    orders aggregate partial-aggs on month before the exchange. The
+    recursive side of a spine join must always be the broadcast side
+    — recursing over the FACT is the antipattern."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("sqlv_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '2001-12-01'
+        )
+        SELECT months.m AS month_start,
+               COUNT(o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN sqlv_orders ON date_trunc('MONTH', o_orderdate) = months.m
+        GROUP BY months.m
+        """
+    )
+
+
+@query(
+    "b18_lateral_topk",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM orders o, LATERAL (
+        SELECT l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber
+        LIMIT 2
+    ) l
+    WHERE o.o_orderdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def b18_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (b18): per-order top-2 priciest
+    lineitems via a lateral ORDER BY … LIMIT — the "for each row,
+    query something about it" form analysts write naturally; Spark 4
+    decorrelates it into a join + per-key windowed rank instead of
+    executing the subquery N times (the plan is f4's top-k-per-group
+    shape, arrived at from SQL).
+
+    100 TB notes: after decorrelation both sides co-partition on the
+    orderkey; the pushed date filter prunes the outer before the
+    join. A literal row-at-a-time lateral execution would be 150k
+    subqueries — the decorrelation IS the scalability, and the parity
+    gate proves semantics survived it."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("sqlv_orders")
+    scan(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlv_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM sqlv_orders o, LATERAL (
+            SELECT l_linenumber, l_extendedprice
+            FROM sqlv_lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber
+            LIMIT 2
+        ) l
+        WHERE o.o_orderdate >= TIMESTAMP '2001-06-01'
+        """
+    )
