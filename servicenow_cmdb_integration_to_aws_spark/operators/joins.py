@@ -660,3 +660,53 @@ def c15_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("converted_7d"),
     )
+
+
+@query(
+    "c20_join_hints",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def c20_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical join-strategy hints (c20): the same logical fact-fact
+    join as c2, pinned to SHUFFLE_HASH via the hint API. Sort-merge
+    (the default above the broadcast threshold) pays two full sorts to
+    get spill-safety; when the build side is known to fit per-task
+    memory after partitioning — the case here, with the date filter
+    pruning orders — a hash join skips both sorts. The hint is the
+    user-facing escape hatch when the optimizer's cost model lacks
+    that knowledge (stats-starved scans, freshly-landed data).
+
+    tests/test_plans.py pins that the hint actually flips the
+    operator (ShuffledHashJoin in this plan, SortMergeJoin without);
+    results are hint-invariant by construction — the oracle proves
+    it.
+
+    100 TB notes: identical shuffle volume either way (both
+    co-partition on the orderkey); the saving is the two O(n log n)
+    in-partition sorts. The risk the hint accepts: a hash build that
+    exceeds task memory spills MUCH worse than sort-merge — which is
+    why it's a HINT, not the default."""
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

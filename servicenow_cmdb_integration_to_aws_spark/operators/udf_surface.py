@@ -279,3 +279,48 @@ def k8_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInArrow(
         demean, "doc_id long, lang string, demeaned_chars double"
     )
+
+
+@query(
+    "k10_sql_udf",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'std'
+                ELSE 'prem' END AS tier
+    FROM customer
+    """,
+)
+def k10_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (k10): Spark 4's `CREATE FUNCTION
+    ... RETURNS ... RETURN <expr>` — the user-extension point that,
+    unlike every Python UDF in this module, costs NOTHING at scale:
+    the body is INLINED into the Catalyst plan at resolution, so it
+    codegens with the surrounding expressions, pushes down, and never
+    crosses a process boundary. The right way to centralize business
+    logic (the cents policy, the tier ladder) across a 100-query
+    workload: one definition, zero runtime penalty.
+    tests/test_plans.py pins the inlining (no BatchEvalPython /
+    ArrowEvalPython node in the plan).
+
+    Parity: the oracle is the UDF bodies inlined by hand — if Spark's
+    inliner changed semantics, the value hash would catch it."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqlv_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqlv_tier(b DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN b < 0 THEN 'neg' "
+        "WHEN b < 5000 THEN 'std' ELSE 'prem' END"
+    )
+    scan(spark, sf_dir, "customer").createOrReplaceTempView("sqlv_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               sqlv_cents(c_acctbal) AS bal_cents,
+               sqlv_tier(c_acctbal) AS tier
+        FROM sqlv_customer
+        """
+    )

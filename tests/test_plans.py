@@ -427,3 +427,42 @@ def test_column_profile_single_scan_expand(spark, sf_dir):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans == 1, f"d20 plan has {n_scans} scans, want 1"
     assert "Expand" in plan, plan
+
+
+def test_sql_udf_inlines_no_python_boundary(spark, sf_dir):
+    """k10: SQL-defined functions must inline into the Catalyst plan —
+    no BatchEvalPython/ArrowEvalPython node, and the expressions stay
+    inside WholeStageCodegen."""
+    import re
+
+    plan = plan_of(_q(spark, sf_dir, "k10_sql_udf"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*' prefix = the node runs inside whole-stage codegen; the UDF
+    # bodies must appear inlined in that Project, directly over the scan
+    assert re.search(r"^\* Project", plan, re.M), plan
+    assert "CASE WHEN" in plan, plan
+
+
+def test_join_hint_flips_physical_operator(spark, sf_dir):
+    """c20: the shuffle_hash hint must actually select
+    ShuffledHashJoin; the IDENTICAL query without the hint must not —
+    proving the hint, not the cost model, picked the operator."""
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    hinted = plan_of(_q(spark, sf_dir, "c20_join_hints"))
+    assert "ShuffledHashJoin" in hinted, hinted
+
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    unhinted = plan_of(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    assert "ShuffledHashJoin" not in unhinted, unhinted
