@@ -181,3 +181,71 @@ def a19_small_file_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+def zvalue(a, b, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative int columns into
+    one sort key (bit i of `a` → bit 2i+1, bit i of `b` → bit 2i).
+    Pure shift/mask expression tree — codegen'd, no UDF. 16 bits per
+    dim covers the test keyspace; production uses 31+31 into a long."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(1), 2 * i + 1)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i)
+            )
+        )
+    return z
+
+
+@query(
+    "a22_zorder_sink",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
+    FROM lineitem
+    WHERE l_partkey >= 500 AND l_partkey < 700
+      AND l_suppkey >= 20 AND l_suppkey < 40
+    """,
+)
+def a22_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink (a22): lineitem laid out on the Morton
+    interleave of (l_partkey, l_suppkey) — the 2-D generalization of
+    a14's range clustering. A 1-D sort gives file-skipping on ONE
+    column and leaves the other full-width in every file; Z-order
+    keeps BOTH columns' per-file min/max ranges narrow, so a 2-D box
+    predicate (the "this part from this supplier" lookup) skips files
+    on either or both dimensions via plain parquet footer stats — no
+    index structure, just row order. This is the standard lakehouse
+    layout trick (Delta/Iceberg Z-ORDER BY) built from primitives:
+    interleave → repartitionByRange → sortWithinPartitions.
+
+    tests/test_operators.py MEASURES the skip: under the registered
+    box predicate, the Z-layout leaves most files prunable while a
+    partkey-only sort leaves every file's suppkey range full-width
+    (suppkey skips nothing). Registered result = the filtered
+    read-back; oracle = the same box on the source."""
+    from pyspark.sql import functions as F
+
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    z = zvalue(F.col("l_partkey"), F.col("l_suppkey"))
+    out = tempfile.mkdtemp(prefix="sink_a22_")
+    (
+        li.withColumn("zv", z)
+        .repartitionByRange(8, "zv")
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(
+        (F.col("l_partkey") >= 500)
+        & (F.col("l_partkey") < 700)
+        & (F.col("l_suppkey") >= 20)
+        & (F.col("l_suppkey") < 40)
+    )

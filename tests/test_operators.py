@@ -1008,3 +1008,57 @@ def test_observed_metrics_match_truth(spark, sf_dir):
     assert got["n_rows"] == truth["n_rows"] == n_out
     assert got["sum_cents"] == truth["sum_cents"]
     assert got["n_null_price"] == 0
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir):
+    """a22: under the 2-D box predicate, the Z-order layout must leave
+    files prunable by footer stats on the partkey AND/OR suppkey
+    ranges, while a partkey-only sort leaves every file's suppkey
+    range full-width (the suppkey predicate skips nothing there)."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.sinks import zvalue
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    li = scan(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            st = lambda c: [  # noqa: E731
+                (md.row_group(g).column(idx[c]).statistics.min,
+                 md.row_group(g).column(idx[c]).statistics.max)
+                for g in range(md.num_row_groups)
+            ]
+            pk = st("l_partkey"); sk = st("l_suppkey")
+            out.append((min(a for a, _ in pk), max(b for _, b in pk),
+                        min(a for a, _ in sk), max(b for _, b in sk)))
+        return out
+
+    zdir = tempfile.mkdtemp(prefix="a22_test_z_")
+    (li.withColumn("zv", zvalue(F.col("l_partkey"), F.col("l_suppkey")))
+       .repartitionByRange(8, "zv").sortWithinPartitions("zv").drop("zv")
+       .write.mode("overwrite").parquet(zdir))
+    onedir = tempfile.mkdtemp(prefix="a22_test_1d_")
+    (li.repartitionByRange(8, "l_partkey").sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").parquet(onedir))
+
+    box = lambda r: not (r[1] < 500 or r[0] >= 700 or r[3] < 20 or r[2] >= 40)  # noqa: E731
+    z_hit = [r for r in ranges(zdir) if box(r)]
+    one = ranges(onedir)
+    one_hit = [r for r in one if box(r)]
+    # Z-order: the box must NOT touch every file (skipping happens)
+    assert len(z_hit) < len(ranges(zdir)), z_hit
+    # 1-D layout: every file covers (nearly) the full suppkey domain,
+    # so the suppkey half of the predicate can never prune a file
+    sk_domain = (min(r[2] for r in one), max(r[3] for r in one))
+    assert all(r[2] <= sk_domain[0] + 5 and r[3] >= sk_domain[1] - 5 for r in one), one
+    # and the box therefore hits every file the partkey range admits
+    pk_admits = [r for r in one if not (r[1] < 500 or r[0] >= 700)]
+    assert len(one_hit) == len(pk_admits)
