@@ -153,6 +153,72 @@ class CmdbEngine:
             ).alias("n_tokens"),
         )
 
+    # -- event analytics -------------------------------------------------
+    def sessionize(self, events: DataFrame, **kw) -> DataFrame:
+        """Gap-based sessionization of an activity frame (e12
+        machinery): per-session count/bounds/duration/cents."""
+        from .operators.windows import sessionize
+
+        return sessionize(events, **kw)
+
+    def scd2(self, changes: DataFrame, **kw) -> DataFrame:
+        """Fold a change log into SCD Type-2 validity intervals (c18
+        machinery): version rows with [valid_from, valid_to)."""
+        from .operators.analytics import scd2_intervals
+
+        return scd2_intervals(changes, **kw)
+
+    # -- data quality ----------------------------------------------------
+    def profile(self, df: DataFrame, cols: list) -> DataFrame:
+        """One-pass column profiler (d20 machinery): null / exact
+        distinct / min / max for every column from ONE scan."""
+        from .operators.aggregates import profile
+
+        return profile(df, cols)
+
+    # -- corpus (embeddings) ---------------------------------------------
+    def semdedup(self, k: int = 8, tau: float = 0.35) -> DataFrame:
+        """Cluster-blocked semantic dedup over the embeddings table
+        (j41 machinery). Scale rule: k ∝ corpus size."""
+        from .llm.retrieval import semdedup
+
+        return semdedup(self.spark, self.sf_dir, k=k, tau=tau)
+
+    # -- maintenance -----------------------------------------------------
+    def compact(self, src_dir: str, target_bytes: int | None = None) -> str:
+        """Shuffle-free small-file compaction of a parquet directory
+        (a19 machinery); returns the compacted directory."""
+        from .operators.sinks import COMPACT_TARGET_BYTES, compact_parquet_dir
+
+        return compact_parquet_dir(
+            self.spark, src_dir, target_bytes or COMPACT_TARGET_BYTES
+        )
+
+    def zorder_write(
+        self, df: DataFrame, col_a: str, col_b: str, path: str, n_files: int = 8
+    ) -> None:
+        """Write `df` Z-order-clustered on (col_a, col_b) (a22
+        machinery): 2-D footer-stats skipping for box predicates."""
+        from pyspark.sql import functions as F
+
+        from .operators.sinks import zvalue
+
+        (
+            df.withColumn("__zv", zvalue(F.col(col_a), F.col(col_b)))
+            .repartitionByRange(n_files, "__zv")
+            .sortWithinPartitions("__zv")
+            .drop("__zv")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def sql(self, query: str, tables: tuple = ("orders", "lineitem", "customer")):
+        """Raw-SQL surface (p7 semantics): registers `sqlv_<table>`
+        views for the given tables, runs the query."""
+        for t in tables:
+            scan(self.spark, self.sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+        return self.spark.sql(query)
+
     def range_join(
         self,
         intervals: DataFrame,

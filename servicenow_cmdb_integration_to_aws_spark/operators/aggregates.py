@@ -593,8 +593,14 @@ def d20_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan(spark, sf_dir, "lineitem").select(*_PROFILE_COLS),
         *_PROFILE_COLS,
     )
+    return profile(li, _PROFILE_COLS)
+
+
+def profile(df: DataFrame, cols) -> DataFrame:
+    """Parametric one-pass profiler (d20's tested machinery): null /
+    exact-distinct / min / max per column from a single Expand scan."""
     aggs = []
-    for c in _PROFILE_COLS:
+    for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("bigint")
@@ -603,13 +609,13 @@ def d20_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col(c)).cast("string").alias(f"min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"max_{c}"),
         ]
-    wide = li.agg(*aggs)
+    wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in cols
     )
     return wide.select(
         F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            f"stack({len(cols)}, {stack_args}) AS "
             "(column_name, n_null, n_distinct, min_v, max_v)"
         )
     )

@@ -192,20 +192,35 @@ def c18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py). State per partition is O(1); skew bound is
     events-per-user. At petabyte history depth the same plan holds:
     versions-per-key out is |changes|, not |events|."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = scan(spark, sf_dir, "events").select(
         "user_id", F.col("event_type").alias("state"), "ts", "event_id"
     )
+    return scd2_intervals(e)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str = "user_id",
+    state: str = "state",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Parametric SCD2 builder (c18's tested machinery): collapse
+    consecutive same-state repeats, open [valid_from, valid_to)
+    versions — one exchange, one sort."""
+    w = Window.partitionBy(key).orderBy(ts, id_col)
     ch = (
-        e.withColumn("prev_state", F.lag("state").over(w))
-        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        df.withColumn("prev_state", F.lag(state).over(w))
+        .filter(
+            F.col("prev_state").isNull() | (F.col(state) != F.col("prev_state"))
+        )
         .drop("prev_state")
     )
-    nxt = F.lead("ts").over(w)
+    nxt = F.lead(ts).over(w)
     return ch.select(
-        "user_id",
-        "state",
-        F.col("ts").alias("valid_from"),
+        key,
+        state,
+        F.col(ts).alias("valid_from"),
         nxt.alias("valid_to"),
         F.row_number().over(w).cast("bigint").alias("version"),
         nxt.isNull().alias("is_current"),

@@ -161,26 +161,35 @@ def a19_small_file_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hog at 100 TB. Registered result is the compacted read-back
     (oracle: source equality); tests/test_operators.py pins the file
     count and the no-shuffle plan."""
-    import math
-    import os
-
     o = scan(spark, sf_dir, "orders")
     frag = tempfile.mkdtemp(prefix="sink_a19_frag_")
     o.repartition(64).write.mode("overwrite").parquet(frag)
+    out = compact_parquet_dir(spark, frag)
+    return spark.read.parquet(out)
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, target_bytes: int = COMPACT_TARGET_BYTES
+) -> str:
+    """Size-aware, shuffle-free compaction of a fragmented parquet
+    directory (a19's tested machinery). Returns the compacted dir."""
+    import math
+    import os
+
     n_bytes = sum(
         e.stat().st_size
-        for e in os.scandir(frag)
+        for e in os.scandir(src)
         if e.name.endswith(".parquet")
     )
-    n_target = max(1, math.ceil(n_bytes / COMPACT_TARGET_BYTES))
-    out = tempfile.mkdtemp(prefix="sink_a19_out_")
+    n_target = max(1, math.ceil(n_bytes / target_bytes))
+    out = tempfile.mkdtemp(prefix="compacted_")
     (
-        spark.read.parquet(frag)
+        spark.read.parquet(src)
         .coalesce(n_target)
         .write.mode("overwrite")
         .parquet(out)
     )
-    return spark.read.parquet(out)
+    return out
 
 
 def zvalue(a, b, bits: int = 16):

@@ -441,14 +441,25 @@ def e12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally, so the second exchange carries session-grain rows.
     Per-partition state is O(1) (previous row), unlike a
     collect_list-based sessionizer; skew bound = events per user."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = scan(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value", F.unix_micros("ts").alias("us")
-    )
+    return sessionize(scan(spark, sf_dir, "events"))
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    gap_us: int = SESSION_GAP_US,
+) -> DataFrame:
+    """Parametric gap sessionizer (e12's tested machinery): one
+    key-partitioned window pass + the session aggregate on the same
+    partitioning."""
+    w = Window.partitionBy(key).orderBy(ts, id_col)
+    e = df.select(key, id_col, ts, value, F.unix_micros(ts).alias("us"))
     prev = F.lag("us").over(w)
     new_sess = (
-        F.when(prev.isNull() | (F.col("us") - prev > SESSION_GAP_US), 1)
-        .otherwise(0)
+        F.when(prev.isNull() | (F.col("us") - prev > gap_us), 1).otherwise(0)
     )
     sess = e.withColumn("new_sess", new_sess).withColumn(
         "sess_no",
@@ -456,12 +467,12 @@ def e12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return sess.groupBy("user_id", F.col("sess_no").cast("bigint").alias("sess_no")).agg(
+    return sess.groupBy(key, F.col("sess_no").cast("bigint").alias("sess_no")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("sess_start"),
-        F.max("ts").alias("sess_end"),
+        F.min(ts).alias("sess_start"),
+        F.max(ts).alias("sess_end"),
         (F.max("us") - F.min("us")).alias("duration_us"),
-        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        F.sum(F.floor(F.col(value) * 100).cast("bigint")).alias("sum_cents"),
     )
 
 

@@ -100,3 +100,58 @@ def test_cmdb_engine_facade_tokens_and_range_join(spark, sf_dir):
         & (F.col("p.ts") <= F.col("w.end_ts")),
     )
     assert got.count() == naive.count() > 0
+
+
+def test_cmdb_engine_facade_session4_surface(spark, sf_dir):
+    """Facade round 5d: sessionize/scd2/profile/semdedup/compact/
+    zorder_write/sql delegate to the oracle-tested machinery and
+    agree with the registered queries where one exists."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from servicenow_cmdb_integration_to_aws_spark import CmdbEngine
+
+    eng = CmdbEngine(spark, sf_dir)
+    ev = eng.table("events")
+
+    # sessionize ≡ e12 (same defaults)
+    got = eng.sessionize(ev).count()
+    want = entrymod.queries()["e12_sessionize"](spark, sf_dir).count()
+    assert got == want
+
+    # scd2 over the event-type change log: versions cover all users
+    ch = ev.select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    scd = eng.scd2(ch)
+    assert scd.filter(F.col("is_current")).count() == ev.select("user_id").distinct().count()
+
+    # profile: one row per column, zero nulls in lineitem keys
+    prof = {r["column_name"]: r for r in eng.profile(
+        eng.table("lineitem").select("l_orderkey", "l_suppkey"),
+        ["l_orderkey", "l_suppkey"],
+    ).collect()}
+    assert prof["l_suppkey"]["n_null"] == 0 and int(prof["l_suppkey"]["n_distinct"]) > 0
+
+    # semdedup default ≡ j41
+    assert eng.semdedup().count() == entrymod.queries()["j41_semdedup"](spark, sf_dir).count()
+
+    # compact: fragmented dir → fewer files, equal rows
+    frag = tempfile.mkdtemp(prefix="facade_frag_")
+    eng.table("region").repartition(16).write.mode("overwrite").parquet(frag)
+    out = eng.compact(frag)
+    assert len(glob.glob(out + "/*.parquet")) < 16
+    assert spark.read.parquet(out).count() == 5
+
+    # zorder_write: readable, row-complete
+    zdir = tempfile.mkdtemp(prefix="facade_z_")
+    eng.zorder_write(
+        eng.table("lineitem").select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", zdir,
+    )
+    assert spark.read.parquet(zdir).count() == eng.table("lineitem").count()
+
+    # sql surface
+    n = eng.sql("SELECT COUNT(*) AS n FROM sqlv_orders").collect()[0]["n"]
+    assert n == eng.table("orders").count()
