@@ -23,7 +23,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -397,3 +397,48 @@ def m5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes."""
     d = scan(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_audio_roundtrip, AUDIO_SCHEMA)
+
+
+@query(
+    "m6_binary_dedup",
+    oracle="""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+             AS canonical_id,
+           (doc_id <> min(doc_id) OVER (
+               PARTITION BY md5(lower(trim(text)))))
+             AS is_dup,
+           CAST(octet_length(encode(lower(trim(text)))) AS BIGINT)
+             AS byte_len
+    FROM documents
+    """,
+)
+def m6_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload dedup (m6): content-digest dedup of the BINARY
+    column itself — the blob-store dedup stage of a multimodal
+    pipeline (same image uploaded twice, one stored copy). Payload
+    here = normalized-text bytes (the synthetic stand-in the whole
+    m-series uses); canonical = min doc_id per md5(payload), exactly
+    j1/j15's policy lifted to binary.
+
+    100 TB notes: the digest is computed SCAN-SIDE, so the one
+    exchange carries (doc_id, 16-byte digest, length) — the payload
+    bytes (the petabytes in this pipeline) never move; the window
+    over the digest is j15's shape. This ordering — hash where the
+    data lives, shuffle only fingerprints — is the entire economics
+    of blob dedup at scale."""
+    d = scan(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.lower(F.trim("text")), "utf-8").alias("payload")
+    )
+    fp = d.select(
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.octet_length("payload").cast("bigint").alias("byte_len"),
+    )
+    w = Window.partitionBy("digest")
+    return fp.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+        "byte_len",
+    )

@@ -742,3 +742,69 @@ def d22_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(num / (dx * dy), 6).alias("corr_qty_price"),
     )
+
+
+_HIST_BINS = 20
+
+
+@query(
+    "d23_histogram",
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem
+    ),
+    b AS (
+        SELECT least(CAST(floor((l_extendedprice - lo)
+                                / ((hi - lo) / {_HIST_BINS})) AS BIGINT),
+                     {_HIST_BINS - 1}) AS bin,
+               lo, hi
+        FROM lineitem, mm
+    )
+    SELECT bin,
+           round(lo + bin * ((hi - lo) / {_HIST_BINS}), 6) AS bin_lo,
+           round(lo + (bin + 1) * ((hi - lo) / {_HIST_BINS}), 6) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bin, lo, hi
+    """,
+)
+def d23_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (d23): 20 bins over the price column with
+    data-derived bounds — the numeric-distribution complement of d20's
+    per-column profile and j34's power-of-two length buckets; what a
+    CBO histogram or a monitoring dashboard's distribution panel
+    actually computes.
+
+    Parity: bin edges derive from the SAME (min, max) on both engines
+    and the bin index is the same float expression shape —
+    bit-identical assignment; edge rounding 6dp for display only.
+
+    100 TB notes: pass 1 is a 2-cell global aggregate (min/max,
+    partial-aggregable); its 1-row result crossJoin-broadcasts into
+    the binning scan (the t22/j34 denominator pattern), so pass 2 is
+    map-side binning + a {_HIST_BINS}-key partial agg. Two scans of
+    one pruned column ≪ one shuffle of the table; a sampled-bounds
+    variant drops pass 1 entirely when approximate edges suffice."""
+    li = scan(spark, sf_dir, "lineitem").select("l_extendedprice")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
+                "bigint"
+            ),
+            F.lit(_HIST_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+        "n",
+    )
