@@ -185,3 +185,42 @@ def a21_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline in flight). tests/test_operators.py pins that the
     observed values equal independently-aggregated truth."""
     return open_orders_observed(spark, sf_dir)
+
+
+@query(
+    "a23_corrupt_tolerant_scan",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def a23_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file-tolerant scan (a23): a landing directory where one
+    file is garbage (truncated upload, partial multipart commit — the
+    operational reality of any 100 TB ingest bucket) read with
+    `ignoreCorruptFiles` — the job completes on the good files instead
+    of dying at file 73,412 of 80,000. The oracle pins the exact
+    surviving row set (= the intact file), so "tolerant" provably
+    means skip-the-bad, not drop-rows-arbitrarily.
+
+    100 TB notes: corruption detection is per-split at footer/page
+    read, so the skip costs nothing on healthy files; the paired
+    practice is a reconciliation count against the manifest (a21's
+    observe) so silently-skipped volume is alarmed, not ignored —
+    tolerance without measurement is data loss."""
+    import shutil
+    import tempfile
+
+    from ..sources.tables import SCHEMAS, path_of
+
+    d = tempfile.mkdtemp(prefix="a23_landing_")
+    shutil.copy(path_of(sf_dir, "orders"), f"{d}/good.parquet")
+    with open(f"{d}/corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file \x00\xff" * 64)
+    # schema declared (a2 discipline) — inference would itself die on
+    # the corrupt footer; a production landing zone always has one
+    return (
+        spark.read.schema(SCHEMAS["orders"])
+        .option("ignoreCorruptFiles", "true")
+        .parquet(d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )

@@ -16,6 +16,8 @@ Grammar (public encoded-query operators [SN-API]):
   ``IN`` (comma list), ``NOT IN``, ``BETWEEN`` (``lo@hi``),
   ``SAMEAS``, ``NSAMEAS``, ``ISEMPTY``, ``ISNOTEMPTY``.
 - directives: ``ORDERBYfield``, ``ORDERBYDESCfield``.
+- global text search: the ``123TEXTQUERY321=term`` pseudo-field
+  (case-insensitive contains across every string column) [SN-API].
 
 Values are passed to Spark as string literals; Catalyst's analyzer
 applies the same implicit casts the DataFrame DSL gets (numeric /
@@ -70,7 +72,7 @@ class CompiledQuery:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
 
 
-_FIELD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*\Z")
+_FIELD_RE = re.compile(r"(123TEXTQUERY321|[A-Za-z_][A-Za-z0-9_.]*)\Z")
 _OPS_BY_LEN = sorted(_OPS, key=len, reverse=True)
 
 
@@ -177,9 +179,30 @@ def _term_to_column(t: Term) -> Column:
     raise ValueError(f"unsupported op {t.op!r}")  # pragma: no cover
 
 
+#: ServiceNow global text-search pseudo-field: `123TEXTQUERY321=term`
+#: matches the term case-insensitively across EVERY string column.
+TEXT_QUERY_FIELD = "123TEXTQUERY321"
+
+
+def _text_search_column(df: DataFrame, term_value: str) -> Column:
+    from pyspark.sql import types as T
+
+    needle = term_value.lower()
+    scols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    if not scols:
+        return F.lit(False)
+    pred = None
+    for c in scols:
+        tcol = F.lower(F.col(c)).contains(needle)
+        pred = tcol if pred is None else (pred | tcol)
+    return pred
+
+
 def compile_encoded(df: DataFrame, encoded: str) -> DataFrame:
     """Compile + apply an encoded query against a DataFrame. ``^NQ``
-    branches union by name (SURVEY §3.2 → g1 semantics)."""
+    branches union by name (SURVEY §3.2 → g1 semantics); the
+    `123TEXTQUERY321` pseudo-field compiles to a case-insensitive
+    any-string-column search (the platform's global text query)."""
     branches = parse(encoded)
     outs = []
     for cq in branches:
@@ -188,7 +211,10 @@ def compile_encoded(df: DataFrame, encoded: str) -> DataFrame:
         for group in cq.groups:
             gcol = None
             for term in group:
-                tcol = _term_to_column(term)
+                if term.field == TEXT_QUERY_FIELD:
+                    tcol = _text_search_column(df, term.value)
+                else:
+                    tcol = _term_to_column(term)
                 gcol = tcol if gcol is None else (gcol | tcol)
             pred = gcol if pred is None else (pred & gcol)
         if pred is not None:
@@ -706,4 +732,35 @@ def b18_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         WHERE o.o_orderdate >= TIMESTAMP '2001-06-01'
         """
+    )
+
+
+@query(
+    "p10_text_search",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (lower(o_orderstatus) LIKE '%urgent%'
+           OR lower(o_orderpriority) LIKE '%urgent%')
+      AND o_totalprice > 250000
+    """,
+)
+def p10_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global text search (p10): the platform's `123TEXTQUERY321`
+    pseudo-field — `123TEXTQUERY321=urgent^o_totalprice>250000`
+    compiles to a case-insensitive contains across EVERY string column
+    OR-folded, AND-composed with the rest of the encoded query. This
+    is how a user's list-view search box actually queries [SN-API];
+    the compiler resolves the column set from the DataFrame schema at
+    compile time, so the same string works on any table.
+
+    100 TB notes: the OR-of-contains is a single codegen'd predicate
+    evaluated scan-side — no index is simulated; on a real deployment
+    this pairs with a14/a22 layouts or an external text index, and
+    the compiled form is exactly what you push to either."""
+    o = scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return compile_encoded(
+        o, "123TEXTQUERY321=URGENT^o_totalprice>250000"
     )

@@ -179,3 +179,24 @@ def test_dotwalk_select_shares_prefix_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("customer.parquet") == 1, plan.count("customer.parquet")
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_text_query_pseudo_field(spark, sf_dir):
+    """p10: 123TEXTQUERY321 compiles to a case-insensitive
+    any-string-column search and composes with ordinary terms."""
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.plans.encoded_query import (
+        compile_encoded,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    o = scan(spark, sf_dir, "orders")
+    got = compile_encoded(o, "123TEXTQUERY321=uRgEnT").count()
+    want = o.filter(
+        F.lower("o_orderstatus").contains("urgent")
+        | F.lower("o_orderpriority").contains("urgent")
+    ).count()
+    assert got == want > 0
+    # no string column matches → empty, not an error
+    assert compile_encoded(o.select("o_orderkey"), "123TEXTQUERY321=x").count() == 0
