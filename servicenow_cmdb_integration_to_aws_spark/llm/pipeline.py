@@ -451,3 +451,80 @@ def j36_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") - 1).alias("n_discarded"),
         )
     )
+
+
+@query(
+    "j46_dataset_card",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               string_split(lower(text), ' ') AS w,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+                 AS canon
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang, canon,
+               CAST(length(w) AS BIGINT) AS n_tok,
+               CAST(length(list_distinct(w)) AS DOUBLE) / length(w) AS ttr,
+               CAST(length(list_filter(w, x -> x IN ('a', 'the')))
+                    AS DOUBLE) / length(w) AS stop_ratio,
+               (n_chars - (length(w) - 1)) / length(w) AS mean_len
+        FROM f
+    ),
+    s AS (
+        SELECT lang, doc_id, canon, n_tok,
+               ROUND(0.3 + 1.2 * ttr - 0.8 * stop_ratio + 0.05 * mean_len
+                     - 0.002 * n_tok, 6) AS score
+        FROM feat
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(COUNT(*) FILTER (score >= 0.5) AS DOUBLE)
+                 / COUNT(*), 6) AS keep_rate,
+           ROUND(CAST(COUNT(*) FILTER (doc_id <> canon) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate,
+           ROUND(SUM(score) / COUNT(*), 6) AS mean_score
+    FROM s GROUP BY lang
+    """,
+)
+def j46_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (j46): the per-language summary artifact every
+    released corpus ships — volume (docs, tokens), quality (j28 keep
+    rate + mean score, SAME shared expressions), and exact-dup rate
+    (j1's digest policy) in one result. This is the composition id:
+    three pipeline stages' signals joined into the report a dataset
+    consumer actually reads.
+
+    100 TB notes: quality features are map-side; the dup flag rides
+    ONE content-digest exchange (16-byte keys); the card aggregate is
+    a |langs|-key partial agg. Whole card = two shuffles over the
+    corpus regardless of size. Mean-score parity: per-doc scores are
+    6dp-rounded BEFORE the per-lang average (j40's discipline), and
+    the average re-rounds 6dp."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    base = d.select(*quality_columns(), F.col("text")).withColumn(
+        "canon", F.min("doc_id").over(w)
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+        F.round(
+            F.sum(F.when(F.col("doc_id") != F.col("canon"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.sum("score") / F.count(F.lit(1)), 6).alias("mean_score"),
+    )

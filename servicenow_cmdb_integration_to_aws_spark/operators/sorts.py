@@ -138,3 +138,39 @@ def f6_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+_F7_K = 100
+
+
+@query(
+    "f7_exact_k_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           md5('ks:' || CAST(doc_id AS VARCHAR) || ':' || text) AS h
+    FROM documents
+    ORDER BY h LIMIT {_F7_K}
+    """,
+)
+def f7_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K deterministic sample (f7): the K smallest content-hash
+    draws — a fixed-SIZE reproducible sample, where j14/j43 are
+    fixed-RATE (their output size floats with the corpus). Fixed K is
+    what an eval set or a human-review queue needs: exactly 100 docs,
+    the same 100 every run, engine, and reshard; and because the hash
+    ranks are uniform, it IS a uniform sample.
+
+    100 TB notes: orderBy+limit fuses to TakeOrderedAndProject —
+    per-partition K-row heaps merged on the driver, ZERO full sort,
+    shuffle volume = K x partitions rows (a global sample with no
+    global sort is the whole trick; the naive ORDER BY of the corpus
+    the oracle runs would be a terabyte shuffle)."""
+    d = scan(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.lit("ks:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h")
+        .limit(_F7_K)
+    )
