@@ -19,7 +19,7 @@ scale prefer approx_count_distinct (d5) when tolerance allows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -807,4 +807,116 @@ def d23_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
         F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
         "n",
+    )
+
+
+@query(
+    "d24_argmax_mode",
+    oracle="""
+    WITH top AS (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ),
+    cnt AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    md AS (
+        SELECT o_orderpriority, o_orderstatus,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY n DESC, o_orderstatus
+               ) AS rn
+        FROM cnt
+    )
+    SELECT t.o_orderpriority,
+           t.o_orderkey AS top_orderkey,
+           m.o_orderstatus AS modal_status
+    FROM top t JOIN md m ON m.o_orderpriority = t.o_orderpriority
+    WHERE t.rn = 1 AND m.rn = 1
+    """,
+)
+def d24_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax + mode (d24): per priority, WHICH order
+    has the highest price and WHICH status is most frequent — the
+    two aggregates whose native forms (max_by / mode) leave ties
+    engine-defined; here both are pinned to a total order
+    (price DESC, key ASC / count DESC, value ASC) so the answer is
+    reproducible across engines, runs and reshards. Ties aren't an
+    edge case at 100 TB — they're a certainty.
+
+    100 TB notes: argmax is ONE priority-keyed window (rank over the
+    co-partitioned rows, no join-back); mode ranks the (priority,
+    status) COUNT aggregate — distribution-sized input, trivial. Both
+    windows partition on the same key as the final join, so the plan
+    reuses one exchange lineage per branch."""
+    o = scan(spark, sf_dir, "orders")
+    wt = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    top = (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(wt).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("o_orderkey", "top_orderkey")
+    )
+    cnt = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wm = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "o_orderstatus"
+    )
+    md = (
+        cnt.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.row_number().over(wm).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("modal_status"))
+    )
+    return top.join(md, "o_orderpriority").select(
+        "o_orderpriority", "top_orderkey", "modal_status"
+    )
+
+
+@query(
+    "d25_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def d25_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-based exact distinct (d25): the two-level
+    bucket-bitmap pattern — keys map to (bucket, bit position),
+    per-(group, bucket) bitmaps OR together, popcounts sum per group.
+    Exactly COUNT(DISTINCT) — the oracle IS count distinct — but with
+    a property d4's Expand path lacks: bitmaps are MERGEABLE state.
+    An incremental/materialized-view refresh ORs yesterday's stored
+    bitmaps with today's delta instead of rescanning history, and a
+    rollup across dimensions ORs instead of recounting (the d18/HLL
+    trick with no approximation, while keys are dense integers).
+
+    100 TB notes: partial aggregation ORs bitmaps map-side, so the
+    exchange carries one ≤4 KB bitmap per (group, bucket) — volume
+    bounded by key density, not row count; sparse/string keys first
+    pass through a dense-id dictionary (or fall back to d5's HLL)."""
+    e = scan(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = e.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
     )

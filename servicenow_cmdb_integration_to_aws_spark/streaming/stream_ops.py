@@ -727,3 +727,46 @@ def p8_encoded_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     return _run_to_memory(out)
+
+
+@query(
+    "i17_stream_file_sink",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts, value FROM e
+    WHERE event_type = 'purchase'
+    """,
+)
+def i17_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink (i17): the stream lands as FILES —
+    the lakehouse bronze-layer write every prior i-series id (memory
+    sink) abstracted away. The parquet sink's exactly-once contract
+    comes from its transaction log (`_spark_metadata`): a batch's
+    files count only after its log entry commits, so a crashed/
+    restarted query (same checkpoint) never double-lands a batch —
+    the streaming twin of a20's two-phase commit.
+
+    SQL-oracle-checkable: stateless filtered append ⇒ the landed set
+    ≡ the batch filter. The read-back goes through the SAME
+    `_spark_metadata` log (a plain directory listing would see
+    uncommitted files — readers must honor the log, which is also why
+    a19-style compaction of a STREAMING sink dir must rewrite the log,
+    not just the files).
+
+    100 TB notes: per-micro-batch file parallelism = input
+    partitions; the log write is one driver-side record per batch;
+    downstream batch readers treat the result as a normal table."""
+    out = tempfile.mkdtemp(prefix="i17_sink_")
+    s = _stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts", "value")
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i17_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
