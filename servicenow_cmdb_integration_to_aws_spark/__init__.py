@@ -137,6 +137,12 @@ _BUDGET_HEAVY = frozenset(
         "i10_stream_stream_join", "i12_stream_session_window",
         "i13_stream_outer_join", "k3_grouped_map", "k4_pandas_udaf",
         "m3_frame_sample", "a18_python_stream_source",
+        # r5 session-4 additions measured ≥1.5 s at sf0.01 (write-heavy
+        # sinks / multi-stage): demoted so the cheap new ids hard-signal
+        # first under the driver budget
+        "a19_small_file_compact", "a20_python_datasource_writer",
+        "d20_column_profile", "c17_triangle_count", "j41_semdedup",
+        "i17_stream_file_sink", "a22_zorder_sink",
     }
 )
 

@@ -478,3 +478,49 @@ def h16_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("props", 7, 2).try_cast("int").alias("k_try"),
         F.try_element_at(F.split("event_type", "u"), F.lit(2)).alias("after_u"),
     )
+
+
+@query(
+    "h17_url_parse",
+    oracle=r"""
+    WITH u AS (
+        SELECT s_suppkey,
+               'https://cmdb-' || CAST(s_nationkey AS VARCHAR)
+                 || '.example.com/api/now/table/cmdb_ci_server?sys_id='
+                 || lpad(CAST(s_suppkey AS VARCHAR), 8, '0')
+                 || chr(38) || 'limit=100' AS url
+        FROM supplier
+    )
+    SELECT s_suppkey, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]sys_id=([^&]*)', 1) AS sys_id
+    FROM u
+    """,
+)
+def h17_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (h17): `parse_url` over instance-API URLs — host,
+    path, and one query parameter; the log-enrichment / endpoint-
+    normalization step of any integration audit trail. Spark's
+    dedicated parser (java.net.URI-backed) vs the oracle's regexes:
+    value-identical on well-formed URLs, and the engine side stays a
+    single codegen'd map (the parse is an expression, not a UDF).
+
+    100 TB notes: zero shuffles; at log scale the parsed host/path
+    become the partition/bucket keys downstream — parse once at
+    ingest, never re-regex per query."""
+    s = scan(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("https://cmdb-"),
+        F.col("s_nationkey").cast("string"),
+        F.lit(".example.com/api/now/table/cmdb_ci_server?sys_id="),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0"),
+        F.lit("&limit=100"),
+    )
+    return s.select("s_suppkey", url.alias("url")).select(
+        "s_suppkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("sys_id")).alias("sys_id"),
+    )
