@@ -705,3 +705,84 @@ def j35_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+_J47_ANCHORS = 10  # hash-chosen anchor queries
+_J47_K = 3  # hard negatives per anchor
+
+
+@query(
+    "j47_hard_negatives",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, embedding AS av, label AS alabel
+        FROM embeddings
+        ORDER BY md5('hn:' || CAST(vec_id AS VARCHAR)) LIMIT {_J47_ANCHORS}
+    ),
+    scored AS (
+        SELECT a.anchor_id, e.vec_id AS neg_id,
+               round({_SQL_DOT.format(a='a.av', b='e.embedding')}
+                     / ({_SQL_NORM.format(a='a.av')}
+                        * {_SQL_NORM.format(a='e.embedding')}), 6) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY a.anchor_id
+                   ORDER BY round({_SQL_DOT.format(a='a.av', b='e.embedding')}
+                         / ({_SQL_NORM.format(a='a.av')}
+                            * {_SQL_NORM.format(a='e.embedding')}), 6) DESC,
+                            e.vec_id
+               ) AS rn
+        FROM a JOIN embeddings e
+          ON e.label <> a.alabel AND e.vec_id <> a.anchor_id
+    )
+    SELECT anchor_id, neg_id, cos_sim FROM scored WHERE rn <= {_J47_K}
+    """,
+)
+def j47_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (j47): for each anchor, the most-similar
+    vectors with a DIFFERENT label — the pairs that teach a
+    contrastive/embedding model the most (easy negatives are already
+    far; hard ones define the margin). The selection stage of every
+    retrieval-model training loop.
+
+    Parity: anchors are hash-chosen (f7's exact-K discipline);
+    similarity 6dp-rounded BEFORE ranking so the rank can't flip on a
+    fold ulp; ties break on vec_id.
+
+    100 TB notes: the anchor set (tiny, broadcast) crossJoins into the
+    corpus scan — one pass, no corpus self-join; per-anchor top-k
+    folds into the window over anchor-partitioned rows (anchors ≪
+    corpus ⇒ the window input is anchors x corpus rows BUT the
+    exchange is anchor-keyed; at production scale the scan side
+    pre-prunes with j3b's IVF cells or j3c's LSH buckets and this
+    exact ranking runs over candidates only)."""
+    e = scan(spark, sf_dir, "embeddings")
+    a = (
+        e.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("av"),
+            F.col("label").alias("alabel"),
+            F.md5(
+                F.concat(F.lit("hn:"), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h")
+        .limit(_J47_ANCHORS)
+        .drop("h")
+    )
+    sim = F.round(cosine("av", "embedding"), 6)
+    scored = (
+        e.join(
+            F.broadcast(a),
+            (F.col("label") != F.col("alabel"))
+            & (F.col("vec_id") != F.col("anchor_id")),
+        )
+        .select("anchor_id", F.col("vec_id").alias("neg_id"), sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), "neg_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _J47_K)
+        .drop("rn")
+    )

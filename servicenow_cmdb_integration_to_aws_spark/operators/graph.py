@@ -337,3 +337,98 @@ def c19_cooccur_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "s1", "s2")
         .limit(20)
     )
+
+
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    """Unrolled DuckDB mirror of c21 (same edges, max-normalization,
+    12dp rounding), generated from _HITS_ITERS."""
+    sql = """
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, 1.0 AS h FROM edges)"""
+    prev_h = "h0"
+    for it in range(1, _HITS_ITERS + 1):
+        sql += f""",
+    ar{it} AS (
+        SELECT e.s, round(SUM(p.h), 12) AS a
+        FROM edges e JOIN {prev_h} p ON p.c = e.c
+        GROUP BY e.s
+    ),
+    a{it} AS (
+        SELECT s, round(a / (SELECT MAX(a) FROM ar{it}), 12) AS a
+        FROM ar{it}
+    ),
+    hr{it} AS (
+        SELECT e.c, round(SUM(x.a), 12) AS h
+        FROM edges e JOIN a{it} x ON x.s = e.s
+        GROUP BY e.c
+    ),
+    h{it} AS (
+        SELECT c, round(h / (SELECT MAX(h) FROM hr{it}), 12) AS h
+        FROM hr{it}
+    )"""
+        prev_h = f"h{it}"
+    sql += f"""
+    SELECT s AS supplier, a AS authority
+    FROM a{_HITS_ITERS}
+    ORDER BY authority DESC, supplier LIMIT 20
+    """
+    return sql
+
+
+@query("c21_hits", oracle=_hits_oracle())
+def c21_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority (c21): Kleinberg's mutual-reinforcement
+    iteration on the bipartite customer→supplier graph — a supplier
+    is authoritative when good hubs (broad, discerning customers) buy
+    from it; the complement of c16's PageRank (flow centrality vs
+    endorsement centrality). Top-20 authorities after 2 unrolled
+    iterations.
+
+    Determinism: scores max-normalize each iteration (MAX is
+    order-free-exact, unlike L2-norm sums) and round 12dp after every
+    aggregate (the c16 policy: sum-order drift ~1e-18 ≪ the 5e-13
+    boundary) so both engines iterate in bit-lockstep.
+
+    100 TB notes: each half-iteration is one co-keyed join + one
+    partial-aggregable sum over the edge list (score tables are
+    node-sized, broadcast); the max is a 1-row agg
+    crossJoin-broadcast — no driver collect, fixed plan depth."""
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    h = edges.select("c").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            edges.join(F.broadcast(h), "c")
+            .groupBy("s")
+            .agg(F.round(F.sum("h"), 12).alias("a"))
+        )
+        amax = ar.agg(F.max("a").alias("m"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "s", F.round(F.col("a") / F.col("m"), 12).alias("a")
+        )
+        hr = (
+            edges.join(F.broadcast(a), "s")
+            .groupBy("c")
+            .agg(F.round(F.sum("a"), 12).alias("h"))
+        )
+        hmax = hr.agg(F.max("h").alias("m"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "c", F.round(F.col("h") / F.col("m"), 12).alias("h")
+        )
+    return (
+        a.select(F.col("s").alias("supplier"), F.col("a").alias("authority"))
+        .orderBy(F.col("authority").desc(), "supplier")
+        .limit(20)
+    )
