@@ -466,3 +466,48 @@ def test_join_hint_flips_physical_operator(spark, sf_dir):
         ).agg(F.count(F.lit(1)).alias("n_items"))
     )
     assert "ShuffledHashJoin" not in unhinted, unhinted
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """Skew handling, runtime half: with AQE skew-join thresholds
+    scoped down, a join whose left side is 99% one key must get its
+    hot partition SPLIT at runtime (skew=true in the final plan) —
+    the optimizer-side complement of d14's manual salting."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 90% of rows on one key, incompressible payload (shuffle stats
+        # measure COMPRESSED bytes — a repetitive payload can hide a
+        # million-row partition below the threshold)
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("p"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # consumer is a GLOBAL aggregate: it imposes no partitioning
+        # requirement on the join output, so AQE is free to split the
+        # hot partition (a groupBy(k) downstream would pin hash(k)
+        # distribution and AQE would decline the rewrite — that case
+        # needs d14's salting instead; the comment IS the lesson)
+        j = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -347,3 +347,55 @@ def test_change_feed_classifies_and_catches_same_ts_updates(spark, sf_dir):
     assert feed[2]["old_ts"] == feed[2]["new_ts"]
     assert feed[3]["change_op"] == "insert"
     assert feed[3]["old_event_id"] is None
+
+
+def test_file_sink_checkpoint_resume_exactly_once(spark):
+    """i17's exactly-once contract, demonstrated across a RESTART:
+    run the stream to completion, land a second source file, re-run
+    with the SAME checkpoint — the sink must contain batch-1 rows
+    exactly once plus the new rows (a fresh checkpoint would re-land
+    everything; no checkpoint honor = duplicates)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="resume_src_")
+    sink = tempfile.mkdtemp(prefix="resume_sink_")
+    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_")
+
+    def land(lo, hi, name):
+        tmp = tempfile.mkdtemp(prefix="resume_stage_")
+        spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+
+    def run_once():
+        s = (
+            spark.readStream.schema("id long, v long")
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(0, 100, "batch1")
+    run_once()
+    assert spark.read.parquet(sink).count() == 100
+
+    land(100, 150, "batch2")
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 150  # batch1 NOT re-landed
+    assert got.select(F.count_distinct("id")).collect()[0][0] == 150
