@@ -1253,3 +1253,97 @@ def j44_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "bucket")
         .limit(20)
     )
+
+
+@query(
+    "j48_bpe_merge_apply",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    wc AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    p AS (
+        SELECT substring(word, i, 2) AS pair, n
+        FROM wc,
+             LATERAL (SELECT unnest(generate_series(1, length(word) - 1))
+                      AS i)
+        WHERE length(word) >= 2
+    ),
+    top1 AS (
+        SELECT pair FROM p GROUP BY pair
+        ORDER BY SUM(n) DESC, pair LIMIT 1
+    ),
+    m AS (
+        SELECT wc.word, wc.n, top1.pair,
+               (length(wc.word)
+                - length(replace(wc.word, top1.pair, ''))) / 2 AS occ
+        FROM wc, top1
+    )
+    SELECT pair,
+           CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_word_types_affected,
+           CAST(SUM(n * occ) AS BIGINT) AS total_merges,
+           CAST(SUM(n * length(word)) AS BIGINT) AS symbols_before,
+           CAST(SUM(n * length(word)) - SUM(n * occ) AS BIGINT)
+             AS symbols_after
+    FROM m GROUP BY pair
+    """,
+)
+def j48_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge application (j48): j42 finds the merge candidates;
+    this APPLIES the top-1 merge corpus-wide and reports the effect —
+    words touched, merges performed, symbol count before/after (each
+    merge collapses 2 symbols into 1). j42+j48 together are one full
+    iteration of tokenizer training: count pairs → pick → merge →
+    recount; the loop runs this pair of vocab-sized jobs per merge,
+    never rescanning raw text after the first word-count.
+
+    Parity: merge occurrences = (len - len(replace(word, pair)))/2 —
+    replace() is non-overlapping left-to-right in BOTH engines, which
+    is also exactly BPE's greedy application order; all outputs are
+    exact integers.
+
+    100 TB notes: everything after the corpus word-count aggregate is
+    vocab-sized; the top-1 pair is a 1-row TakeOrdered
+    crossJoin-broadcast back onto the vocab (no driver round-trip, so
+    the merge loop can be submitted as one multi-step job)."""
+    d = spread(scan(spark, sf_dir, "documents").select("text"), "text")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "n")
+    )
+    top1 = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    occ = (
+        F.length("word") - F.length(F.expr("replace(word, pair, '')"))
+    ) / 2
+    m = wc.crossJoin(F.broadcast(top1)).select(
+        "word", "n", "pair", occ.cast("long").alias("occ")
+    )
+    return m.groupBy("pair").agg(
+        F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).alias(
+            "n_word_types_affected"
+        ),
+        F.sum(F.col("n") * F.col("occ")).alias("total_merges"),
+        F.sum(F.col("n") * F.length("word")).alias("symbols_before"),
+        (
+            F.sum(F.col("n") * F.length("word")) - F.sum(F.col("n") * F.col("occ"))
+        ).alias("symbols_after"),
+    )
