@@ -1347,3 +1347,73 @@ def j48_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n") * F.length("word")) - F.sum(F.col("n") * F.col("occ"))
         ).alias("symbols_after"),
     )
+
+
+@query(
+    "j49_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+        FROM documents
+    ),
+    g AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+    l AS (
+        SELECT doc_id, list(cnt ORDER BY c) AS cnts,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM g GROUP BY doc_id
+    )
+    SELECT doc_id, n,
+           round(list_sum(list_transform(cnts,
+               x -> -(x / CAST(n AS DOUBLE))
+                    * log2(x / CAST(n AS DOUBLE)))), 6) AS entropy,
+           round(list_sum(list_transform(cnts,
+               x -> -(x / CAST(n AS DOUBLE))
+                    * log2(x / CAST(n AS DOUBLE)))), 6) < 3.0 AS low_entropy
+    FROM l
+    """,
+)
+def j49_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy filter (j49): per-doc Shannon entropy of the
+    character distribution — the third quality lens beside j28's
+    lexical features and j17's bigram-LM: near-zero entropy catches
+    repeated-character spam, abnormally high catches base64/binary
+    spill; `low_entropy` is the gate flag. (C4 and friends run
+    exactly this family of cheap content-shape filters.)
+
+    Parity: per-(doc, char) counts are exact; the entropy terms fold
+    IN CHARACTER ORDER on both engines (Spark: array_sort'ed struct
+    list + in-order aggregate fold; DuckDB: ordered list + list_sum —
+    the j37 fold-equivalence precedent), with the 6dp round absorbing
+    any last-ulp log2 divergence.
+
+    100 TB notes: the char explode partial-aggs into (doc, char) keys
+    — ≤ alphabet-size rows per doc cross the wire, not characters;
+    the per-doc fold runs over ≤ alphabet-size lists. Text itself
+    never shuffles."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    ch = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("c")
+    ).filter(F.col("c") != "")
+    g = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    l = g.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("c", "cnt"))).alias("L"),
+        F.sum("cnt").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    ent = F.round(
+        F.aggregate(
+            F.col("L"),
+            F.lit(0.0),
+            lambda acc, s: acc
+            - (s["cnt"] / nd) * F.log2(s["cnt"] / nd),
+        ),
+        6,
+    )
+    return l.select(
+        "doc_id",
+        "n",
+        ent.alias("entropy"),
+        (ent < 3.0).alias("low_entropy"),
+    )

@@ -920,3 +920,77 @@ def d25_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
     )
+
+
+@query(
+    "d26_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS wt,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+               ) AS total
+        FROM lineitem
+    ),
+    q AS (
+        SELECT l_returnflag, v,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY cum, v
+               ) AS rn
+        FROM w
+        WHERE 2 * cum >= total
+    )
+    SELECT l_returnflag, v AS weighted_median
+    FROM q WHERE rn = 1
+    """,
+)
+def d26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (d26): the price at which half the
+    QUANTITY (not half the rows) sits below — the volume-weighted
+    central tendency billing and capacity planning need; d10/d17's
+    percentile family is row-weighted and can't express it. Defined
+    as the first value whose cumulative weight reaches total/2 over
+    the (value, tie-break) total order — integer weights, so the
+    2*cum >= total test is EXACT (no float quantile interpolation
+    anywhere).
+
+    100 TB notes: ONE group-keyed exchange serves the cumulative
+    window, the per-group total (same partitioning), and the
+    rank-of-first-crossing; output is |groups|. The running-sum scan
+    is the same prefix-sum primitive as e4/j29 — weighted quantiles
+    at scale are a sort + prefix-sum, not a sketch, when exactness
+    is the contract (d17 is the sketch alternative)."""
+    li = scan(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "v", "l_orderkey", "l_linenumber"
+    )
+    w = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("total"),
+    )
+    q = w.filter(2 * F.col("cum") >= F.col("total")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("cum", "v")
+        ),
+    )
+    return q.filter(F.col("rn") == 1).select(
+        "l_returnflag", F.col("v").alias("weighted_median")
+    )

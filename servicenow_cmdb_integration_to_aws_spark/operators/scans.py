@@ -224,3 +224,51 @@ def a23_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
+
+
+@query(
+    "a24_permissive_json",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 0 THEN '_quarantine' ELSE lang END
+             AS bucket,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def a24_permissive_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingest with corrupt-record quarantine (a24):
+    a3 ingests clean JSONL; real feeds aren't clean — here every 7th
+    line is malformed, and the reader routes those rows into a
+    `columnNameOfCorruptRecord` column instead of failing the job
+    (FAILFAST) or silently dropping them (DROPMALFORMED). Quarantine
+    preserves the RAW broken line for replay/debugging — the
+    row-level sibling of a23's file-level tolerance, and like it the
+    oracle pins the exact clean/quarantined split so no row can
+    vanish unaccounted.
+
+    100 TB notes: the mode is per-record inside the scan task (zero
+    coordination); the quarantine column rides the normal lineage so
+    the bad-feed alarm is a plain aggregate (a21's observe) instead
+    of a log-scrape."""
+    import tempfile
+
+    d = scan(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        # truncated payload: unterminated JSON — parse must fail
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "lang": ')),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang")))
+    feed = tempfile.mkdtemp(prefix="a24_feed_")
+    d.select(line.alias("value")).write.mode("overwrite").text(feed)
+    parsed = (
+        spark.read.schema("doc_id long, lang string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(feed)
+    )
+    bucket = F.when(
+        F.col("_corrupt").isNotNull(), F.lit("_quarantine")
+    ).otherwise(F.col("lang"))
+    return parsed.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
