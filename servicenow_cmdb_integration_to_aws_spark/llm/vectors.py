@@ -786,3 +786,41 @@ def j47_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _J47_K)
         .drop("rn")
     )
+
+
+@query(
+    "j50_tau_sweep",
+    oracle=f"""
+    WITH p AS (
+        SELECT round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                     / ({_SQL_NORM.format(a='a.embedding')}
+                        * {_SQL_NORM.format(a='b.embedding')}), 6) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(cos_sim * 10) AS BIGINT) AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p WHERE cos_sim >= 0
+    GROUP BY 1
+    """,
+)
+def j50_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity sweep (j50): the within-block pair
+    similarity HISTOGRAM (0.1-wide buckets) — how many pairs each
+    candidate τ would declare duplicates. Run before committing to a
+    threshold (j12/j41 pin τ=0.3/0.35): a τ sitting on a dense bucket
+    edge means tiny threshold changes swing the dedup rate — you want
+    τ in a valley. One pair computation serves every candidate τ;
+    the naive sweep re-runs the pair join per τ.
+
+    100 TB notes: reuses the j12 chunked triangle join (per-task pair
+    work capped) with τ=0 on the 6dp-rounded score; the histogram is
+    a ≤10-key partial agg — the sweep costs exactly one dedup pass.
+    Bucket edges on the ROUNDED score keep membership engine-exact."""
+    pairs = neardup_blocked(scan(spark, sf_dir, "embeddings"), tau=0.0, cap=128)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("cos_sim") * 10).cast("bigint").alias("sim_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -432,3 +432,89 @@ def c21_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), "supplier")
         .limit(20)
     )
+
+
+_KCORE_K = 25
+_KCORE_ROUNDS = 2
+
+
+def _kcore_oracle() -> str:
+    """Unrolled-_KCORE_ROUNDS DuckDB mirror of c22."""
+    sql = f"""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS a, l_suppkey AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges0 AS (
+        SELECT 'C' || a AS u, 'S' || b AS v FROM e0
+        UNION ALL
+        SELECT 'S' || b AS u, 'C' || a AS v FROM e0
+    )"""
+    prev = "edges0"
+    for it in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+    deg{it} AS (SELECT u, COUNT(*) AS d FROM {prev} GROUP BY u),
+    keep{it} AS (SELECT u FROM deg{it} WHERE d >= {_KCORE_K}),
+    edges{it} AS (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN keep{it} ku ON ku.u = e.u
+        JOIN keep{it} kv ON kv.u = e.v
+    )"""
+        prev = f"edges{it}"
+    sql += f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY u
+    ORDER BY degree DESC, node LIMIT 20
+    """
+    return sql
+
+
+@query("c22_k_core", oracle=_kcore_oracle())
+def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core pruning (c22): iteratively drop nodes with degree < K
+    from the (undirected, bipartite) shipment graph — after each
+    round, surviving degrees shrink, so the loop repeats (2 unrolled
+    rounds here; production iterates to fixpoint). The k-core is the
+    standard "dense engaged subgraph" extraction — the cohort both
+    c16 (influence) and c21 (authority) scores are most meaningful
+    on, and the cheap pre-filter that shrinks expensive downstream
+    graph ops.
+
+    Parity: degrees are exact integers; the keep test and the
+    symmetric edge filter (BOTH endpoints must survive) are
+    deterministic set operations; output ties break on node id.
+
+    100 TB notes: each round = one partial-aggregable degree count +
+    one semi-join-shaped edge filter, all co-keyed on the node —
+    edges shuffle, never more than once per round; the surviving
+    edge set only shrinks, so round cost is monotonically
+    decreasing. Fixpoint detection at scale is a 1-row count
+    comparison per round (the c16 convergence note)."""
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("cu"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("sv"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cu").alias("u"), F.col("sv").alias("v")).unionByName(
+        pairs.select(F.col("sv").alias("u"), F.col("cu").alias("v"))
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(
+                keep.withColumnRenamed("u", "v"), "v", "left_semi"
+            )
+        )
+    return (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(20)
+    )
