@@ -1417,3 +1417,97 @@ def j49_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy"),
         (ent < 3.0).alias("low_entropy"),
     )
+
+
+_J51_ALPHA = 0.7  # temperature exponent (multilingual rebalancing)
+_J51_SCALE = 0.5  # overall target sampling fraction
+
+
+@query(
+    "j51_temperature_sample",
+    oracle=f"""
+    WITH lc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS nn FROM lc),
+    w AS (
+        SELECT lang, n,
+               round(pow(n / CAST(nn AS DOUBLE), {_J51_ALPHA}), 9) AS wt
+        FROM lc, tot
+    ),
+    z AS (SELECT round(SUM(wt), 9) AS zz FROM w),
+    r AS (
+        SELECT lang,
+               CAST(round(round(wt / zz * {_J51_SCALE}, 9)
+                          * 1099511627776) AS BIGINT) AS thr
+        FROM w, z
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           MIN(d.doc_id) AS min_doc, MAX(d.doc_id) AS max_doc
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE CAST('0x' || substr(
+              md5('ts:' || CAST(d.doc_id AS VARCHAR) || ':' || d.text),
+              1, 10) AS BIGINT) < r.thr
+    GROUP BY d.lang
+    """,
+)
+def j51_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted sampling (j51): per-language sampling
+    rates ∝ share^α (α=0.7) — the multilingual rebalancing move
+    (upsample tail languages, damp the head) used by every
+    multilingual pretraining mix; j20 samples a FIXED mixture, this
+    DERIVES the mixture from the corpus itself.
+
+    Parity: rates involve pow() — not trusted bit-identical across
+    libm/JVM — so every float step rounds 9dp (the c16/c21
+    discipline: drift ~1e-16 ≪ the 5e-10 boundary) before the rate
+    becomes an integer 40-bit threshold; membership is then the
+    j43 exact integer compare. Same doc → same fate, both engines.
+
+    100 TB notes: the rate table is |langs| rows (one partial-agg +
+    broadcast back); the membership predicate is map-side; one corpus
+    scan for stats, one for the sample — or ONE total with a21's
+    observe collecting the counts on the sampling pass itself."""
+    d = scan(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = lc.agg(F.sum("n").alias("nn"))
+    w = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.pow(F.col("n") / F.col("nn").cast("double"), _J51_ALPHA), 9
+        ).alias("wt"),
+    )
+    z = w.agg(F.round(F.sum("wt"), 9).alias("zz"))
+    r = w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.round(
+            F.round(F.col("wt") / F.col("zz") * _J51_SCALE, 9)
+            * F.lit(1099511627776)
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    u40 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ts:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("text"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(r), "lang")
+        .filter(u40 < F.col("thr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
