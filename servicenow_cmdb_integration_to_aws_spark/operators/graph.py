@@ -518,3 +518,126 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("degree").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "c23_clustering_coefficient",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_TRI_LO}'
+          AND o_orderdate <  TIMESTAMP '{_TRI_HI}'
+    ),
+    lo AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+    ),
+    pairs AS (
+        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM lo x JOIN lo y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.b
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+        SELECT node, COUNT(*) AS t FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT deg.node AS node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_tri,
+           round(2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)), 6)
+             AS clustering
+    FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+    WHERE deg.d >= 5
+    ORDER BY clustering DESC, deg.node LIMIT 20
+    """,
+)
+def c23_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (c23): per node, the fraction of
+    its neighbor pairs that are themselves connected —
+    2·tri/(deg·(deg−1)) — the canonical cohesion metric the c17
+    triangle counts exist to feed (c16 influence, c21 authority, c22
+    density, this closes the suite with local transitivity; a high-CC
+    supplier's partners also trade with each other — an ecosystem,
+    not a hub). Degree floor 5 keeps trivial near-cliques of tiny
+    degree out of the top-20.
+
+    Parity: triangles and degrees are exact integers; the coefficient
+    is one double division rounded 6dp.
+
+    100 TB notes: same oriented edge list and broadcast triangle join
+    as c17 (one fact shuffle total); degrees and per-node triangle
+    counts are partial-aggable unions of id columns — the metric adds
+    only catalog-sized work on top of the triangle enumeration."""
+    o = (
+        scan(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_TRI_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_TRI_HI).cast("timestamp"))
+        )
+        .select("o_orderkey")
+    )
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    lo = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey"
+    )
+    x, y = lo.alias("x"), lo.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    tcnt = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("d") >= 5)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_tri"),
+            F.round(
+                2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.col("clustering").desc(), "node")
+        .limit(20)
+    )
