@@ -555,3 +555,111 @@ def d16_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c_name", "c_custkey").alias("last_name_by_key"),
         F.min_by("c_name", "c_custkey").alias("first_name_by_key"),
     )
+
+
+@query(
+    "c24_ire_identify",
+    oracle="""
+    WITH staged AS (
+        SELECT c_custkey AS stage_id,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE c_custkey END AS serial,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE c_name END AS name,
+               c_nationkey AS nk, c_acctbal AS bal
+        FROM customer
+    ),
+    corr AS (
+        SELECT s.stage_id, COUNT(*) AS n_corr
+        FROM staged s JOIN customer t
+          ON t.c_nationkey = s.nk AND t.c_acctbal = s.bal
+        GROUP BY s.stage_id
+    ),
+    ident AS (
+        SELECT s.stage_id,
+               CASE WHEN s.serial IS NOT NULL
+                         AND t1.c_custkey IS NOT NULL THEN 1
+                    WHEN s.name IS NOT NULL
+                         AND t2.c_custkey IS NOT NULL THEN 2
+                    WHEN corr.n_corr = 1 THEN 3
+                    ELSE 0 END AS matched_rule
+        FROM staged s
+        LEFT JOIN customer t1 ON t1.c_custkey = s.serial
+        LEFT JOIN customer t2 ON t2.c_name = s.name
+        LEFT JOIN corr ON corr.stage_id = s.stage_id
+    )
+    SELECT CAST(matched_rule AS BIGINT) AS matched_rule,
+           COUNT(*) AS n,
+           MIN(stage_id) AS min_id, MAX(stage_id) AS max_id
+    FROM ident GROUP BY 1
+    """,
+)
+def c24_ire_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRE identification rule chain (c24): ServiceNow's Identification
+    & Reconciliation Engine identifies an incoming record against the
+    CMDB by an ORDERED rule list — authoritative serial first, then
+    name, then a correlation attribute set — and refuses ambiguous
+    matches (multi-hit correlation ⇒ no identify, never a guess).
+    Staging here is the customer table deterministically degraded
+    (serial dropped every 3rd row, name every 5th), so all three
+    identify tiers fire (1000/400/100 rows at sf0.01); the rule-0
+    ambiguity path is wired but unexercised on this data (account
+    balances are unique within a nation) — the guard exists for the
+    data that needs it. c13 reconciles two ALREADY-keyed sources —
+    this is the step that ASSIGNS the key.
+
+    Parity: fault injection is key arithmetic; rule precedence is one
+    CASE over three left joins; the ambiguity guard is an exact match
+    COUNT (doubles compared for equality come from the same parquet
+    bytes on both engines).
+
+    100 TB notes: each rule tier is a co-keyed or broadcast-able
+    equi-join probing the SAME target table — the chain is three
+    probes of one dimension, not three scans of the import; the
+    correlation tier's count-aggregate is import-keyed and
+    partial-aggs. Precedence resolves in the CASE (map-side), so
+    adding a rule adds a join, never a rescan of prior tiers."""
+    c = scan(spark, sf_dir, "customer")
+    staged = c.select(
+        F.col("c_custkey").alias("stage_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("serial"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    t1 = c.select(F.col("c_custkey").alias("t1_key"))
+    t2 = c.select(F.col("c_name").alias("t2_name"), F.col("c_custkey").alias("t2_key"))
+    corr = (
+        staged.join(
+            c.select("c_nationkey", "c_acctbal"),
+            (F.col("c_nationkey") == F.col("nk"))
+            & (F.col("c_acctbal") == F.col("bal")),
+        )
+        .groupBy("stage_id")
+        .agg(F.count(F.lit(1)).alias("n_corr"))
+    )
+    ident = (
+        staged.join(t1, staged["serial"] == t1["t1_key"], "left")
+        .join(t2, staged["name"] == t2["t2_name"], "left")
+        .join(corr, "stage_id", "left")
+        .select(
+            "stage_id",
+            F.when(
+                F.col("serial").isNotNull() & F.col("t1_key").isNotNull(), 1
+            )
+            .when(F.col("name").isNotNull() & F.col("t2_key").isNotNull(), 2)
+            .when(F.col("n_corr") == 1, 3)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("matched_rule"),
+        )
+    )
+    return ident.groupBy("matched_rule").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("stage_id").alias("min_id"),
+        F.max("stage_id").alias("max_id"),
+    )

@@ -134,3 +134,68 @@ def a13_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     staged = apply_transform_map(staging, maps)
     return upsert(c, staged, "c_custkey")
+
+
+@query(
+    "a25_transform_errors",
+    oracle="""
+    WITH staged AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE CAST(c_custkey AS VARCHAR) END AS src_key,
+               CASE WHEN c_custkey % 13 = 0 THEN 'not-a-number'
+                    ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+                    END AS src_bal,
+               c_name AS src_name
+        FROM customer
+    )
+    SELECT CASE WHEN src_key IS NULL THEN 'missing_coalesce_key'
+                WHEN TRY_CAST(src_bal AS DOUBLE) IS NULL
+                  THEN 'type_cast_failure'
+                ELSE 'ok' END AS row_state,
+           COUNT(*) AS n,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM staged GROUP BY 1
+    """,
+)
+def a25_transform_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-set error rows (a25): ServiceNow transform maps give
+    every import row a STATE — inserted/updated/ignored/error — and
+    broken rows land in the import-set row table with an error
+    message, never silently dropped. This operator classifies a
+    deliberately dirty staging feed (missing coalesce key every 11th
+    row, unparseable money every 13th) into `row_state` buckets with
+    id ranges — the a24 quarantine discipline applied at the
+    TRANSFORM stage instead of the parse stage.
+
+    Parity: fault injection is arithmetic on the key (deterministic
+    across engines/runs); the type-failure test is try_cast on both
+    sides (h16's family); counts and key ranges exact.
+
+    100 TB notes: classification is one map-side CASE over the
+    staging scan plus a |states|-key partial agg; the error rows
+    then re-enter a13's upsert EXCLUDED by a pushed row_state filter
+    — the import never stalls on bad rows, and the error report is an
+    aggregate, not a log-scrape (a21's observe carries the same
+    counters in-flight)."""
+    c = scan(spark, sf_dir, "customer")
+    staged = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("src_key"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("c_acctbal").cast("decimal(18,2)").cast("string"))
+        .alias("src_bal"),
+        F.col("c_name").alias("src_name"),
+    )
+    state = (
+        F.when(F.col("src_key").isNull(), "missing_coalesce_key")
+        .when(F.col("src_bal").try_cast("double").isNull(), "type_cast_failure")
+        .otherwise("ok")
+    )
+    return staged.groupBy(state.alias("row_state")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
