@@ -174,3 +174,47 @@ def f7_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .limit(_F7_K)
     )
+
+
+_F8_K = 30  # per-stratum sample size
+
+
+@query(
+    "f8_stratified_exact_k",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('sk:' || CAST(doc_id AS VARCHAR)
+                                || ':' || text)
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_F8_K}
+    """,
+)
+def f8_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-K sample (f8): exactly K docs PER LANGUAGE by
+    content-hash rank — the balanced eval-set builder. Completes the
+    sampling matrix: f5 is rate-stratified (size floats per stratum),
+    f7 is exact-K global (strata unrepresented), this is exact-K per
+    stratum — same K docs per language every run, engine, reshard.
+
+    100 TB notes: one lang-keyed exchange; the rank window never
+    materializes a global order, and per-partition work is a K-bounded
+    pass (Spark's WindowGroupLimit pushes the rn <= K filter INTO the
+    window operator, so partitions stop ranking after K — the window
+    analogue of TakeOrderedAndProject, visible in the plan). Skew
+    bound = docs per language, the partition key a corpus naturally
+    balances."""
+    d = scan(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.lit("sk:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    w = Window.partitionBy("lang").orderBy(h)
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= _F8_K)
+    )

@@ -511,3 +511,12 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stratified_topk_uses_window_group_limit(spark, sf_dir):
+    """f8: the rn <= K filter must push INTO the window operator
+    (WindowGroupLimit, partial + final) so partitions stop ranking
+    after K — without it every language's full doc list sorts."""
+    df = _q(spark, sf_dir, "f8_stratified_exact_k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
