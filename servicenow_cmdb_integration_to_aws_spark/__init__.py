@@ -142,7 +142,8 @@ _BUDGET_HEAVY = frozenset(
         # first under the driver budget
         "a19_small_file_compact", "a20_python_datasource_writer",
         "d20_column_profile", "c17_triangle_count", "j41_semdedup",
-        "i17_stream_file_sink", "a22_zorder_sink",
+        "i17_stream_file_sink", "a22_zorder_sink", "c22_k_core",
+        "j50_tau_sweep", "j52_containment_dedup",
     }
 )
 

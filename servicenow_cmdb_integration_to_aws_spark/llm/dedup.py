@@ -599,3 +599,101 @@ def j2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_a") + 1).alias("doc_b"),
         F.round(jac, 6).alias("ngram_jaccard"),
     )
+
+
+_J52_N = 3  # word n-gram width
+_J52_TAU = 0.8  # containment threshold
+_J52_DF_CAP = 50  # drop grams appearing in more docs (stopword grams)
+
+
+@query(
+    "j52_containment_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(w[i : i + {_J52_N} - 1], 'string_agg', ' ')
+                 AS gram
+        FROM d,
+             LATERAL (SELECT unnest(generate_series(1, len(w) - {_J52_N} + 1))
+                      AS i)
+        WHERE len(w) >= {_J52_N}
+    ),
+    df AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram),
+    gk AS (
+        SELECT g.doc_id, g.gram FROM g
+        JOIN df ON df.gram = g.gram
+        WHERE df.nd <= {_J52_DF_CAP}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM gk GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS s
+        FROM gk a JOIN gk b
+          ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT sh.doc_a, sh.doc_b,
+           round(CAST(sh.s AS DOUBLE) / sa.n, 6) AS containment
+    FROM shared sh
+    JOIN sz sa ON sa.doc_id = sh.doc_a
+    WHERE round(CAST(sh.s AS DOUBLE) / sa.n, 6) >= {_J52_TAU}
+    """,
+)
+def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (j52): pairs where doc A's
+    gram set is ≥τ CONTAINED in doc B — the quote/subset/excerpt
+    case every symmetric measure misses (a paragraph quoted inside a
+    long article has tiny Jaccard: the union is dominated by B).
+    Containment = |grams_A ∩ grams_B| / |grams_A|, directional by
+    construction — (small ⊂ big) fires, (big ⊄ small) doesn't.
+
+    100 TB notes: candidate pairs come from the shared-gram join,
+    whose fan-out per gram is its document frequency — so grams with
+    df > cap are dropped FIRST (boilerplate/stopword grams carry no
+    containment signal and quadratic cost; the same df-cap logic as
+    j2's degenerate-bucket guard). After the cap, pair work is
+    Σ df² over rare grams; the per-pair aggregate partial-aggs on
+    (doc_a, doc_b). Gram strings shuffle once into the df count and
+    once into the pair join — at production scale both ride 8-byte
+    xxhash64 digests instead (byte-identical logic, smaller wire)."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    w = F.split(F.lower("text"), " ")
+    grams = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _J52_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _J52_N),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, _J52_N)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    gk = grams.join(
+        df_counts.filter(F.col("nd") <= _J52_DF_CAP).select("gram"), "gram"
+    )
+    sz = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = gk.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = gk.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    cont = F.round(
+        F.col("s").cast("double") / F.col("n"), 6
+    )
+    return (
+        shared.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= _J52_TAU)
+    )
