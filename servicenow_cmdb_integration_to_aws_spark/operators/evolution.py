@@ -105,3 +105,48 @@ def a11_class_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("ci_class"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "a26_mergeschema_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority
+                ELSE NULL END AS o_orderpriority
+    FROM orders
+    """,
+)
+def a26_mergeschema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema-merge read (a26): a landing directory whose
+    files span TWO schema generations — v1 (before the
+    `o_orderpriority` field existed; odd keys) and v2 (with it; even
+    keys) — read as ONE table via `mergeSchema`: the union schema,
+    with v1 rows null in the new column. This is additive column
+    evolution as it actually lands in a feed directory over time;
+    a10 casts a DRIFTED schema onto a declared one, this MERGES
+    generations without any declaration.
+
+    100 TB notes: schema merge is a footer-only planning step (reads
+    every footer ONCE when enabled — which is why it's off by
+    default; production pins the merged schema in a catalog after the
+    first merge instead of re-merging per query); row decoding is
+    unchanged, missing columns materialize as nulls at scan time with
+    zero I/O."""
+    import tempfile
+
+    o = scan(spark, sf_dir, "orders")
+    land = tempfile.mkdtemp(prefix="a26_land_")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{land}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{land}/gen=2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(land)
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_orderpriority")
