@@ -966,7 +966,11 @@ def d26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-of-first-crossing; output is |groups|. The running-sum scan
     is the same prefix-sum primitive as e4/j29 — weighted quantiles
     at scale are a sort + prefix-sum, not a sketch, when exactness
-    is the contract (d17 is the sketch alternative)."""
+    is the contract (d17 is the sketch alternative). CAVEAT (probe-
+    measured, SCALING.md): with only |groups| partitions the window
+    is partition-count-bounded (exponent 0.60 at 3 groups) — at
+    scale, run the two-phase form: d23-style bucket histogram to
+    locate the crossing bucket, exact refine inside it."""
     li = scan(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
