@@ -764,3 +764,43 @@ def p10_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_encoded(
         o, "123TEXTQUERY321=URGENT^o_totalprice>250000"
     )
+
+
+@query(
+    "b19_scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           round(o.o_totalprice
+                 / (SELECT MAX(o2.o_totalprice) FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey), 6)
+             AS share_of_cust_max
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def b19_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (b19): each order's price as a share
+    of ITS customer's maximum — the "compare each row to a statistic
+    about its group" form analysts write as a subselect. Catalyst
+    decorrelates it into one per-customer MAX aggregate joined back —
+    evaluated once per customer, not once per row (150k subquery
+    re-executions at this SF, billions at 100 TB, is what the naive
+    reading costs). Completes the subquery surface: b13 EXISTS →
+    semi/anti, b18 LATERAL → join+rank, this scalar → agg+join.
+
+    Parity: identical double division, 6dp round; the outer date
+    filter pushes to the scan while the aggregate still covers ALL
+    the customer's orders (the correlation is on the UNFILTERED
+    table — a subtle correctness trap the oracle pins)."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("sqlv_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice,
+               round(o.o_totalprice
+                     / (SELECT MAX(o2.o_totalprice) FROM sqlv_orders o2
+                        WHERE o2.o_custkey = o.o_custkey), 6)
+                 AS share_of_cust_max
+        FROM sqlv_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '2001-06-01'
+        """
+    )
