@@ -169,3 +169,67 @@ def g7_delta_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_acctbal",
         "new_acctbal",
     )
+
+
+@query(
+    "g8_orphan_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def g8_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (g8): orphan counts across every
+    foreign-key edge of the star — rows whose parent is missing. A
+    CMDB without enforced constraints (ServiceNow reference fields
+    don't cascade; AWS feeds arrive out of order) accumulates orphans
+    silently; this is the nightly sweep that catches them, and the
+    zero rows here are the PROOF of integrity, not a triviality.
+
+    100 TB notes: each edge is one LEFT-ANTI join — dimension sides
+    broadcast (nation, customer at ratio), the fact-fact edge
+    (lineitem→orders) co-partitions on the orderkey; counts
+    partial-agg to one row per edge. At scale this runs incrementally
+    on a16's change feed (audit the delta, not the corpus) — the
+    full-scan form here is the backfill/bootstrap shape."""
+    li = scan(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = scan(spark, sf_dir, "nation").select("n_nationkey")
+
+    def edge(name, child, parent, ck, pk):
+        orphans = child.join(
+            parent, F.col(ck) == F.col(pk), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("fk_edge"), "n_orphans", "n_rows"
+        )
+
+    return (
+        edge("lineitem->orders", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .unionByName(
+            edge("orders->customer", o, c.select("c_custkey"), "o_custkey", "c_custkey")
+        )
+        .unionByName(
+            edge("customer->nation", c, n, "c_nationkey", "n_nationkey")
+        )
+    )
