@@ -442,3 +442,69 @@ def m6_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
         "byte_len",
     )
+
+
+def _mixed_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for m7: synthesize a MIXED-modality feed —
+    BMP / PPM / WAV / raw-text bytes by doc_id — emitting only
+    (doc_id, payload); the routing happens OUTSIDE, natively."""
+    for pdf in batches:
+        ids, payloads = [], []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            m = doc_id % 4
+            if m == 0:
+                p = encode_bmp(2, 2, (doc_id % 256,) * 3)
+            elif m == 1:
+                p = encode_ppm(2, 2, (doc_id % 256,) * 3)
+            elif m == 2:
+                p = encode_wav(8000, [doc_id % 100, -(doc_id % 100)])
+            else:
+                p = f"plain text payload {doc_id}".encode()
+            ids.append(doc_id)
+            payloads.append(p)
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+@query(
+    "m7_modality_router",
+    oracle="""
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                           WHEN 2 THEN 'wav' ELSE 'unknown' END
+             AS modality,
+           COUNT(*) AS n,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY 1
+    """,
+)
+def m7_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality routing (m7): a mixed binary feed (images, audio,
+    junk — the reality of a crawled blob bucket) classified by MAGIC
+    BYTES into per-modality streams that feed m4/m5's decoders or the
+    quarantine. The routing predicate is NATIVE — `left(payload, n)`
+    prefix compares in codegen over the binary column — so the
+    petabyte never crosses into Python just to be sorted into lanes;
+    only rows already routed to a decoder pay the UDF boundary.
+
+    Parity: payload synthesis is doc_id-deterministic (m4's policy);
+    the oracle derives the expected routing from the same arithmetic
+    — if the router misclassified a single real header, counts would
+    split and the hash would catch it.
+
+    100 TB notes: routing is a map-side CASE + |modalities|-key
+    partial agg; the downstream per-modality pipelines each read
+    their lane via the same pushed predicate — one classification
+    pass, no re-sniffing per consumer."""
+    d = scan(spark, sf_dir, "documents").select("doc_id")
+    feed = d.mapInPandas(_mixed_payloads, "doc_id long, payload binary")
+    modality = (
+        F.when(F.expr("left(payload, 2)") == F.lit(b"BM"), "bmp")
+        .when(F.expr("left(payload, 2)") == F.lit(b"P6"), "ppm")
+        .when(F.expr("left(payload, 4)") == F.lit(b"RIFF"), "wav")
+        .otherwise("unknown")
+    )
+    return feed.groupBy(modality.alias("modality")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
