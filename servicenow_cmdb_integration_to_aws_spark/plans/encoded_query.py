@@ -26,6 +26,7 @@ timestamp comparisons resolve against the column type).
 
 from __future__ import annotations
 
+import datetime
 import re
 from dataclasses import dataclass, field
 
@@ -803,4 +804,55 @@ def b19_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sqlv_orders o
         WHERE o.o_orderdate >= TIMESTAMP '2001-06-01'
         """
+    )
+
+
+@query(
+    "p11_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+      AND o_totalprice >= 150000.0
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def p11_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (p11): `spark.sql(query, args={...})` — the
+    values travel as TYPED PARAMETERS, never spliced into the query
+    text. For this engine that's a security property, not sugar: the
+    encoded-query surface (p1–p5) takes user input by definition, and
+    its REST pushdown already refuses metacharacter values precisely
+    because string splicing can't be made safe (rest_source's guard);
+    the parameter marker is the principled fix at the SQL layer — a
+    value containing `' OR 1=1--` is just a string that matches no
+    status.
+
+    100 TB notes: identical plan to the literal query (parameters
+    bind during parsing — pushdown, pruning, AQE all unaffected);
+    parameter reuse with different values re-plans cheaply because
+    the parse tree is cache-shaped, which is exactly how a
+    dashboard's repeated filter queries should hit the engine."""
+    scan(spark, sf_dir, "orders").createOrReplaceTempView("sqlv_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM sqlv_orders
+        WHERE o_orderdate >= :lo_date
+          AND o_totalprice >= :min_price
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "lo_date": datetime.datetime(2001, 1, 1),
+            "min_price": 150000.0,
+            "status": "O",
+        },
     )
