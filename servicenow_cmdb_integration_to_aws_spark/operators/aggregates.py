@@ -998,3 +998,64 @@ def d26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.filter(F.col("rn") == 1).select(
         "l_returnflag", F.col("v").alias("weighted_median")
     )
+
+
+#: d27 incremental-refresh split point: events strictly before this
+#: timestamp are the "already materialized" base; the rest arrive as
+#: the refresh delta.
+_D27_SPLIT = "2024-10-01"
+
+
+@query(
+    "d27_incremental_rollup",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS sum_cents
+    FROM e GROUP BY 1
+    """,
+)
+def d27_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate refresh (d27): the day-grain rollup
+    maintained as a MATERIALIZED VIEW would be — the pre-split
+    history's aggregate (the stored base) is MERGED with the delta
+    batch's aggregate by key, and the result provably equals the full
+    recompute (the oracle IS the full recompute). This is the
+    continuous-aggregate refresh math d19 hints at and a15/a16's
+    snapshot machinery delivers batches for: count and integer-cents
+    sum are associative/commutative, so base ⊎ delta = total, always.
+
+    100 TB notes: the refresh touches the DELTA's rows plus
+    |affected days| base rows — not history (here both sides scan the
+    same file because the split is simulated; production reads the
+    base from the stored aggregate). The merge is a key-outer union +
+    sum: one day-keyed shuffle of aggregate-grain rows. The reason
+    AVG/percentile columns are stored as (sum, count)/sketches in
+    real CAs is exactly this mergeability requirement — d25's bitmaps
+    extend it to COUNT(DISTINCT)."""
+    split = F.lit(_D27_SPLIT).cast("timestamp")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    ev = scan(spark, sf_dir, "events").select(
+        "ts", cents.alias("cents"), F.col("ts").cast("date").alias("day")
+    )
+
+    def day_agg(df):
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    base = day_agg(ev.filter(F.col("ts") < split))
+    delta = day_agg(ev.filter(F.col("ts") >= split))
+    merged = (
+        base.select("day", "n_events", "sum_cents")
+        .unionByName(delta.select("day", "n_events", "sum_cents"))
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    return merged
