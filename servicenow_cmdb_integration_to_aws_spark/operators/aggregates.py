@@ -494,7 +494,8 @@ def d18_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(ts) AS INT) AS m,
            CAST(day(ts) AS INT) AS d,
            COUNT(*) AS n_events,
-           SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
     FROM e
     GROUP BY ROLLUP (year(ts), month(ts), day(ts))
     ORDER BY y NULLS FIRST, m NULLS FIRST, d NULLS FIRST
@@ -1012,8 +1013,8 @@ _D27_SPLIT = "2024-10-01"
     WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
     SELECT CAST(ts AS DATE) AS day,
            COUNT(*) AS n_events,
-           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-             AS sum_cents
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
     FROM e GROUP BY 1
     """,
 )

@@ -416,7 +416,8 @@ SESSION_GAP_US = 12 * 3600 * 1_000_000
            CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(ts) AS sess_start, MAX(ts) AS sess_end,
            MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
-           SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
     FROM s GROUP BY user_id, sess_no
     """,
 )

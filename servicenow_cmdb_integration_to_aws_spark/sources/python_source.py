@@ -83,13 +83,13 @@ class OrdersPageSource(DataSource):
         return OrdersPageReader(self.options)
 
 
-_REGISTERED: set = set()
-
-
 def register(spark: SparkSession) -> None:
-    if id(spark) not in _REGISTERED:
-        spark.dataSource.register(OrdersPageSource)
-        _REGISTERED.add(id(spark))
+    # Register unconditionally: spark.dataSource.register is idempotent
+    # (replaces the entry), and any dedupe keyed on the Python session
+    # object is unsound — after a context restart CPython can reuse the
+    # old session's address, so an id(spark) guard skips registration on
+    # the NEW JVM and every cmdb_* read fails with ClassNotFoundException.
+    spark.dataSource.register(OrdersPageSource)
 
 
 @query(
@@ -192,10 +192,7 @@ class OrdersPageStreamSource(DataSource):
 
 
 def register_stream(spark: SparkSession) -> None:
-    key = ("stream", id(spark))
-    if key not in _REGISTERED:
-        spark.dataSource.register(OrdersPageStreamSource)
-        _REGISTERED.add(key)
+    spark.dataSource.register(OrdersPageStreamSource)  # idempotent; see register()
 
 
 @query(
@@ -321,10 +318,7 @@ class OrdersUpsertSink(DataSource):
 
 
 def register_sink(spark: SparkSession) -> None:
-    key = ("sink", id(spark))
-    if key not in _REGISTERED:
-        spark.dataSource.register(OrdersUpsertSink)
-        _REGISTERED.add(key)
+    spark.dataSource.register(OrdersUpsertSink)  # idempotent; see register()
 
 
 @query(

@@ -278,7 +278,8 @@ def i6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US}
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM e GROUP BY user_id
     """,
 )
