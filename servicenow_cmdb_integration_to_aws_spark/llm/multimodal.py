@@ -22,6 +22,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -71,16 +72,20 @@ def decode_image(payload: bytes) -> tuple[str, int, int, float, float, float]:
             raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
         height = abs(height)  # negative height = top-down; means agree
         stride = (3 * width + 3) // 4 * 4
-        sums = [0, 0, 0]  # B, G, R
-        for y in range(height):
-            base = off + y * stride
-            for x in range(width):
-                p = base + 3 * x
-                sums[0] += payload[p]
-                sums[1] += payload[p + 1]
-                sums[2] += payload[p + 2]
+        # Vectorized: view the pixel block as (height, stride) and slice
+        # off the per-row 4-byte padding — ~100× over a per-pixel Python
+        # loop; int64 accumulators are exact (255·w·h ≪ 2^63).
+        px = (
+            np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=off)
+            .reshape(height, stride)[:, : 3 * width]
+            .reshape(-1, 3)
+        )
+        sums = px.sum(axis=0, dtype=np.int64)  # B, G, R
         n = width * height
-        return ("bmp", width, height, sums[2] / n, sums[1] / n, sums[0] / n)
+        return (
+            "bmp", width, height,
+            float(sums[2] / n), float(sums[1] / n), float(sums[0] / n),
+        )
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
         parts = payload.split(maxsplit=4)
@@ -88,14 +93,15 @@ def decode_image(payload: bytes) -> tuple[str, int, int, float, float, float]:
         if maxval != 255:
             raise NotImplementedError(f"PPM maxval={maxval}")
         body_off = len(payload) - 3 * width * height
-        sums = [0, 0, 0]  # R, G, B
-        for i in range(width * height):
-            p = body_off + 3 * i
-            sums[0] += payload[p]
-            sums[1] += payload[p + 1]
-            sums[2] += payload[p + 2]
         n = width * height
-        return ("ppm", width, height, sums[0] / n, sums[1] / n, sums[2] / n)
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=body_off
+        ).reshape(-1, 3)
+        sums = px.sum(axis=0, dtype=np.int64)  # R, G, B
+        return (
+            "ppm", width, height,
+            float(sums[0] / n), float(sums[1] / n), float(sums[2] / n),
+        )
     raise NotImplementedError(
         "only BMP/PPM decode ships in this container; plug Pillow/libav "
         "for compressed formats"
@@ -339,9 +345,11 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, int, float]:
     if rate is None or data is None:
         raise NotImplementedError("WAV missing fmt or data chunk")
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: 2 * n])
-    peak = max((abs(s) for s in samples), default=0)
-    mean = (sum(samples) / n) if n else 0.0
+    # Vectorized sample stats; widen to int64 BEFORE abs (|int16 min|
+    # overflows int16) and before the exact integer sum.
+    samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    peak = int(np.abs(samples).max()) if n else 0
+    mean = float(samples.sum() / n) if n else 0.0
     return (rate, channels, n // channels, peak, mean)
 
 

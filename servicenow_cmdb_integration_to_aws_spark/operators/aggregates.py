@@ -962,16 +962,28 @@ def d26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*cum >= total test is EXACT (no float quantile interpolation
     anywhere).
 
-    100 TB notes: ONE group-keyed exchange serves the cumulative
-    window, the per-group total (same partitioning), and the
-    rank-of-first-crossing; output is |groups|. The running-sum scan
-    is the same prefix-sum primitive as e4/j29 — weighted quantiles
-    at scale are a sort + prefix-sum, not a sketch, when exactness
-    is the contract (d17 is the sketch alternative). CAVEAT (probe-
-    measured, SCALING.md): with only |groups| partitions the window
-    is partition-count-bounded (exponent 0.60 at 3 groups) — at
-    scale, run the two-phase form: d23-style bucket histogram to
-    locate the crossing bucket, exact refine inside it."""
+    100 TB notes — TWO-PHASE (histogram + refine), the d23 pattern:
+    the naive form is a per-group cumulative window, so parallelism is
+    bounded by |groups| (probe-measured exponent 0.60 at 3 groups —
+    SCALING.md). Instead:
+
+    1. HISTOGRAM: bucket v with the monotone map ``floor(v/width)``
+       and partial-agg per-(group, bucket) weight sums map-side — the
+       only full-data exchange carries |groups|·|buckets| cells, not
+       rows. A tiny window over the bucket histogram locates each
+       group's CROSSING bucket (first with 2·cum ≥ total) plus the
+       exact cumulative weight below it.
+    2. REFINE: broadcast the |groups|-row crossing table back into the
+       scan; only rows INSIDE their group's crossing bucket (~N/B)
+       reach the per-group cumulative window, seeded with the phase-1
+       prefix — the group-bound sort now touches 1/B of the data.
+
+    Exactness is preserved because the bucket map is monotone in v and
+    ties (equal v) share a bucket: the global (v, orderkey, linenumber)
+    prefix sum decomposes exactly into whole-bucket sums + the
+    in-bucket remainder. Integer weights keep 2·cum ≥ total exact —
+    no float quantile interpolation anywhere (d17 is the sketch
+    alternative when one pass must also be approximate)."""
     li = scan(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
@@ -979,25 +991,68 @@ def d26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    wo = Window.partitionBy("l_returnflag").orderBy(
-        "v", "l_orderkey", "l_linenumber"
+    return weighted_median(
+        li, "l_returnflag", "v", "wt", "l_orderkey", "l_linenumber"
     )
-    w = li.select(
-        "l_returnflag",
-        "v",
-        F.sum("wt")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("total"),
+
+
+def weighted_median(
+    df: DataFrame,
+    group: str,
+    v: str,
+    wt: str,
+    *tiebreak: str,
+    bucket_width: float = 1024.0,
+) -> DataFrame:
+    """Two-phase exact weighted median (d26's machinery, parametric).
+
+    Phase 1 locates each group's crossing bucket from a map-side
+    partial-aggregated histogram; phase 2 refines exactly inside that
+    bucket only. ``bucket_width`` trades histogram size (value-range /
+    width cells per group) against refine volume (~N/B rows)."""
+    b = F.floor(F.col(v) / F.lit(bucket_width)).cast("bigint").alias("b")
+    rows = df.select(group, v, wt, *tiebreak, b)
+
+    # Phase 1: per-(group, bucket) weight histogram — partial agg
+    # collapses map-side; the exchange carries histogram cells only.
+    hist = rows.groupBy(group, "b").agg(F.sum(wt).alias("bw"))
+    wb = Window.partitionBy(group).orderBy("b")
+    hist = hist.select(
+        group,
+        "b",
+        "bw",
+        F.sum("bw")
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cumb"),
+        F.sum("bw").over(Window.partitionBy(group)).alias("total"),
     )
-    q = w.filter(2 * F.col("cum") >= F.col("total")).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("cum", "v")
-        ),
+    crossing = (
+        hist.filter(2 * F.col("cumb") >= F.col("total"))
+        .groupBy(group)
+        .agg(F.min(F.struct("b", "cumb", "bw", "total")).alias("x"))
+        .select(
+            group,
+            F.col("x.b").alias("b_cross"),
+            (F.col("x.cumb") - F.col("x.bw")).alias("cum_below"),
+            F.col("x.total").alias("total"),
+        )
     )
-    return q.filter(F.col("rn") == 1).select(
-        "l_returnflag", F.col("v").alias("weighted_median")
+
+    # Phase 2: only the crossing bucket's rows (~N/B) reach the
+    # group-partitioned cumulative window, seeded with cum_below.
+    in_bucket = rows.join(F.broadcast(crossing), on=group, how="inner").filter(
+        F.col("b") == F.col("b_cross")
+    )
+    ww = Window.partitionBy(group).orderBy(v, *tiebreak)
+    cum = F.col("cum_below") + F.sum(wt).over(
+        ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        in_bucket.withColumn("cum", cum)
+        .filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy(group)
+        .agg(F.min(F.struct(v, *tiebreak)).alias("x"))
+        .select(group, F.col(f"x.{v}").alias("weighted_median"))
     )
 
 

@@ -38,7 +38,23 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an externally-provided session (idempotent)."""
+    """Apply runtime confs to an externally-provided session (idempotent).
+
+    Also pins this THREAD's JVM active session: ``DataFrameWriter.save``
+    resolves registered Python data sources through the JVM thread-local
+    active session with NO fall-back to the default session, so a
+    custom-format write dispatched from a fresh Python thread (whose
+    py4j connection runs on a fresh JVM thread, active session empty)
+    throws DATA_SOURCE_NOT_FOUND even though the source is registered
+    — the bench concurrent-drain crash. One py4j call, idempotent."""
+    try:
+        jvm = spark._jvm
+        if jvm is not None:
+            jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+    except Exception:  # pragma: no cover - private API drift
+        pass
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

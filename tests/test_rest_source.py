@@ -173,3 +173,34 @@ def test_python_sink_two_phase_commit(spark, sf_dir):
     committed = glob.glob(os.path.join(out, "committed", "*.csv"))
     assert len(committed) == manifest["n_files"] == 4
     assert glob.glob(os.path.join(out, "_staging", "*")) == []
+
+
+def test_python_sink_write_from_worker_thread(spark, sf_dir):
+    """Regression (BENCH_r05 crash): DataFrameWriter.save resolves
+    Python data sources through the JVM THREAD-LOCAL active session
+    (no default-session fallback). A custom-format write dispatched
+    from a fresh Python thread lands on a fresh py4j JVM thread with
+    no active session and threw DATA_SOURCE_NOT_FOUND despite the
+    source being registered; the query wrapper's tune() now pins the
+    active session per thread."""
+    import json
+    import os
+    import tempfile
+    import threading
+
+    import servicenow_cmdb_integration_to_aws_spark as engine
+
+    engine.load_all()
+    errors: list = []
+
+    def run():
+        try:
+            df = engine.QUERIES["a20_python_datasource_writer"](spark, sf_dir)
+            assert df.count() > 0
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    assert not errors, errors
