@@ -520,3 +520,27 @@ def test_stratified_topk_uses_window_group_limit(spark, sf_dir):
     df = _q(spark, sf_dir, "f8_stratified_exact_k")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_weighted_median_two_phase_histogram_refine(spark, sf_dir):
+    """d26 (two-phase): the full-data exchange must carry HISTOGRAM
+    CELLS, not rows — i.e. a partial HashAggregate on (group, bucket)
+    sits below the first exchange — and the refine side must reach the
+    scan through a BROADCAST join of the |groups|-row crossing table
+    (a shuffle join here would re-shuffle the full fact table). The
+    group-partitioned cumulative window must only ever see the
+    crossing bucket's rows."""
+    import re
+
+    plan = plan_of(_q(spark, sf_dir, "d26_weighted_median"))
+    # phase 1: partial+final agg pair on the histogram keys
+    assert plan.count("HashAggregate") >= 2
+    # phase 2: crossing table comes back via broadcast, never a
+    # shuffled join of the fact table
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the histogram partial agg's exchange partitions on the histogram
+    # keys (group, bucket) — the first hashpartitioning in the plan
+    # must include the bucket column, proving cells (not rows) shuffle
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and re.search(r"\bb#\d+", parts[0]), parts[:2] or plan
