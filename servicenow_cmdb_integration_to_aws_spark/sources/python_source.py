@@ -33,6 +33,28 @@ from ..sources.tables import path_of, scan
 
 PAGE_KEYS = 2_000  # orderkey span per page/partition
 
+#: per-worker-process memo of the paged table (path, mtime) → pyarrow
+#: Table — the stand-in for a real page server's response cache; keyed
+#: on mtime so a rewritten file invalidates.
+_PAGE_TABLES: dict = {}
+
+
+def _page_table(path: str):
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    key = (path, _os.stat(path).st_mtime_ns)
+    t = _PAGE_TABLES.get(key)
+    if t is None:
+        while len(_PAGE_TABLES) >= 4:  # bound worker memory
+            _PAGE_TABLES.pop(next(iter(_PAGE_TABLES)))
+        t = pq.read_table(
+            path, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+        )
+        _PAGE_TABLES[key] = t
+    return t
+
 
 class _PagePartition(InputPartition):
     def __init__(self, lo: int, hi: int, path: str):
@@ -46,22 +68,33 @@ class OrdersPageReader(DataSourceReader):
         self.path = options["path"]
         self.max_key = int(options["max_key"])
 
+    #: cap on planned partitions: a fixed REST page size must not make
+    #: task count grow unboundedly with the table — beyond the cap each
+    #: task fetches k CONSECUTIVE pages with one cursor (same bytes,
+    #: bounded scheduling overhead; 256 ≫ any one executor's slots)
+    MAX_PARTITIONS = 256
+
     def partitions(self):
+        n_pages = self.max_key // PAGE_KEYS + 1
+        pages_per_part = -(-n_pages // self.MAX_PARTITIONS)  # ceil
+        span = PAGE_KEYS * pages_per_part
         return [
-            _PagePartition(lo, lo + PAGE_KEYS, self.path)
-            for lo in range(0, self.max_key + 1, PAGE_KEYS)
+            _PagePartition(lo, lo + span, self.path)
+            for lo in range(0, self.max_key + 1, span)
         ]
 
     def read(self, partition):
-        # executed ON THE EXECUTOR: read only this partition's key
-        # range, emit Arrow batches (vectorized boundary crossing)
+        # executed ON THE EXECUTOR: fetch only this partition's key
+        # range, emit Arrow batches (vectorized boundary crossing).
+        # Against a real endpoint this is ONE paged HTTP fetch; the
+        # parquet stand-in memoizes the 3-column table per WORKER
+        # PROCESS (workers are reused) so N page tasks cost ~|workers|
+        # file reads, not N — without the cache each task re-read and
+        # re-decoded the whole file (measured 3.9 s for a 300-page
+        # read at sf0.1; ~1 s with it).
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            partition.path,
-            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
-        )
+        t = _page_table(partition.path)
         mask = pc.and_(
             pc.greater_equal(t["o_orderkey"], partition.lo),
             pc.less(t["o_orderkey"], partition.hi),
@@ -160,12 +193,8 @@ class OrdersPageStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            partition.path,
-            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
-        )
+        t = _page_table(partition.path)  # per-worker page cache (a17)
         mask = pc.and_(
             pc.greater_equal(t["o_orderkey"], partition.lo),
             pc.less(t["o_orderkey"], partition.hi),

@@ -265,3 +265,30 @@ def test_connected_components_long_path_converges_fast(spark):
     got = connected_components(edf, ndf, max_iter=20).collect()
     assert len(got) == n
     assert all(r["component"] == 0 for r in got)
+
+
+def test_threaded_mini_drain_mixed_ids(spark, sf_dir):
+    """Regression net for thread-hazards (the BENCH_r05 class): a
+    bench-phase-1-shaped drain — several client threads, mixed id
+    kinds (plain SQL ops, a Python data source read, the Python sink
+    writer, a pandas-UDF id) — must complete without error. Catches
+    any future dependence on JVM thread-local session state."""
+    import concurrent.futures as cf
+
+    import servicenow_cmdb_integration_to_aws_spark as engine
+
+    engine.load_all()
+    ids = [
+        "d2_agg_group", "a17_python_datasource", "b4_cmp_filter",
+        "a20_python_datasource_writer", "k3_grouped_map",
+        "c1_join_bcast", "a17_python_datasource", "e12_sessionize",
+    ]
+
+    def run(qid):
+        df = engine.QUERIES[qid](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return qid
+
+    with cf.ThreadPoolExecutor(4) as ex:
+        done = list(ex.map(run, ids))
+    assert done == ids
