@@ -1115,3 +1115,91 @@ def d27_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+#: d28 support threshold as an exact rational: a token is a heavy
+#: hitter iff occurrences · DEN ≥ total · NUM (0.5% of all token
+#: occurrences) — integer compare, no float rate anywhere.
+_D28_NUM, _D28_DEN = 5, 1000
+
+
+@query(
+    "d28_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT token FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+        ) WHERE token <> ''
+    ),
+    n AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM tok GROUP BY token
+    HAVING COUNT(*) * {_D28_DEN} >= (SELECT total * {_D28_NUM} FROM n)
+    ORDER BY n_occ DESC, token
+    """,
+)
+def d28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-pass heavy hitters (d28): every token carrying ≥0.5%
+    of all token occurrences, with its EXACT count — the frequent-items
+    primitive (stopword mining, hot-key detection, skew diagnosis)
+    that completes the d-family sketch matrix: d5/d18 approximate
+    distinct, d17 approximate quantiles, d23 histogram, d25 exact
+    mergeable distinct, this = exact frequent items.
+
+    Why not one groupBy: the raw key space is the VOCABULARY — a full
+    (token, count) shuffle is exactly what a 100 TB corpus cannot
+    afford for a 30-row answer. Classic two-pass instead:
+
+    1. CANDIDATES, zero shuffle: per input partition, count tokens
+       locally (mapInPandas; the hash map a combiner would hold
+       anyway — Misra-Gries with ⌈DEN/NUM⌉ counters is the bounded-
+       memory drop-in) and emit only tokens with LOCAL rate ≥ s.
+       Averaging argument ⇒ superset: if c(x)·DEN ≥ N·NUM globally,
+       some partition has c_p(x)·DEN ≥ N_p·NUM. At most DEN/NUM = 200
+       candidates per partition survive, by construction.
+    2. EXACT RECOUNT, one broadcast: semi-join the token stream
+       against the ≤200·|partitions| distinct candidates (broadcast),
+       count exactly, keep c·DEN ≥ N·NUM via the 1-row total
+       aggregate (crossJoin-broadcast, the ReusedExchange pattern).
+
+    The candidate set depends on partitioning; the FINAL output never
+    does (exact counts over a guaranteed superset) — that is the
+    determinism contract, and why the oracle is plain GROUP
+    BY/HAVING. Token normalization matches h12 (split on ' ', drop
+    empties)."""
+    import pandas as pd
+
+    from ..sources.tables import spread
+
+    d = scan(spark, sf_dir, "documents").select("text")
+    toks = (
+        spread(d)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+    def candidates(batches):
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            total += int(vc.sum())
+            for tkn, c in vc.items():
+                counts[tkn] = counts.get(tkn, 0) + int(c)
+        if total:
+            thr = total * _D28_NUM
+            yield pd.DataFrame(
+                {"token": [t for t, c in counts.items() if c * _D28_DEN >= thr]}
+            )
+
+    cand = toks.mapInPandas(candidates, "token string").distinct()
+    n1 = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .crossJoin(F.broadcast(n1))
+        .filter(F.col("n_occ") * _D28_DEN >= F.col("total") * _D28_NUM)
+        .select("token", "n_occ")
+        .orderBy(F.col("n_occ").desc(), "token")
+    )
