@@ -380,8 +380,16 @@ def a20_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_sink(spark)
     out = tempfile.mkdtemp(prefix="a20_sink_")
-    o = scan(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    from .tables import spread
+
+    # write parallelism = input partitions (docstring contract), and
+    # the single-row-group testdata reads as ONE split — spread the
+    # narrow projection so the 2PC write runs one task per core here
+    # (no-op at real scale, where the scan has thousands of splits)
+    o = spread(
+        scan(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
     )
     o.write.format("cmdb_upsert").option("path", out).mode("append").save()
     with open(os.path.join(out, "_MANIFEST")) as f:

@@ -544,3 +544,26 @@ def test_weighted_median_two_phase_histogram_refine(spark, sf_dir):
     # must include the bucket column, proving cells (not rows) shuffle
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert parts and re.search(r"\bb#\d+", parts[0]), parts[:2] or plan
+
+
+def test_heavy_hitters_no_vocabulary_shuffle_before_candidates(spark, sf_dir):
+    """d28: pass 1 (candidate pruning) must sit directly on the scan —
+    the only exchange upstream of MapInPandas is spread()'s
+    round-robin of the raw docs, never a hashpartitioning on the
+    token; and the exact recount must reach the token stream through a
+    BROADCAST semi-join (a shuffled join would move the full token
+    stream by key — the thing the two-pass design exists to avoid)."""
+    import re
+
+    plan = plan_of(_q(spark, sf_dir, "d28_heavy_hitters"))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # every hashpartitioning on the token column must be AFTER the
+    # semi-join (final exact count) or on the tiny candidate set's
+    # distinct — never on the raw pre-candidate token stream. The
+    # detail section lists MapInPandas' input exchange as round-robin.
+    m = re.search(r"\(\d+\) MapInPandas", plan)
+    assert m, plan
+    upstream = plan[: m.start()]
+    assert "hashpartitioning(token" not in upstream
