@@ -150,8 +150,9 @@ _BUDGET_HEAVY = frozenset(
         "j2_minhash_lsh", "j2c_ngram_jaccard", "j12_embedding_neardup",
         "j16_neardup_components", "j3c_lsh_ann", "a8_rest_pushdown",
         "d17_approx_percentile", "t8_pipeline_curate",
-        # true-streaming / pandas-state (rows-only: weakest signal per
-        # budget second — last of all)
+        # true-streaming / pandas-state (multi-second checkpoint
+        # machinery — last of the never-checked block; all carry SQL
+        # oracles as of r6, i13 included)
         "a7_replay_stream", "i4_watermark_late", "i5_stream_dedup",
         "i6_stream_static_join", "i7_stateful_counter",
         "i10_stream_stream_join", "i12_stream_session_window",

@@ -350,8 +350,8 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens *between* batches, and the staged source is one file ⇒ one
     data micro-batch ⇒ no row is evicted before all matches emit. The
     final appended set is exactly the batch interval join (the outer
-    variant i13 stays rows-only: its null-row emission depends on the
-    watermark eviction boundary, pinned by test instead).
+    variant i13 adds the watermark-evicted null rows — its oracle
+    encodes the eviction boundary explicitly).
 
     Both streams buffer rows in the state store; the watermarks plus
     the interval condition bound how long each side is retained
@@ -386,7 +386,33 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, output_mode="append")
 
 
-@query("i13_stream_outer_join")  # rows-only: outer join w/ state eviction
+@query(
+    "i13_stream_outer_join",
+    oracle=f"""
+    {EVENTS_US},
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+          FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+          FROM e WHERE event_type = 'click'),
+    w AS (SELECT LEAST((SELECT max(p_ts) FROM p),
+                       (SELECT max(c_ts) FROM c))
+                 - INTERVAL 2 HOUR AS wm)
+    SELECT p.purchase_id, p.p_user, p.p_ts, c.click_id, c.c_ts
+    FROM p JOIN c
+      ON p.p_user = c.c_user
+     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+    UNION ALL
+    SELECT purchase_id, p_user, p_ts,
+           CAST(NULL AS BIGINT) AS click_id,
+           CAST(NULL AS TIMESTAMP) AS c_ts
+    FROM p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.c_user = p.p_user
+          AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+    ) AND p.p_ts < (SELECT wm FROM w)
+    """,
+)
 def i13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (i13): i10's attribution
     join, but purchases with NO click in the hour before them are still
@@ -399,7 +425,16 @@ def i13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified in tests/test_streaming.py — matched rows equal the batch
     join exactly; withheld nulls are exactly the tail ones). State is
     bounded the same way as i10: watermark + interval bound retention
-    to O(window x rate) per side."""
+    to O(window x rate) per side.
+
+    SQL-oracle-checkable since r6 (the last rows-only id): under
+    availableNow + the single-file source, matches emit in the one
+    data batch (the i10 argument) and the final close-out batch
+    null-emits exactly the unmatched purchases the FINAL watermark
+    evicts — those with ``p_ts < min(max p_ts, max c_ts) − 2 h``
+    (strict bound probe-verified at sf0.001 and sf0.01, deterministic
+    across reruns; the boundary behavior itself stays pinned by
+    tests/test_streaming.py)."""
     ev = _stream_events(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
