@@ -183,6 +183,10 @@ def _reorder_for_driver_budget() -> None:
         "e12_sessionize",
         "d19_time_rollup",
         "d27_incremental_rollup",
+        # r6 additions (both never-checked anyway — fronting them only
+        # reorders within the backlog): d28 is new, i13's oracle is new
+        "d28_heavy_hitters",
+        "i13_stream_outer_join",
     ]
     ids = list(registry.QUERIES)
     unchecked = [
