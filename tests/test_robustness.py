@@ -292,3 +292,71 @@ def test_threaded_mini_drain_mixed_ids(spark, sf_dir):
     with cf.ThreadPoolExecutor(4) as ex:
         done = list(ex.map(run, ids))
     assert done == ids
+
+
+def test_heavy_hitters_output_partitioning_independent(spark):
+    """d28's candidate SET varies with partitioning (local-rate pruning
+    is per-partition); the FINAL output must not — exact recounting
+    over a guaranteed superset. Build a skewed corpus, run the
+    registered machinery under 1, 3, and 17 partitions, and require
+    identical results, equal to the brute groupBy answer."""
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.aggregates import (
+        _D28_DEN,
+        _D28_NUM,
+    )
+
+    # 60 docs: token 'hot' everywhere, 'warm' in a third, long tail
+    rows = [
+        (i, " ".join(["hot"] + (["warm"] if i % 3 == 0 else []) + [f"t{i}_{j}" for j in range(7)]))
+        for i in range(60)
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = None
+    for nparts in (1, 3, 17):
+        d = base.repartition(nparts)
+        toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+            F.col("token") != ""
+        )
+        import pandas as pd
+
+        def candidates(batches):
+            counts, total = {}, 0
+            for pdf in batches:
+                vc = pdf["token"].value_counts()
+                total += int(vc.sum())
+                for t, c in vc.items():
+                    counts[t] = counts.get(t, 0) + int(c)
+            if total:
+                thr = total * _D28_NUM
+                yield pd.DataFrame(
+                    {"token": [t for t, c in counts.items() if c * _D28_DEN >= thr]}
+                )
+
+        cand = toks.mapInPandas(candidates, "token string").distinct()
+        n1 = toks.agg(F.count(F.lit(1)).alias("total"))
+        got = sorted(
+            toks.join(F.broadcast(cand), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .crossJoin(F.broadcast(n1))
+            .filter(F.col("n_occ") * _D28_DEN >= F.col("total") * _D28_NUM)
+            .select("token", "n_occ")
+            .collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, (nparts, got, expected)
+    # brute-force reference
+    toks = base.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    total = toks.count()
+    brute = sorted(
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") * _D28_DEN >= total * _D28_NUM)
+        .collect()
+    )
+    assert expected == brute
