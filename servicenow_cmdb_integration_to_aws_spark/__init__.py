@@ -136,6 +136,26 @@ _DRIVER_GREEN = frozenset(
         "m5_audio_decode", "t18_golden_q1", "t19_golden_q6",
         "t20_golden_q9", "t21_golden_q13", "t22_golden_q15",
         "t23_golden_q16", "t24_golden_q20", "t25_golden_q8",
+        # r6 pass (50/50 green in CORRECTNESS_r06.json, including the two
+        # formerly-red i7/e12 after the HUGEINT-dtype oracle casts)
+        "a16_change_feed", "c18_scd2_intervals", "d19_time_rollup",
+        "d27_incremental_rollup", "d28_heavy_hitters", "e12_sessionize",
+        "e14_seq_pattern", "i13_stream_outer_join",
+        "i14_stream_quality_gate", "i15_stream_complete_agg",
+        "i16_stream_pii_redact", "i1_tumbling", "i2_sliding", "i3_session",
+        "i7_stateful_counter", "i8_watermark_inc", "i9_cdc_merge",
+        "j17_bigram_lm", "j20_mixture_sample", "j21_domain_cap",
+        "j22_decontaminate", "j23_pii_redact", "j24_repetition_filter",
+        "j25_incremental_dedup", "j26_train_eval_split", "j27_chunk_dedup",
+        "j28_quality_classifier", "j29_seq_pack", "j31_novelty_score",
+        "j32_winnowing", "j34_length_histogram",
+        "j36_cluster_representative", "j42_bpe_pair_stats",
+        "j43_importance_sample", "j44_feature_hashing", "j46_dataset_card",
+        "j48_bpe_merge_apply", "j49_char_entropy", "j51_temperature_sample",
+        "k1_udf_scalar", "k2_pandas_udf", "k5_udtf", "k7_pandas_iter_udf",
+        "m1_binary_features", "m2_binary_meta_join", "m6_binary_dedup",
+        "m7_modality_router", "p8_encoded_stream", "t10_cohort",
+        "t9_funnel",
     }
 )
 
@@ -170,31 +190,15 @@ _BUDGET_HEAVY = frozenset(
 
 
 def _reorder_for_driver_budget() -> None:
-    """Rebuild registry dict order: (1) i7/e12 — the two r5 hash-FAILs,
-    root-caused to DuckDB ``SUM(BIGINT)→HUGEINT→float64`` in the
-    driver's pandas hash and fixed by CAST(...AS BIGINT) in the
-    oracles (tools/check_dtypes.py now gates the whole class) — plus
-    d19/d27, the same latent bug found by that audit; (2) the
-    never-driver-checked ids (no green CORRECTNESS row in r1–r5),
-    cheap-oracle ids before heavy/rows-only ones (_BUDGET_HEAVY);
-    (3) the 145 ever-driver-green ids last."""
-    first = [
-        "i7_stateful_counter",
-        "e12_sessionize",
-        "d19_time_rollup",
-        "d27_incremental_rollup",
-        # r6 additions (both never-checked anyway — fronting them only
-        # reorders within the backlog): d28 is new, i13's oracle is new
-        "d28_heavy_hitters",
-        "i13_stream_outer_join",
-    ]
+    """Rebuild registry dict order: (1) the never-driver-checked ids
+    (no green CORRECTNESS row in r1–r6 — 72 remain after the r6 pass
+    went 50/50 green), cheap-oracle ids before heavy/rows-only ones
+    (_BUDGET_HEAVY); (2) the 194 ever-driver-green ids last. Any id
+    NOT in _DRIVER_GREEN (e.g. a brand-new registration) auto-fronts."""
     ids = list(registry.QUERIES)
-    unchecked = [
-        q for q in ids if q not in _DRIVER_GREEN and q not in first
-    ]
+    unchecked = [q for q in ids if q not in _DRIVER_GREEN]
     order = (
-        [q for q in first if q in registry.QUERIES]
-        + [q for q in unchecked if q not in _BUDGET_HEAVY]
+        [q for q in unchecked if q not in _BUDGET_HEAVY]
         + [q for q in unchecked if q in _BUDGET_HEAVY]
         + [q for q in ids if q in _DRIVER_GREEN]
     )

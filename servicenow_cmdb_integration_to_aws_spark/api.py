@@ -177,12 +177,21 @@ class CmdbEngine:
         return profile(df, cols)
 
     # -- corpus (embeddings) ---------------------------------------------
-    def semdedup(self, k: int = 8, tau: float = 0.35) -> DataFrame:
+    def semdedup(
+        self,
+        tau: float = 0.35,
+        k: int | None = None,
+        per: int | None = None,
+    ) -> DataFrame:
         """Cluster-blocked semantic dedup over the embeddings table
-        (j41 machinery). Scale rule: k ∝ corpus size."""
-        from .llm.retrieval import semdedup
+        (j41 machinery). Default = the registered rate-based scheme
+        (one seed per ~64 vectors ⇒ K ∝ corpus size, pair work linear);
+        pass k= for a fixed seed count instead."""
+        from .llm.retrieval import _SD_PER, semdedup
 
-        return semdedup(self.spark, self.sf_dir, k=k, tau=tau)
+        if k is None and per is None:
+            per = _SD_PER
+        return semdedup(self.spark, self.sf_dir, tau=tau, k=k, per=per)
 
     # -- maintenance -----------------------------------------------------
     def compact(self, src_dir: str, target_bytes: int | None = None) -> str:

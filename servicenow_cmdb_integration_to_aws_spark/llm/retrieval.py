@@ -474,39 +474,92 @@ def j40_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SD_K = 8  # j41 blocking clusters
+_SD_K = 8  # semdedup(k=...) legacy fixed-K contract demo (not registered)
 _SD_TAU = 0.35  # j41 semantic-dup cosine threshold (6dp-rounded compare)
+#: j41 target cluster size: one seed centroid per ~_SD_PER vectors,
+#: selected by a deterministic hash-rate rule (md5 32-bit prefix below
+#: 2^32/_SD_PER). K therefore scales with N automatically — in BOTH
+#: engines, with no corpus count and no eager driver-side job — which
+#: is what keeps Σ cluster² pair work LINEAR in the corpus (the
+#: SemDeDup paper's constant-cluster-size regime).
+_SD_PER = 64
+_SD_SEED_THRESH = (1 << 32) // _SD_PER
+#: second-level (coarse) seed rate: 1 per _SD_PER·_SD_COARSE_FAN
+#: vectors. Assignment is IVF-style two-level — vector → nearest
+#: coarse cell → exact argmax among that cell's fine centroids — so
+#: per-vector fold work is O(K/FAN + FAN·per-cell-fine) instead of
+#: O(K), which is what keeps the rate-based scheme's assignment cost
+#: linear at probe scales (flat N·K with K∝N is N²/per).
+_SD_COARSE_FAN = 16
+_SD_COARSE_THRESH = (1 << 32) // (_SD_PER * _SD_COARSE_FAN)
 
 
 def _semdedup_oracle() -> str:
-    """DuckDB mirror of j41 (same seeds, argmax tie-break, τ policy)."""
+    """DuckDB mirror of j41 (same seeds, argmax tie-break, τ policy).
+
+    Seed rule mirrors the Spark side exactly: hv = first-8-hex-chars
+    of md5(vec_id) as an integer (`CAST('0x'||… AS BIGINT)` ≡ Spark
+    `conv(…,16,10)`, verified cross-engine in j20); a row seeds iff
+    hv < 2^32/_SD_PER OR hv is the corpus minimum (≥1 seed guarantee
+    for tiny corpora). cid ranks seeds by the full md5 hex string —
+    lowercase-hex lexicographic order agrees across engines."""
     from .vectors import _SQL_DOT, _SQL_NORM
 
-    sim_vc = (
-        f"{_SQL_DOT.format(a='e.v', b='cent.c')}"
-        f" / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='cent.c')})"
-    )
-    sim_xy = (
-        f"{_SQL_DOT.format(a='x.embedding', b='y.embedding')}"
-        f" / ({_SQL_NORM.format(a='x.embedding')}"
-        f" * {_SQL_NORM.format(a='y.embedding')})"
-    )
+    def cos(a: str, b: str) -> str:
+        return (
+            f"{_SQL_DOT.format(a=a, b=b)}"
+            f" / ({_SQL_NORM.format(a=a)} * {_SQL_NORM.format(a=b)})"
+        )
+
+    sim_xy = cos("x.embedding", "y.embedding")
     return f"""
-    WITH e AS (
+    WITH e0 AS (
         SELECT vec_id, embedding,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               md5(CAST(vec_id AS VARCHAR)) AS h,
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS hv
         FROM embeddings
     ),
-    cent AS (
-        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
-               v AS c
-        FROM e
-        ORDER BY md5(CAST(vec_id AS VARCHAR))
-        LIMIT {_SD_K}
+    e AS (SELECT vec_id, embedding, v FROM e0),
+    fine AS (
+        SELECT row_number() OVER (ORDER BY h) AS cid, v AS c, hv
+        FROM e0
+        WHERE hv < {_SD_SEED_THRESH} OR hv = (SELECT min(hv) FROM e0)
     ),
+    coarse AS (
+        SELECT cid AS ccid, c AS cc
+        FROM fine
+        WHERE hv < {_SD_COARSE_THRESH} OR hv = (SELECT min(hv) FROM e0)
+    ),
+    fc0 AS (
+        SELECT fine.cid, coarse.ccid, {cos('fine.c', 'coarse.cc')} AS sim
+        FROM fine, coarse
+    ),
+    fc AS (
+        SELECT cid, ccid,
+               row_number() OVER (PARTITION BY cid ORDER BY sim DESC, ccid)
+                 AS rn
+        FROM fc0
+    ),
+    f2c AS (SELECT cid, ccid FROM fc WHERE rn = 1),
+    vc0 AS (
+        SELECT e.vec_id, coarse.ccid, {cos('e.v', 'coarse.cc')} AS sim
+        FROM e, coarse
+    ),
+    vc AS (
+        SELECT vec_id, ccid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ccid)
+                 AS rn
+        FROM vc0
+    ),
+    v2c AS (SELECT vec_id, ccid FROM vc WHERE rn = 1),
     d0 AS (
-        SELECT e.vec_id, e.embedding, cent.cid, {sim_vc} AS sim
-        FROM e, cent
+        SELECT e.vec_id, e.embedding, fine.cid, {cos('e.v', 'fine.c')} AS sim
+        FROM e
+        JOIN v2c ON v2c.vec_id = e.vec_id
+        JOIN f2c ON f2c.ccid = v2c.ccid
+        JOIN fine ON fine.cid = f2c.cid
     ),
     d AS (
         SELECT vec_id, embedding, cid,
@@ -544,52 +597,164 @@ def j41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids only. Raw vectors ride exactly two shuffles (chunk replication
     + the id-keyed mark join), text/metadata none.
 
-    SCALING CONTRACT: total pair work is Σ cluster² — with K FIXED,
-    cluster size grows with the corpus and pair work grows
-    quadratically (measured at 8x embeddings: exponent 1.05 with
-    K=8 fixed, 0.24 with K scaled 8x to 64 — SCALING.md). Production
-    therefore sets K = N / target_cluster_size (the paper's regime:
-    cluster size stays ~constant); the registered query pins K=8 only
-    so the oracle is reproducible. :func:`semdedup` takes k
-    explicitly."""
-    return semdedup(spark, sf_dir, k=_SD_K, tau=_SD_TAU)
+    SCALING CONTRACT: total pair work is Σ cluster². The registered
+    query selects seeds by HASH RATE — one centroid per ~_SD_PER=64
+    vectors (md5 prefix < 2^32/64, min-hash fallback guarantees ≥1) —
+    so K ∝ N and cluster size stays ~constant as the corpus grows:
+    the paper's regime, pair work linear in N. The rule is a pure
+    per-row predicate: no corpus count, no eager job at plan time, and
+    the oracle applies the identical predicate so both engines derive
+    the same K from the data. (The old fixed-K registration measured
+    exponent 1.05 at 8x — SCALING.md round-6; rate-based re-probe in
+    the round-7 section.) :func:`semdedup` keeps explicit k for the
+    fixed-K contract demo."""
+    return semdedup(spark, sf_dir, per=_SD_PER, tau=_SD_TAU)
 
 
 def semdedup(
-    spark: SparkSession, sf_dir: str, k: int, tau: float, cap: int = 128
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float,
+    k: int | None = None,
+    per: int | None = None,
+    cap: int = 128,
 ) -> DataFrame:
-    """Parametric SemDeDup (see :func:`j41_semdedup`): k blocking
-    clusters, dup threshold tau. Scale rule: k ∝ corpus size, which
-    keeps cluster size — and so Σ cluster² pair work — linear in N.
-    The assignment scan is then N·k folds; when THAT becomes the
-    bottleneck (k in the tens of thousands), the production move is
+    """Parametric SemDeDup (see :func:`j41_semdedup`): blocking
+    clusters from hash-ranked seeds, dup threshold tau. Exactly one
+    of ``k`` (fixed seed count — the legacy demo; quadratic as N
+    grows) or ``per`` (target cluster size — seeds at rate 1/per, so
+    K ∝ N and pair work stays linear) must be given.
+    The assignment scan is N·K folds; when THAT becomes the
+    bottleneck (K in the tens of thousands), the production move is
     IVF-style coarse quantization of the seed table (j3b's cell-probe
     shape). A two-level probe was prototyped and measured here: at
     16k×64-dim it saves nothing (broadcast/overhead-dominated) and
     its cell-border approximation cannot be validated on isotropic
     random synthetic vectors, so it is deliberately NOT shipped."""
+    if (k is None) == (per is None):
+        raise ValueError("pass exactly one of k= or per=")
     from .vectors import dot, l2norm, neardup_blocked
 
     e = scan(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _dvec("embedding").alias("v")
     )
     seed_hash = F.md5(F.col("vec_id").cast("string").cast("binary"))
-    topk = e.select(seed_hash.alias("h"), "v").orderBy("h").limit(k)
-    cent = topk.select(
-        F.row_number().over(Window.orderBy("h")).alias("cid"),
-        F.col("v").alias("c"),
-    )
-    sim = dot(F.col("v"), F.col("c")) / (l2norm(F.col("v")) * l2norm(F.col("c")))
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", F.col("cid"), sim.alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct((-F.col("sim")).alias("ns"), F.col("cid"))).alias("m"),
-            F.first("embedding").alias("embedding"),
+
+    # Norms are hoisted OUT of every scoring join: l2norm(v) once per
+    # vector (N folds) and l2norm(c) once per centroid (K folds)
+    # instead of once per PAIR — bit-identical sim values (same
+    # per-row fold, same division), ~3× less lambda work. The
+    # embedding payload never rides a scoring join: argmax runs on
+    # (vec_id, cid, sim) and the array joins back id-keyed after.
+    en = e.select("vec_id", "v", l2norm(F.col("v")).alias("nv"))
+    sim = dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("nc"))
+
+    def argmax(scored, key, out):
+        return (
+            scored.groupBy(key)
+            .agg(
+                F.min(
+                    F.struct((-F.col("sim")).alias("ns"), F.col("cid"))
+                ).alias("m")
+            )
+            .select(key, F.col("m.cid").alias(out))
         )
-        .select("vec_id", "embedding", F.col("m.cid").alias("label"))
-    )
+
+    if k is not None:
+        # Legacy fixed-K contract demo: flat N·K scoring.
+        seeds = e.select(seed_hash.alias("h"), "v").orderBy("h").limit(k)
+        cent = seeds.select(
+            F.row_number().over(Window.orderBy("h")).alias("cid"),
+            F.col("v").alias("c"),
+        ).withColumn("nc", l2norm(F.col("c")))
+        label = argmax(
+            en.crossJoin(F.broadcast(cent)).select(
+                "vec_id", F.col("cid"), sim.alias("sim")
+            ),
+            "vec_id",
+            "label",
+        )
+    else:
+        # Rate rule: seed iff the 32-bit md5 prefix < 2^32/per, OR it
+        # is the corpus-min prefix (≥1 seed even on a tiny corpus).
+        # The min rides a 1-row aggregate broadcast and the whole rule
+        # stays inside the plan (zero driver-side jobs). Assignment is
+        # two-level IVF: a 1/FAN subset of the fine seeds forms coarse
+        # cells (the min-hv fallback row qualifies for both levels, so
+        # coarse is never empty); each fine centroid and each vector
+        # argmax-assigns to its nearest coarse cell, then the vector
+        # exact-scores ONLY that cell's fine centroids. Per-vector
+        # fold work drops from K to K/FAN + (expected) FAN·per-cell —
+        # linear in N for K ∝ N. Every coarse cell contains at least
+        # its own fine centroid (sim(c,c)=1 is the argmax), so every
+        # vector sees ≥1 candidate. Standard IVF cell-border caveat:
+        # a vector near a cell boundary may label to a near- rather
+        # than global-nearest centroid — acceptable for blocking (the
+        # pair stage re-checks real cosine), mirrored exactly by the
+        # oracle.
+        fan = _SD_COARSE_FAN
+        hv = F.conv(F.substring(seed_hash, 1, 8), 16, 10).cast("long")
+        e2 = e.select(seed_hash.alias("h"), hv.alias("hv"), "v")
+        minhv = e2.agg(F.min("hv").alias("minhv"))
+        seeds = (
+            e2.crossJoin(F.broadcast(minhv))
+            .where(
+                (F.col("hv") < F.lit((1 << 32) // per))
+                | (F.col("hv") == F.col("minhv"))
+            )
+            .select("h", "hv", "v", "minhv")
+        )
+        fine = seeds.select(
+            F.row_number().over(Window.orderBy("h")).alias("cid"),
+            F.col("v").alias("c"),
+            "hv",
+            "minhv",
+        ).withColumn("nc", l2norm(F.col("c")))
+        coarse = fine.where(
+            (F.col("hv") < F.lit((1 << 32) // (per * fan)))
+            | (F.col("hv") == F.col("minhv"))
+        ).select(
+            F.col("cid").alias("ccid"),
+            F.col("c").alias("cc"),
+            F.col("nc").alias("ncc"),
+        )
+        csim = dot(F.col("v"), F.col("cc")) / (F.col("nv") * F.col("ncc"))
+        # fine centroid -> nearest coarse cell (K·Kc folds, both tiny)
+        fsim = dot(F.col("c"), F.col("cc")) / (F.col("nc") * F.col("ncc"))
+        f2c = (
+            fine.select("cid", "c", "nc")
+            .crossJoin(F.broadcast(coarse))
+            .select(
+                F.col("cid").alias("fcid"),
+                F.col("ccid").alias("cid"),
+                fsim.alias("sim"),
+            )
+            .groupBy("fcid")
+            .agg(
+                F.min(
+                    F.struct((-F.col("sim")).alias("ns"), F.col("cid"))
+                ).alias("m")
+            )
+            .select(F.col("fcid").alias("cid"), F.col("m.cid").alias("ccid"))
+        )
+        cellmap = fine.select("cid", "c", "nc").join(f2c, "cid")
+        # vector -> nearest coarse cell (N·Kc folds)
+        v2c = argmax(
+            en.crossJoin(F.broadcast(coarse)).select(
+                "vec_id", F.col("ccid").alias("cid"), csim.alias("sim")
+            ),
+            "vec_id",
+            "ccid",
+        )
+        # vector -> exact argmax among its cell's fine centroids
+        label = argmax(
+            en.join(v2c, "vec_id")
+            .join(F.broadcast(cellmap), "ccid")
+            .select("vec_id", F.col("cid"), sim.alias("sim")),
+            "vec_id",
+            "label",
+        )
+    assigned = e.select("vec_id", "embedding").join(label, "vec_id")
     pairs = neardup_blocked(assigned, tau=tau, cap=cap)
     dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return assigned.join(
