@@ -1009,7 +1009,15 @@ def weighted_median(
     Phase 1 locates each group's crossing bucket from a map-side
     partial-aggregated histogram; phase 2 refines exactly inside that
     bucket only. ``bucket_width`` trades histogram size (value-range /
-    width cells per group) against refine volume (~N/B rows)."""
+    width cells per group) against refine volume (~N/B rows).
+
+    NULL ``v`` rows are dropped up front (a NULL value has no place in
+    a median; without the filter they would land in a NULL bucket that
+    sorts FIRST under the phase-1 window and silently skew cumb/total).
+    Callers with NULL weights should pre-filter or coalesce them:
+    SUM skips NULLs so such a row carries weight 0, but it remains a
+    candidate row in the refine pass."""
+    df = df.where(F.col(v).isNotNull())
     b = F.floor(F.col(v) / F.lit(bucket_width)).cast("bigint").alias("b")
     rows = df.select(group, v, wt, *tiebreak, b)
 
@@ -1123,6 +1131,23 @@ def d27_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D28_NUM, _D28_DEN = 5, 1000
 
 
+def _mg_merge(counts: dict, vc, k: int) -> dict:
+    """Merge a batch's exact value_counts into a Misra-Gries summary,
+    keeping ≤ k counters (mergeable-summaries rule: add, then if more
+    than k counters subtract the (k+1)-th largest value from every
+    counter and drop non-positives). Post-merge error ≤ N/(k+1) total
+    over all merged input, so any item with overall rate > 1/(k+1) is
+    guaranteed retained. Used by d28's zero-shuffle candidate pass;
+    unit-tested for the counter budget under adversarial vocabulary
+    (tests/test_aggregates_units.py)."""
+    for t, c in vc.items():
+        counts[t] = counts.get(t, 0) + int(c)
+    if len(counts) > k:
+        m = sorted(counts.values(), reverse=True)[k]
+        counts = {t: c - m for t, c in counts.items() if c > m}
+    return counts
+
+
 @query(
     "d28_heavy_hitters",
     oracle=f"""
@@ -1150,13 +1175,19 @@ def d28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token, count) shuffle is exactly what a 100 TB corpus cannot
     afford for a 30-row answer. Classic two-pass instead:
 
-    1. CANDIDATES, zero shuffle: per input partition, count tokens
-       locally (mapInPandas; the hash map a combiner would hold
-       anyway — Misra-Gries with ⌈DEN/NUM⌉ counters is the bounded-
-       memory drop-in) and emit only tokens with LOCAL rate ≥ s.
-       Averaging argument ⇒ superset: if c(x)·DEN ≥ N·NUM globally,
-       some partition has c_p(x)·DEN ≥ N_p·NUM. At most DEN/NUM = 200
-       candidates per partition survive, by construction.
+    1. CANDIDATES, zero shuffle: per input partition, a MISRA-GRIES
+       summary with k = DEN/NUM = 200 counters (mapInPandas, batch-
+       merge form: add a batch's exact value_counts, then if > k
+       counters subtract the (k+1)-th largest from all and drop
+       non-positives — the mergeable-summaries rule, error ≤
+       N_p/(k+1)); emit EVERY retained token. Guarantee chain: token
+       globally ≥ s = NUM/DEN ⇒ (averaging) some partition has local
+       rate ≥ s = 1/200 > 1/(k+1) ⇒ MG retains it there ⇒ candidate.
+       The emit rule is retention itself, NOT a rate test on the MG
+       estimates (estimates undercount; testing them against s could
+       drop a qualifying token). ≤ k = 200 candidates per partition
+       and ≤ k + batch-vocabulary counters live at any moment, by
+       construction — bounded memory under adversarial vocabulary.
     2. EXACT RECOUNT, one broadcast: semi-join the token stream
        against the ≤200·|partitions| distinct candidates (broadcast),
        count exactly, keep c·DEN ≥ N·NUM via the 1-row total
@@ -1167,8 +1198,6 @@ def d28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism contract, and why the oracle is plain GROUP
     BY/HAVING. Token normalization matches h12 (split on ' ', drop
     empties)."""
-    import pandas as pd
-
     from ..sources.tables import spread
 
     d = scan(spark, sf_dir, "documents").select("text")
@@ -1177,20 +1206,29 @@ def d28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
+    return heavy_hitters(toks).orderBy(F.col("n_occ").desc(), "token")
+
+
+def heavy_hitters(
+    toks: DataFrame, num: int = _D28_NUM, den: int = _D28_DEN
+) -> DataFrame:
+    """Two-pass exact frequent items over a one-column ``token`` frame:
+    tokens with ≥ num/den of all occurrences, with exact counts (see
+    :func:`d28_heavy_hitters` for the design argument). Pass 1 is a
+    zero-shuffle per-partition Misra-Gries candidate pass (k = den//num
+    counters — bounded memory under adversarial vocabulary); pass 2
+    exact-recounts the broadcast candidate superset. Output is
+    partitioning-independent (tests/test_robustness.py)."""
+    import pandas as pd
+
+    k = den // num
 
     def candidates(batches):
         counts: dict = {}
-        total = 0
         for pdf in batches:
-            vc = pdf["token"].value_counts()
-            total += int(vc.sum())
-            for tkn, c in vc.items():
-                counts[tkn] = counts.get(tkn, 0) + int(c)
-        if total:
-            thr = total * _D28_NUM
-            yield pd.DataFrame(
-                {"token": [t for t, c in counts.items() if c * _D28_DEN >= thr]}
-            )
+            counts = _mg_merge(counts, pdf["token"].value_counts(), k)
+        if counts:
+            yield pd.DataFrame({"token": list(counts)})
 
     cand = toks.mapInPandas(candidates, "token string").distinct()
     n1 = toks.agg(F.count(F.lit(1)).alias("total"))
@@ -1199,7 +1237,6 @@ def d28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .crossJoin(F.broadcast(n1))
-        .filter(F.col("n_occ") * _D28_DEN >= F.col("total") * _D28_NUM)
+        .filter(F.col("n_occ") * den >= F.col("total") * num)
         .select("token", "n_occ")
-        .orderBy(F.col("n_occ").desc(), "token")
     )

@@ -17,8 +17,11 @@ number only sets the *upper* bound of the shuffle fan-out at small SF.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
+
+_WARNED_ACTIVE_SESSION_PIN = False
 
 #: Confs that are runtime-settable and must hold on ANY session our
 #: queries run under — including the driver-owned session passed into
@@ -53,8 +56,20 @@ def tune(spark: SparkSession) -> SparkSession:
             jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
                 spark._jsparkSession
             )
-    except Exception:  # pragma: no cover - private API drift
-        pass
+    except Exception as ex:  # pragma: no cover - private API drift
+        # The pin rides a PRIVATE py4j path; on Spark version drift it
+        # must degrade loudly (once), not silently re-open the
+        # DATA_SOURCE_NOT_FOUND window for worker-thread writes.
+        global _WARNED_ACTIVE_SESSION_PIN
+        if not _WARNED_ACTIVE_SESSION_PIN:
+            _WARNED_ACTIVE_SESSION_PIN = True
+            warnings.warn(
+                "tune(): could not pin the JVM thread-local active session "
+                f"({type(ex).__name__}: {ex}); Python data source writes "
+                "from fresh threads may fail with DATA_SOURCE_NOT_FOUND",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

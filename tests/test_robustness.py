@@ -305,6 +305,7 @@ def test_heavy_hitters_output_partitioning_independent(spark):
     from servicenow_cmdb_integration_to_aws_spark.operators.aggregates import (
         _D28_DEN,
         _D28_NUM,
+        heavy_hitters,
     )
 
     # 60 docs: token 'hot' everywhere, 'warm' in a third, long tail
@@ -319,32 +320,7 @@ def test_heavy_hitters_output_partitioning_independent(spark):
         toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
             F.col("token") != ""
         )
-        import pandas as pd
-
-        def candidates(batches):
-            counts, total = {}, 0
-            for pdf in batches:
-                vc = pdf["token"].value_counts()
-                total += int(vc.sum())
-                for t, c in vc.items():
-                    counts[t] = counts.get(t, 0) + int(c)
-            if total:
-                thr = total * _D28_NUM
-                yield pd.DataFrame(
-                    {"token": [t for t, c in counts.items() if c * _D28_DEN >= thr]}
-                )
-
-        cand = toks.mapInPandas(candidates, "token string").distinct()
-        n1 = toks.agg(F.count(F.lit(1)).alias("total"))
-        got = sorted(
-            toks.join(F.broadcast(cand), "token", "left_semi")
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("n_occ"))
-            .crossJoin(F.broadcast(n1))
-            .filter(F.col("n_occ") * _D28_DEN >= F.col("total") * _D28_NUM)
-            .select("token", "n_occ")
-            .collect()
-        )
+        got = sorted(heavy_hitters(toks).collect())
         if expected is None:
             expected = got
         assert got == expected, (nparts, got, expected)
@@ -360,3 +336,83 @@ def test_heavy_hitters_output_partitioning_independent(spark):
         .collect()
     )
     assert expected == brute
+
+
+def test_misra_gries_counter_budget_and_superset():
+    """d28 pass 1 memory contract: under an adversarial vocabulary
+    (every batch almost all-distinct), the Misra-Gries summary never
+    exceeds k counters after any merge, yet every token whose overall
+    rate is ≥ 1/k is retained at the end (the candidate-superset
+    guarantee the exact recount relies on). Pure-python — no Spark."""
+    import pandas as pd
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.aggregates import (
+        _mg_merge,
+    )
+
+    k = 200
+    counts: dict = {}
+    exact: dict = {}
+    rng = __import__("random").Random(7)
+    for b in range(40):
+        # ~5k distinct junk tokens per batch + persistent heavy tokens
+        toks = [f"junk_{b}_{i}" for i in range(5000)]
+        toks += ["hot"] * 60 + ["warm"] * 30
+        rng.shuffle(toks)
+        s = pd.Series(toks)
+        for t in toks:
+            exact[t] = exact.get(t, 0) + 1
+        counts = _mg_merge(counts, s.value_counts(), k)
+        assert len(counts) <= k, (b, len(counts))
+    n = sum(exact.values())
+    for t, c in exact.items():
+        if c * k >= n:  # overall rate >= 1/k must be retained
+            assert t in counts, (t, c, n)
+    assert "hot" in counts and "warm" in counts
+
+
+def test_weighted_median_equals_naive_across_bucket_widths(spark):
+    """d26's parametric weighted_median() must be bucket_width-
+    INVARIANT and equal the naive single-window form: phase 1 only
+    locates the crossing bucket, phase 2 refines exactly, so the knob
+    can never change the answer. width=1e9 puts every row in one
+    bucket (refine does all the work, seeded with cum_below=0);
+    width=1 makes buckets single-valued (phase 1 does all the work).
+    Fixture includes negative values, duplicate values across groups,
+    and a NULL value row (dropped by contract)."""
+    import random
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.aggregates import (
+        weighted_median,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{i % 5}", float(rng.randint(-500, 500)), rng.randint(1, 9), i)
+        for i in range(400)
+    ]
+    rows.append(("g0", None, 3, 10_000))  # NULL v: must be ignored
+    df = spark.createDataFrame(rows, "g string, v double, wt long, id long")
+
+    # naive reference: sort by (v, id), first row with 2*cum >= total
+    by_group: dict = {}
+    for g, v, wt, i in rows:
+        if v is not None:
+            by_group.setdefault(g, []).append((v, i, wt))
+    expected = {}
+    for g, items in by_group.items():
+        items.sort()
+        total = sum(w for _, _, w in items)
+        cum = 0
+        for v, _, w in items:
+            cum += w
+            if 2 * cum >= total:
+                expected[g] = v
+                break
+
+    for width in (1.0, 16.0, 1024.0, 1e9):
+        got = {
+            r["g"]: r["weighted_median"]
+            for r in weighted_median(df, "g", "v", "wt", "id", bucket_width=width).collect()
+        }
+        assert got == expected, (width, got, expected)

@@ -399,3 +399,49 @@ def test_file_sink_checkpoint_resume_exactly_once(spark):
     got = spark.read.parquet(sink)
     assert got.count() == 150  # batch1 NOT re-landed
     assert got.select(F.count_distinct("id")).collect()[0][0] == 150
+
+
+def test_stream_outer_join_eviction_boundary_pinned(spark):
+    """i13's SQL oracle encodes an engine-version-specific eviction
+    boundary: the close-out batch null-emits exactly the unmatched
+    purchases with ``p_ts < min(max p_ts, max c_ts) - 2h`` (STRICT).
+    Pin that assumption on a synthetic fixture with purchases just
+    below / exactly at / just above the boundary, so a Spark upgrade
+    that moves the close-out eviction rule fails HERE with context
+    instead of as a spurious parity FAIL on i13 (probe-verified on
+    pyspark 4.1.2; see the i13 docstring before touching the oracle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    q = entrymod.queries()
+    src = tempfile.mkdtemp(prefix="i13_boundary_")
+    rows = [
+        # (event_id, ts_hours, user_id, event_type)
+        (200, 5.5, 5, "click"),      # matches purchase 100
+        (100, 6.0, 5, "purchase"),   # matched pair
+        (201, 10.0, 99, "click"),    # max c_ts = 10h
+        (101, 12.0, 98, "purchase"), # max p_ts = 12h; unmatched, in horizon
+        # wm = min(12h, 10h) - 2h = 8h; boundary is STRICT p_ts < wm
+        (102, 8.0 - 1 / 3600, 1, "purchase"),  # below wm -> null row MUST emit
+        (103, 8.0, 2, "purchase"),             # exactly wm -> withheld
+        (104, 8.0 + 1 / 3600, 3, "purchase"),  # above wm -> withheld
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([int(r[1] * 3600 * 1e9) for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(src, "events.parquet"))
+
+    out = q["i13_stream_outer_join"](spark, src).collect()
+    matched = sorted(
+        (r["purchase_id"], r["click_id"]) for r in out if r["click_id"] is not None
+    )
+    nulls = sorted(r["purchase_id"] for r in out if r["click_id"] is None)
+    assert matched == [(100, 200)], matched
+    assert nulls == [102], nulls

@@ -77,6 +77,7 @@ def kind(col) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-v", action="store_true", help="print per-id ok lines")
     ap.add_argument("ids", nargs="*")
     args = ap.parse_args()
 
@@ -122,7 +123,7 @@ def main() -> int:
             n = len(spdf)
             for c, s, d in diffs:
                 print(f"DIFF {qid}.{c}: spark={s} duckdb={d} (rows={n})", flush=True)
-        elif "-v" in sys.argv:
+        elif args.v:
             print(f"ok   {qid} ({time.time()-t0:.1f}s)", flush=True)
     print(f"done: {bad} ids with dtype diffs, {err} errors, {len(ids)} checked")
     return 1 if bad or err else 0
