@@ -61,7 +61,11 @@ STREAMING_IDS = {
 #: longest-processing-time-first makespan scheduling: starting the
 #: multi-second text/vector pipelines early overlaps them with the
 #: hundreds of sub-second relational ids instead of leaving them as the
-#: tail stragglers an alphabetical dispatch produces).
+#: tail stragglers an alphabetical dispatch produces). COLD-REPO
+#: FALLBACK only: when bench_out.json (the previous run's serial
+#: profile) is present, drain_order() sorts by it instead — full LPT
+#: over every id, which also fixes the alphabetical tail (the t-family
+#: goldens all sort last and used to finish 35 s in, single-file).
 HEAVY_FIRST = [
     "j16_neardup_components", "j2_minhash_lsh", "j39_edit_distance_nn",
     "j20_mixture_sample", "j17_bigram_lm", "j12_embedding_neardup",
@@ -72,6 +76,25 @@ HEAVY_FIRST = [
     "j3c_lsh_ann", "c2_join_shuffle", "j8_tfidf", "t8_pipeline_curate",
     "a8_rest_pushdown", "d17_approx_percentile", "j1_exact_dedup",
 ]
+
+
+def drain_order(queries, batch_ids) -> list:
+    """LPT (longest-processing-time-first) dispatch order for the
+    concurrent drain. Uses the previous run's serial profile
+    (bench_out.json) when present — ids this round doesn't know yet
+    get a 1.0 s prior so they dispatch ahead of the sub-second crowd —
+    else falls back to the static HEAVY_FIRST prefix."""
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+        ) as fh:
+            prof = json.load(fh).get("queries", {})
+    except Exception:
+        prof = {}
+    if prof:
+        return sorted(batch_ids, key=lambda q: (-prof.get(q, 1.0), q))
+    heavy = [q for q in HEAVY_FIRST if q in queries]
+    return heavy + [q for q in batch_ids if q not in set(heavy)]
 
 
 def run_one(queries, qid, spark, sf_dir, pool: str | None = None) -> float:
@@ -121,10 +144,16 @@ def main() -> None:
     #
     # Phase 3 — structured-streaming ids, always last: their
     # state-store maintenance threads slow everything after them ~1.5×.
-    nthreads = int(os.environ.get("BENCH_CLIENT_THREADS", "12"))
+    # 20 is the measured optimal client concurrency for this drain on
+    # local[32] (r7 sweep, same host/registry: 12→46.1 s, 16→30.2,
+    # 20→27.7/29.8, 24→32.1, 32→35.5): below it the cold per-query
+    # plan/codegen latency can't overlap enough execution; above it
+    # scheduler/GC contention wins. The baseline is measured at ITS
+    # optimal concurrency (DuckDB: serial saturates all cores), so the
+    # drain runs at ours — same methodology rule, both engines.
+    nthreads = int(os.environ.get("BENCH_CLIENT_THREADS", "20"))
     batch_ids = sorted(q for q in queries if q not in STREAMING_IDS)
-    heavy = [q for q in HEAVY_FIRST if q in queries]
-    drain_order = heavy + [q for q in batch_ids if q not in set(heavy)]
+    order = drain_order(queries, batch_ids)
     t0 = time.perf_counter()
     with cf.ThreadPoolExecutor(nthreads) as ex:
         list(
@@ -132,7 +161,7 @@ def main() -> None:
                 lambda iq: run_one(
                     queries, iq[1], spark, sf_dir, pool=f"drain-{iq[0] % nthreads}"
                 ),
-                enumerate(drain_order),
+                enumerate(order),
             )
         )
     workload = round(time.perf_counter() - t0, 3)
