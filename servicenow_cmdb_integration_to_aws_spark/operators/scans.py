@@ -110,34 +110,51 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the on-disk layout strategy for 100 TB repeated joins:
     paying one bucketed write amortizes every subsequent join/agg on
     the key. Bucket count 8 locally; at scale it is sized so one
-    bucket ≈ one task's memory budget. The bucketed copies are
-    re-created only when missing (CREATE-once semantics, like a real
-    warehouse table)."""
+    bucket ≈ one task's memory budget. The bucketed copies are written
+    AT MOST ONCE per warehouse: a fresh SparkContext loses the
+    in-memory catalog but not the warehouse files, so when the files
+    are already there (complete = _SUCCESS marker) they are
+    re-REGISTERED as an external bucketed table (CLUSTERED BY DDL over
+    the existing LOCATION — verified shuffle-free SMJ, same plan as
+    the managed original) instead of re-paying the write. That is also
+    the real-warehouse behavior this query models: the table outlives
+    any one session."""
+    import os
     import shutil
 
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     to, tl = f"orders_b_{sf_tag}", f"lineitem_b_{sf_tag}"
     cat = spark.catalog
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
 
-    def _clear_stale(table: str) -> None:
-        # in-memory catalog + persistent warehouse dir: a table from a
-        # previous session leaves its location behind without a
-        # catalog entry — remove it before CREATE
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
-
-    if not cat.tableExists(to):
-        _clear_stale(to)
-        scan(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
-            "o_orderkey"
-        ).mode("overwrite").saveAsTable(to)
-    if not cat.tableExists(tl):
-        _clear_stale(tl)
-        scan(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity"
-        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+    def _ensure(table: str, src, key: str) -> None:
+        if cat.tableExists(table):
+            return
+        path = f"{wh}/{table}"
+        if os.path.exists(f"{path}/_SUCCESS"):
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {table} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            return
+        shutil.rmtree(path, ignore_errors=True)  # incomplete leftover
+        # explicit path ⇒ EXTERNAL table: dropping the catalog entry
+        # (or losing the in-memory catalog with the context) never
+        # deletes the files, so the write really happens at most once
+        src.write.bucketBy(8, key).sortBy(key).option("path", path).mode(
             "overwrite"
-        ).saveAsTable(tl)
+        ).saveAsTable(table)
+
+    _ensure(to, scan(spark, sf_dir, "orders"), "o_orderkey")
+    _ensure(
+        tl,
+        scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "l_orderkey",
+    )
     o = spark.table(to)
     li = spark.table(tl)
     return (

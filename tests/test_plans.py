@@ -127,6 +127,44 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_bucketed_tables_reregister_without_rewrite(spark, sf_dir):
+    """a9's bucketed copies must be written AT MOST ONCE per warehouse:
+    when the catalog entry is gone (context restart) but the files
+    survive, the query re-REGISTERS them as an external bucketed table
+    instead of re-paying the write. Simulate catalog loss with DROP
+    TABLE (the copies are external, so files persist), then require
+    (a) identical results, (b) untouched data files, (c) the re-
+    registered join still plans shuffle-free over the buckets."""
+    import glob
+    import os
+
+    df = _q(spark, sf_dir, "a9_bucketed_join")
+    want = sorted(map(tuple, df.collect()))
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    to, tl = f"orders_b_{sf_tag}", f"lineitem_b_{sf_tag}"
+    files = sorted(glob.glob(f"{wh}/{to}/*.parquet") + glob.glob(f"{wh}/{tl}/*.parquet"))
+    assert files, "expected bucketed files in the warehouse"
+    mtimes = [os.path.getmtime(f) for f in files]
+    spark.sql(f"DROP TABLE {to}")
+    spark.sql(f"DROP TABLE {tl}")
+    assert os.path.exists(f"{wh}/{to}/_SUCCESS"), "external drop must keep files"
+
+    df2 = _q(spark, sf_dir, "a9_bucketed_join")
+    got = sorted(map(tuple, df2.collect()))
+    assert got == want
+    assert [os.path.getmtime(f) for f in files] == mtimes, "files were rewritten"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df3 = _q(spark, sf_dir, "a9_bucketed_join")
+        df3.collect()
+        plan = df3._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan and "Exchange hashpartitioning" not in plan, plan
+
+
 def test_unpivot_is_expand_no_shuffle(spark, sf_dir):
     """d15: unpivot must compile to a generator/Expand projection —
     zero Exchange; 4x row fan-out happens inside the scan task."""
