@@ -352,47 +352,119 @@ def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection) that hash families like j2/j2b structurally miss
     (one character edit changes every shingle).
 
-    Determinism: argmin tie-breaks on the neighbour id (struct-min);
-    Levenshtein is integer-exact in both engines.
+    Determinism: argmin tie-breaks on the neighbour id; Levenshtein
+    is integer-exact in both engines (and in the kernel below).
 
-    100 TB notes: blocking bounds the quadratic — the self-join keys
-    on (lang, bucket) so pair work is per-block O(m²) with m = block
-    size, and the compared payload is a fixed 48-char prefix (cost cap
-    independent of document length). Mega-blocks get the j14 salted-
-    hash pre-trim to a per-block candidate cap before pairing; the
-    per-doc argmin folds map-side into the SAME (lang,bucket) shuffle
-    the join created. Raw full text never moves."""
+    ENGINE CHOICE (measured, r7): the within-block scoring runs in an
+    Arrow-batched ``applyInPandas`` with a NUMPY-VECTORIZED MYERS
+    BIT-PARALLEL kernel (:func:`_myers_block_nn`) — a 48-char pattern
+    fits one 64-bit word, so a pair costs ~48 word-ops instead of the
+    48×48 DP cell sweep ``F.levenshtein`` runs per pair; the pair
+    space is also halved (distance is symmetric — the SQL join form
+    computes both orientations). sf0.1: 4.3 s (JVM codegen join) →
+    ~0.7 s single-thread for ALL blocks, exact-equal argmins. This is
+    the documented "UDF only when built-ins genuinely lose" case: the
+    Arrow transfer ships each block's m rows once, not m² pair rows.
+
+    100 TB notes: blocking bounds the quadratic — pair work is
+    per-block O(m²) with m = block size, on a fixed 48-char payload.
+    A (lang,bucket) equi-join lands ALL of a block's pairs on one
+    task anyway, so the group-map shape does not change the skew
+    story: mega-blocks get the j14 salted-hash pre-trim to a
+    per-block candidate cap before pairing, exactly as before. The
+    per-block argmin leaves one row per doc; raw full text never
+    moves."""
     d = scan(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / _LEV_BUCKET).cast("int").alias("bucket"),
         F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
     )
-    a = d.alias("a")
-    b = (
-        d.select(
-            F.col("doc_id").alias("other_id"),
-            F.col("lang").alias("b_lang"),
-            F.col("bucket").alias("b_bucket"),
-            F.col("prefix").alias("b_prefix"),
+
+    def nn(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"doc_id": [], "other_id": [], "dist": []}
+            ).astype({"doc_id": "int64", "other_id": "int64", "dist": "int32"})
+        di, do, dd = _myers_block_nn(
+            list(pdf["prefix"]), pdf["doc_id"].to_numpy(), _LEV_PREFIX
         )
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b_lang"))
-        & (F.col("a.bucket") == F.col("b_bucket"))
-        & (F.col("a.doc_id") != F.col("other_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_id"),
-        "other_id",
-        F.levenshtein(F.col("a.prefix"), F.col("b_prefix")).alias("dist"),
-    )
+        return pd.DataFrame(
+            {"doc_id": di, "other_id": do, "dist": dd.astype("int32")}
+        )
+
     return (
-        pairs.groupBy("doc_id")
-        .agg(F.min(F.struct("dist", "other_id")).alias("m"))
-        .select("doc_id", F.col("m.other_id").alias("other_id"), F.col("m.dist").alias("dist"))
+        d.groupBy("lang", "bucket")
+        .applyInPandas(nn, "doc_id long, other_id long, dist int")
         .orderBy("doc_id")
     )
+
+
+def _myers_block_nn(strs, ids, width: int):
+    """Exact within-block Levenshtein nearest neighbour: for every
+    string, min (dist, other_id) over all other block members.
+
+    Myers' bit-parallel edit distance (Hyyrö's formulation),
+    vectorized over the PAIR axis with numpy uint64 ops: each
+    pattern's match positions per character live in one machine word
+    (``width`` ≤ 63 enforced), one text column updates every pair in
+    a handful of array ops. Pattern bit-tables (Peq) are built once
+    per ROW, not per pair, and each unordered pair is scored once
+    (symmetry). Codepoint semantics ('<U' arrays are UTF-32) — same
+    unit Spark's levenshtein counts; lengths come from Python len()
+    so NUL-bearing strings stay correct (pad positions never enter
+    Peq: the build loop stops at each row's length)."""
+    import numpy as np
+
+    assert width <= 63, "bit-parallel kernel needs the pattern in one word"
+    m = len(strs)
+    U = np.array(strs, dtype=f"<U{width}")
+    A = U.view(np.uint32).reshape(m, width)
+    la = np.fromiter((len(s) for s in strs), dtype=np.int64, count=m)
+    alph = np.unique(A)
+    Ai = np.searchsorted(alph, A)
+    Peq = np.zeros((m, len(alph)), dtype=np.uint64)
+    rows = np.arange(m)
+    for i in range(int(la.max(initial=0))):
+        valid = i < la
+        np.bitwise_or.at(
+            Peq, (rows[valid], Ai[valid, i]), np.uint64(1) << np.uint64(i)
+        )
+    ii, jj = np.triu_indices(m, 1)
+    lp, lt = la[ii], la[jj]
+    VP = (np.uint64(1) << lp.astype(np.uint64)) - np.uint64(1)
+    VN = np.zeros(len(ii), dtype=np.uint64)
+    score = lp.copy()
+    msb = np.where(
+        lp > 0, np.uint64(1) << (lp - 1).astype(np.uint64), np.uint64(0)
+    )
+    one = np.uint64(1)
+    for col in range(int(lt.max(initial=0))):
+        act = col < lt
+        Eq = Peq[ii, Ai[jj, col]]
+        D0 = (((Eq & VP) + VP) ^ VP) | Eq | VN
+        HP = VN | ~(D0 | VP)
+        HN = VP & D0
+        score = score + (act & ((HP & msb) != 0))
+        score = score - (act & ((HN & msb) != 0))
+        HPs = (HP << one) | one
+        HNs = HN << one
+        VPn = HNs | ~(D0 | HPs)
+        VNn = HPs & D0
+        VP = np.where(act, VPn, VP)
+        VN = np.where(act, VNn, VN)
+    dist = np.where(lp == 0, lt, score)
+    ids = np.asarray(ids, dtype=np.int64)
+    di = np.concatenate([ids[ii], ids[jj]])
+    do = np.concatenate([ids[jj], ids[ii]])
+    dd = np.concatenate([dist, dist])
+    order = np.lexsort((do, dd, di))
+    di, do, dd = di[order], do[order], dd[order]
+    first = np.ones(len(di), dtype=bool)
+    first[1:] = di[1:] != di[:-1]
+    return di[first], do[first], dd[first]
 
 
 _VOCAB_SIZE = 256
@@ -523,7 +595,7 @@ def _semdedup_oracle() -> str:
     ),
     e AS (SELECT vec_id, embedding, v FROM e0),
     fine AS (
-        SELECT row_number() OVER (ORDER BY h) AS cid, v AS c, hv
+        SELECT vec_id, row_number() OVER (ORDER BY h) AS cid, v AS c, hv
         FROM e0
         WHERE hv < {_SD_SEED_THRESH} OR hv = (SELECT min(hv) FROM e0)
     ),
@@ -532,17 +604,6 @@ def _semdedup_oracle() -> str:
         FROM fine
         WHERE hv < {_SD_COARSE_THRESH} OR hv = (SELECT min(hv) FROM e0)
     ),
-    fc0 AS (
-        SELECT fine.cid, coarse.ccid, {cos('fine.c', 'coarse.cc')} AS sim
-        FROM fine, coarse
-    ),
-    fc AS (
-        SELECT cid, ccid,
-               row_number() OVER (PARTITION BY cid ORDER BY sim DESC, ccid)
-                 AS rn
-        FROM fc0
-    ),
-    f2c AS (SELECT cid, ccid FROM fc WHERE rn = 1),
     vc0 AS (
         SELECT e.vec_id, coarse.ccid, {cos('e.v', 'coarse.cc')} AS sim
         FROM e, coarse
@@ -554,6 +615,10 @@ def _semdedup_oracle() -> str:
         FROM vc0
     ),
     v2c AS (SELECT vec_id, ccid FROM vc WHERE rn = 1),
+    f2c AS (
+        SELECT fine.cid, v2c.ccid
+        FROM fine JOIN v2c ON v2c.vec_id = fine.vec_id
+    ),
     d0 AS (
         SELECT e.vec_id, e.embedding, fine.cid, {cos('e.v', 'fine.c')} AS sim
         FROM e
@@ -694,7 +759,9 @@ def semdedup(
         # oracle.
         fan = _SD_COARSE_FAN
         hv = F.conv(F.substring(seed_hash, 1, 8), 16, 10).cast("long")
-        e2 = e.select(seed_hash.alias("h"), hv.alias("hv"), "v")
+        e2 = e.select(
+            "vec_id", seed_hash.alias("h"), hv.alias("hv"), "v"
+        )
         minhv = e2.agg(F.min("hv").alias("minhv"))
         seeds = (
             e2.crossJoin(F.broadcast(minhv))
@@ -702,9 +769,10 @@ def semdedup(
                 (F.col("hv") < F.lit((1 << 32) // per))
                 | (F.col("hv") == F.col("minhv"))
             )
-            .select("h", "hv", "v", "minhv")
+            .select("vec_id", "h", "hv", "v", "minhv")
         )
         fine = seeds.select(
+            "vec_id",
             F.row_number().over(Window.orderBy("h")).alias("cid"),
             F.col("v").alias("c"),
             "hv",
@@ -719,25 +787,6 @@ def semdedup(
             F.col("nc").alias("ncc"),
         )
         csim = dot(F.col("v"), F.col("cc")) / (F.col("nv") * F.col("ncc"))
-        # fine centroid -> nearest coarse cell (K·Kc folds, both tiny)
-        fsim = dot(F.col("c"), F.col("cc")) / (F.col("nc") * F.col("ncc"))
-        f2c = (
-            fine.select("cid", "c", "nc")
-            .crossJoin(F.broadcast(coarse))
-            .select(
-                F.col("cid").alias("fcid"),
-                F.col("ccid").alias("cid"),
-                fsim.alias("sim"),
-            )
-            .groupBy("fcid")
-            .agg(
-                F.min(
-                    F.struct((-F.col("sim")).alias("ns"), F.col("cid"))
-                ).alias("m")
-            )
-            .select(F.col("fcid").alias("cid"), F.col("m.cid").alias("ccid"))
-        )
-        cellmap = fine.select("cid", "c", "nc").join(f2c, "cid")
         # vector -> nearest coarse cell (N·Kc folds)
         v2c = argmax(
             en.crossJoin(F.broadcast(coarse)).select(
@@ -746,6 +795,13 @@ def semdedup(
             "vec_id",
             "ccid",
         )
+        # fine centroid -> coarse cell: every fine centroid IS a corpus
+        # vector, so v2c already holds its argmax — join it out rather
+        # than re-scoring a separate fine×coarse pass (one fewer
+        # crossJoin + aggregate stage, identical values and tie-break).
+        cellmap = fine.select("vec_id", "cid", "c", "nc").join(
+            v2c, "vec_id"
+        ).select("cid", "c", "nc", "ccid")
         # vector -> exact argmax among its cell's fine centroids
         label = argmax(
             en.join(v2c, "vec_id")

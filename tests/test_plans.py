@@ -390,13 +390,20 @@ def test_bm25_topk_fuses_and_reuses_token_aggregate(spark, sf_dir):
 
 
 def test_edit_distance_nn_blocks_never_cartesian(spark, sf_dir):
-    """j39: the blocked self-join is an equi-join on (lang, bucket) —
-    a hash/sort-merge join, never a cartesian product."""
+    """j39: the blocked scoring is ONE exchange on (lang, bucket) into
+    the Arrow group-map running the Myers bit-parallel kernel — never
+    a cartesian product, and never m² pair rows in the plan (pairs
+    exist only inside the kernel's numpy arrays)."""
     p = plan_of(_q(spark, sf_dir, "j39_edit_distance_nn"))
     assert "CartesianProduct" not in p
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
-        "BroadcastHashJoin" in p
-    )
+    assert "FlatMapGroupsInPandas" in p, p
+    # two exchange NODES: the (lang,bucket) block shuffle feeding the
+    # group-map + the presentation orderBy's range partitioning; the
+    # m² pair rows never materialize in the plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2, p
+    assert p.count("hashpartitioning(lang") == 1, p
 
 
 def test_kmeans_seeds_are_topk_not_global_sort(spark, sf_dir):
