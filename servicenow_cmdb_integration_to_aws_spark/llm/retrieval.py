@@ -771,13 +771,19 @@ def semdedup(
             )
             .select("vec_id", "h", "hv", "v", "minhv")
         )
+        # fine (K rows) and v2c (N id-pairs) each feed two consumers;
+        # lazy-checkpoint both so their lineages evaluate once (same
+        # values — pure materialization). `en` deliberately NOT
+        # checkpointed: it is corpus-wide WITH vectors, and at scale
+        # re-scanning the columnar source per consumer is cheaper
+        # than materializing a full corpus copy.
         fine = seeds.select(
             "vec_id",
             F.row_number().over(Window.orderBy("h")).alias("cid"),
             F.col("v").alias("c"),
             "hv",
             "minhv",
-        ).withColumn("nc", l2norm(F.col("c")))
+        ).withColumn("nc", l2norm(F.col("c"))).localCheckpoint(eager=False)
         coarse = fine.where(
             (F.col("hv") < F.lit((1 << 32) // (per * fan)))
             | (F.col("hv") == F.col("minhv"))
@@ -794,7 +800,7 @@ def semdedup(
             ),
             "vec_id",
             "ccid",
-        )
+        ).localCheckpoint(eager=False)
         # fine centroid -> coarse cell: every fine centroid IS a corpus
         # vector, so v2c already holds its argmax — join it out rather
         # than re-scoring a separate fine×coarse pass (one fewer
@@ -810,7 +816,16 @@ def semdedup(
             "vec_id",
             "label",
         )
-    assigned = e.select("vec_id", "embedding").join(label, "vec_id")
+    # LAZY checkpoint (no plan-time job): `assigned` feeds FOUR
+    # consumers (the pair stage's count/a-side/b-side plus the final
+    # mark join), and Spark's tree plans duplicate the entire
+    # assignment lineage per consumer — measured 50 embedding scans /
+    # 42 broadcast builds / 0 ReusedExchange in the un-checkpointed
+    # executed plan. Materializing the N-row assignment once collapses
+    # that to one evaluation (same values; warm sf0.1 ~4.7 → ~2 s).
+    assigned = e.select("vec_id", "embedding").join(
+        label, "vec_id"
+    ).localCheckpoint(eager=False)
     pairs = neardup_blocked(assigned, tau=tau, cap=cap)
     dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return assigned.join(
