@@ -338,17 +338,28 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
     # degenerate) surfaces through self_pairs below and can never be
     # lost to the bucket cap — the cap only governs cross-set
     # candidates.
+    # The pipeline's natural intermediates each feed several
+    # consumers (sorted_sets -> groups/gtok/da/db, gtok -> sigs/ta/tb,
+    # bands -> both join sides) and Spark plans duplicate the full
+    # upstream lineage per consumer (measured: 14 document scans in
+    # the un-checkpointed executed plan, zero ReusedExchange). Lazy
+    # localCheckpoint (no plan-time job) materializes each once —
+    # these are exactly the token/signature tables a production
+    # minhash pipeline persists; on a cluster use checkpoint() if
+    # executor loss must not trigger recompute.
+    tok = tok.localCheckpoint(eager=False)
     sorted_sets = tok.groupBy("doc_id").agg(
         F.md5(F.concat_ws("\x01", F.sort_array(F.collect_list("tok")))).alias(
             "gkey"
         ),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     groups = sorted_sets.select("gkey", "n").distinct()
     gtok = (
         tok.join(sorted_sets.select("doc_id", "gkey"), "doc_id")
         .select("gkey", "tok")
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     # MinHash signature: 32 independent min-hashes per distinct SET.
@@ -378,7 +389,7 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
             F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
         ),
         ["band_idx", "band_hash"],
-    )
+    ).localCheckpoint(eager=False)
 
     # candidate SET pairs: same (band_idx, band_hash) bucket, a < b
     left = bands.alias("L")
