@@ -686,11 +686,18 @@ def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .distinct()
+        # grams feeds df_counts + gk and gk feeds sz/a/b — without the
+        # lazy checkpoints Spark re-runs the explode+distinct once per
+        # consumer (measured 8 document scans in one executed plan; the
+        # lineage-duplication class, same fix as j2's general path).
+        # These are the doc-gram tables a production containment
+        # pipeline persists — at 100 TB they ride 8-byte digests.
+        .localCheckpoint(eager=False)
     )
     df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     gk = grams.join(
         df_counts.filter(F.col("nd") <= _J52_DF_CAP).select("gram"), "gram"
-    )
+    ).localCheckpoint(eager=False)
     sz = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = gk.select(F.col("doc_id").alias("doc_a"), "gram")
     b = gk.select(F.col("doc_id").alias("doc_b"), "gram")

@@ -347,9 +347,14 @@ def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
     At 100 TB: no window (chunk = hash % n_chunks — no per-label
     single-task assignment step), counts come from a partial-aggregated
     groupBy broadcast back, and AQE handles residual key skew."""
+    # ch feeds both join sides, so its lineage (scan + broadcast join +
+    # norm) plans twice — acceptable: re-scanning the columnar source
+    # beats materializing an embedding-payload copy at 100 TB. The tiny
+    # label->n_chunks agg, though, is checkpointed so the counting scan
+    # runs once, not once per side (lineage-duplication class).
     counts = e.groupBy("label").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("n_chunks")
-    )
+    ).localCheckpoint(eager=False)
     # norms are per-VECTOR, so compute them once before the pair join —
     # per-pair work is then a single dot fold instead of three
     # (higher-order folds are interpreted, not codegen'd: 3x matters).

@@ -304,7 +304,11 @@ def c19_cooccur_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     A whale customer touching everything is the known hazard — the
     production form caps per-customer breadth with the j12 chunked
     triangle join; degrees broadcast (catalog-sized); top-K is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. The distinct edge list feeds four lineage
+    consumers (self-join a/b + deg via d1/d2) — a lazy localCheckpoint
+    materializes the join+distinct once instead of four times (the
+    lineage-duplication class; 12 parquet scans -> 2, it is an
+    int-pair table with no payload so the copy is cheap at any SF)."""
     o = (
         scan(spark, sf_dir, "orders")
         .filter(
@@ -318,6 +322,7 @@ def c19_cooccur_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     a, b = edges.alias("a"), edges.alias("b")

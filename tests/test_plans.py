@@ -612,3 +612,26 @@ def test_heavy_hitters_no_vocabulary_shuffle_before_candidates(spark, sf_dir):
     assert m, plan
     upstream = plan[: m.start()]
     assert "hashpartitioning(token" not in upstream
+
+
+def test_multi_consumer_intermediates_materialize_once(spark, sf_dir):
+    """c19/j52: the lineage-duplication gate. A DataFrame feeding N
+    consumers gets its whole upstream lineage re-planned N times
+    (measured r7: 12 parquet scans in c19's executed plan, 8 in
+    j52's) — the lazy localCheckpoint on the shared edge/gram tables
+    must keep every parquet scan behind the checkpoint, so the
+    EXECUTED plan shows zero direct parquet scans. j12's chunked
+    triangle join deliberately re-scans the embedding payload per
+    join side (materializing a payload copy loses at 100 TB) but
+    checkpoints the tiny chunk-count aggregate — its executed plan
+    must stay at ≤4 scans (2 sides × scan+, not the unfixed 7)."""
+    for qid, max_scans in (
+        ("c19_cooccur_similarity", 0),
+        ("j52_containment_dedup", 0),
+        ("j12_embedding_neardup", 4),
+    ):
+        df = _q(spark, sf_dir, qid)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        n = executed.count("Scan parquet")
+        assert n <= max_scans, f"{qid}: {n} parquet scans (> {max_scans})"
