@@ -97,7 +97,16 @@ def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment computations so the float accumulation order is fixed (the
     shuffle delivers group rows in nondeterministic order), and the
     z-score rounds to 6dp on both sides — pandas' pairwise summation
-    and DuckDB's streaming sum agree far below that precision."""
+    and DuckDB's streaming sum agree far below that precision.
+
+    100 TB notes: per-task memory is THE GROUP — 25 nation keys means
+    each group is ~corpus/25 materialized as one pandas frame, which
+    OOMs a task long before 100 TB. This id demonstrates the
+    grouped-map SURFACE; the scalable form of this exact computation
+    is d21_zscore_outliers (two-pass: partial-agg moments, broadcast
+    join-back, per-row expression — one bounded exchange, no
+    corpus-sized group ever materializes). Same contrast k8's
+    docstring draws against d22."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("c_custkey")
@@ -144,7 +153,16 @@ def k4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     result rounds to 6dp on both sides, and pandas' linear-interpolated
     quantile is the same estimator as DuckDB's quantile_cont — both
     interpolate between the order statistics at (n-1)*q, so the
-    trim-boundary row set is identical."""
+    trim-boundary row set is identical.
+
+    100 TB notes: a grouped-AGGREGATE pandas UDF ships each group's
+    full value series to one Python worker — with a handful of
+    event_type keys that is a corpus-sized Series per task. The
+    surface is the point here; at scale the same trimmed mean is the
+    oracle's own two-phase shape: approx_percentile/t-digest bounds
+    per key (d17's mergeable-sketch partial agg), broadcast the tiny
+    bounds table, then a plain filtered avg — every stage
+    partial-aggregates, nothing group-sized crosses to Python."""
 
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
