@@ -160,48 +160,74 @@ _DRIVER_GREEN = frozenset(
 )
 
 
-#: never-driver-checked ids that are expensive at sf0.01 (multi-second
-#: compute or streaming-checkpoint machinery) — demoted to the END of
-#: the never-checked block so a budgeted driver pass hard-signals the
-#: maximum NUMBER of ids before spending seconds on any single one.
-_BUDGET_HEAVY = frozenset(
-    {
-        # compute-bound
-        "j2_minhash_lsh", "j2c_ngram_jaccard", "j12_embedding_neardup",
-        "j16_neardup_components", "j3c_lsh_ann", "a8_rest_pushdown",
-        "d17_approx_percentile", "t8_pipeline_curate",
-        # true-streaming / pandas-state (multi-second checkpoint
-        # machinery — last of the never-checked block; all carry SQL
-        # oracles as of r6, i13 included)
-        "a7_replay_stream", "i4_watermark_late", "i5_stream_dedup",
-        "i6_stream_static_join", "i7_stateful_counter",
-        "i10_stream_stream_join", "i12_stream_session_window",
-        "i13_stream_outer_join", "k3_grouped_map", "k4_pandas_udaf",
-        "m3_frame_sample", "a18_python_stream_source",
-        # r5 session-4 additions measured ≥1.5 s at sf0.01 (write-heavy
-        # sinks / multi-stage): demoted so the cheap new ids hard-signal
-        # first under the driver budget
-        "a19_small_file_compact", "a20_python_datasource_writer",
-        "d20_column_profile", "c17_triangle_count", "j41_semdedup",
-        "i17_stream_file_sink", "a22_zorder_sink", "c22_k_core",
-        "j50_tau_sweep", "j52_containment_dedup",
-    }
-)
+#: measured sf0.01 end-to-end seconds per never-driver-checked id
+#: (one clean full-registry check_parity run, r7 closing session; the
+#: same work the driver's per-id correctness check performs). The
+#: driver re-checks in registration order under a TIME budget, so the
+#: unchecked block sorts by this cost ASCENDING — a greedy
+#: shortest-job-first order maximizes the NUMBER of ids that gain a
+#: hard-signal row before the budget cuts off (the whole 72-id backlog
+#: sums to ~56 s of Spark time; front-loading the sub-second ids means
+#: even an early cutoff clears most of the count). Absolute seconds
+#: drift with machine state; the RANKING is what matters and is stable
+#: (the same ids topped every r5-r7 profile).
+_CHECK_COST_S = {
+    "f6_keyset_page": 0.1, "f7_exact_k_sample": 0.1, "p10_text_search": 0.1,
+    "p2_encoded_nq": 0.1, "p3_encoded_ops": 0.1,
+    "f8_stratified_exact_k": 0.2, "k10_sql_udf": 0.2,
+    "m3_frame_sample": 0.2, "p11_parameterized_sql": 0.2,
+    "p1_encoded_filter": 0.2, "a23_corrupt_tolerant_scan": 0.3,
+    "b19_scalar_subquery": 0.3, "d25_bitmap_distinct": 0.3,
+    "g7_delta_detect": 0.3, "k8_arrow_grouped": 0.3, "p6_encoded_agg": 0.3,
+    "t13_golden_q4": 0.3, "t5_golden_q12": 0.3, "t7_golden_q19": 0.3,
+    "a21_observed_metrics": 0.4, "a6_sink_csv_json": 0.4,
+    "c20_join_hints": 0.4, "d18_hll_merge": 0.4, "d21_zscore_outliers": 0.4,
+    "d23_histogram": 0.4, "d24_argmax_mode": 0.4, "g8_orphan_audit": 0.4,
+    "p4_encoded_dotwalk": 0.4, "p7_sql_passthrough": 0.4,
+    "t12_golden_q21": 0.4, "t15_golden_q17": 0.4, "t16_golden_q22": 0.4,
+    "t1_golden_q3": 0.4, "t3_golden_q10": 0.4, "t6_golden_q14": 0.4,
+    "t8_pipeline_curate": 0.4, "b18_lateral_topk": 0.5,
+    "c15_join_asof_fwd": 0.5, "d22_corr_moments": 0.5,
+    "i17_stream_file_sink": 0.5, "p5_dotwalk_select": 0.5,
+    "t11_golden_q2": 0.5, "t2_golden_q5": 0.5, "c14_range_join": 0.6,
+    "d17_approx_percentile": 0.6, "p9_sql_recursive": 0.6,
+    "t14_golden_q7": 0.6, "t17_golden_q11": 0.6, "d26_weighted_median": 0.8,
+    "a24_permissive_json": 0.9, "b15_dynamic_pruning": 0.9,
+    "b16_bloom_join": 0.9, "j12_embedding_neardup": 0.9,
+    "j50_tau_sweep": 0.9, "a5_sink_partitioned": 1.0,
+    "a22_zorder_sink": 1.1, "c12_rel_closure_unbounded": 1.1,
+    "j2c_ngram_jaccard": 1.1, "j52_containment_dedup": 1.1,
+    "c17_triangle_count": 1.3, "c22_k_core": 1.3, "a14_sink_clustered": 1.4,
+    "j3c_lsh_ann": 1.4, "a19_small_file_compact": 1.5,
+    "j16_neardup_components": 1.6, "a8_rest_pushdown": 1.8,
+    "d20_column_profile": 1.9, "j2_minhash_lsh": 2.1, "j41_semdedup": 2.2,
+    "a18_python_stream_source": 2.6, "a20_python_datasource_writer": 3.5,
+    "a17_python_datasource": 5.1,
+}
+
+#: true Structured Streaming ids among the unchecked — forced to the
+#: very end of the unchecked block REGARDLESS of cost: their
+#: state-store maintenance threads slow every query that runs after
+#: them ~1.5× (r1 evidence), which would silently inflate the
+#: remaining checks' cost and shrink the driver's effective budget.
+_STREAMING_LAST = frozenset({"i17_stream_file_sink", "a18_python_stream_source"})
 
 
 def _reorder_for_driver_budget() -> None:
     """Rebuild registry dict order: (1) the never-driver-checked ids
     (no green CORRECTNESS row in r1–r6 — 72 remain after the r6 pass
-    went 50/50 green), cheap-oracle ids before heavy/rows-only ones
-    (_BUDGET_HEAVY); (2) the 194 ever-driver-green ids last. Any id
-    NOT in _DRIVER_GREEN (e.g. a brand-new registration) auto-fronts."""
+    went 50/50 green) sorted shortest-job-first by measured sf0.01
+    cost (_CHECK_COST_S), true-streaming ids last within the block;
+    (2) the 194 ever-driver-green ids after. Any id NOT in
+    _DRIVER_GREEN and NOT in the cost table (a brand-new
+    registration) auto-fronts with cost −1: a new id must hard-signal
+    in its first round."""
     ids = list(registry.QUERIES)
-    unchecked = [q for q in ids if q not in _DRIVER_GREEN]
-    order = (
-        [q for q in unchecked if q not in _BUDGET_HEAVY]
-        + [q for q in unchecked if q in _BUDGET_HEAVY]
-        + [q for q in ids if q in _DRIVER_GREEN]
+    unchecked = sorted(
+        (q for q in ids if q not in _DRIVER_GREEN),
+        key=lambda q: (q in _STREAMING_LAST, _CHECK_COST_S.get(q, -1.0), q),
     )
+    order = unchecked + [q for q in ids if q in _DRIVER_GREEN]
     for d in (registry.QUERIES, registry.ORACLE):
         snap = {k: d[k] for k in order if k in d}
         d.clear()
