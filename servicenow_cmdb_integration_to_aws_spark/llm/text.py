@@ -126,7 +126,19 @@ def j7_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (j8): top-3 highest-scored terms per document.
     idf = ln(N/df) rounded 9dp before the product (ulp-parity, see
-    h4_math); tf·idf rounded 6dp."""
+    h4_math); tf·idf rounded 6dp.
+
+    100 TB notes: the df count-window below is the one power-law-keyed
+    UNBOUNDED window in the text family — a stopword term's partition
+    is ~n_docs tf rows, and WindowExec BUFFERS the partition it
+    annotates (rank≤k windows get the map-side WindowGroupLimit
+    rewrite; whole-partition counts don't). At corpus scale swap it
+    for the partial-agg form: groupBy(term).count() (combiner absorbs
+    the skew) + a term-keyed join back — same exchange count, and the
+    join STREAMS the stopword partition instead of buffering it. Kept
+    as the window here because at bench scale the join shape re-ran
+    the tokenize+explode lineage twice (see comment below); the final
+    doc_id top-3 window is group-limited and skew-safe."""
     tf = (
         _doc_tokens(spark, sf_dir)
         .groupBy("doc_id", F.col("tok").alias("term"))
