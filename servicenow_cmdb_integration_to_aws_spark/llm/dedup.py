@@ -125,8 +125,10 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
 
     With the small vocabulary a token set is one BIGINT mask and exact
     Jaccard is popcount(a&b)/(na+nb-popcount) — whole-stage codegen
-    end-to-end, no Python, and the group dims broadcast so the verify
-    stream never shuffles."""
+    end-to-end, no Python; in the brute regime the (<=320 KB) group
+    dims broadcast so the verify stream never shuffles, while the
+    LSH regime (large g by premise) leaves the dim-join strategy to
+    AQE instead of force-broadcasting a g-row table."""
     # masks feeds the expansion twice and groups; groups feeds candidate
     # generation, both verify dims and self_pairs. Without persistence
     # the doc scan + mask build re-executes per consumer (17 scans in
@@ -219,11 +221,20 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
         )
     ga = groups.select(F.col("mask").alias("mask_a"), F.col("n").alias("na"))
     gb = groups.select(F.col("mask").alias("mask_b"), F.col("n").alias("nb"))
+    # Broadcast the group dims only in the brute branch, where
+    # g <= BRUTE_MAX_GROUPS by the branch's own test (16 B/row -> a
+    # <=320 KB build side). The LSH branch exists BECAUSE g is large —
+    # force-broadcasting a g-row dim there is the exact scale
+    # assumption the branch was built to avoid; leave the strategy to
+    # Catalyst/AQE, which still picks broadcast whenever the runtime
+    # size permits and degrades to a mask-keyed shuffle join when not.
+    if n_docs_hint <= BRUTE_MAX_GROUPS:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     cross = (
-        cand.join(F.broadcast(ga), "mask_a")
-        .join(F.broadcast(gb), "mask_b")
+        cand.join(ga, "mask_a")
+        .join(gb, "mask_b")
         .select("mask_a", "mask_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= TAU)
     )

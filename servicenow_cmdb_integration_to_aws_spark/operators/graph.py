@@ -214,7 +214,16 @@ def c17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     window bounds the projection's densification; the pair list
     (|E| << lineitem) broadcasts for e2/e3, so the only fact-sized
     shuffle is the orderkey self-join that builds it. Counting rides
-    partial aggs; no global sort (TakeOrderedAndProject)."""
+    partial aggs; no global sort (TakeOrderedAndProject).
+
+    Size assumption, stated: the two explicit broadcasts here — the
+    month-scoped orderkey list and the supplier-pair edge list — are
+    node/edge-universe-sized (dims-like), not fact-sized; that holds
+    while the supplier graph fits executor memory (the usual triangle
+    -counting regime). On a corpus where it doesn't, DROP the hints:
+    both joins are equi-joins that degrade to co-keyed shuffles, and
+    the orientation bound on the e1⋈e2 fan-out is what actually
+    protects the pair space — it is independent of join strategy."""
     o = (
         scan(spark, sf_dir, "orders")
         .filter(
