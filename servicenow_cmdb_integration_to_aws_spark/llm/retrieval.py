@@ -556,14 +556,20 @@ _SD_TAU = 0.35  # j41 semantic-dup cosine threshold (6dp-rounded compare)
 #: SemDeDup paper's constant-cluster-size regime).
 _SD_PER = 64
 _SD_SEED_THRESH = (1 << 32) // _SD_PER
-#: second-level (coarse) seed rate: 1 per _SD_PER·_SD_COARSE_FAN
-#: vectors. Assignment is IVF-style two-level — vector → nearest
-#: coarse cell → exact argmax among that cell's fine centroids — so
-#: per-vector fold work is O(K/FAN + FAN·per-cell-fine) instead of
-#: O(K), which is what keeps the rate-based scheme's assignment cost
-#: linear at probe scales (flat N·K with K∝N is N²/per).
-_SD_COARSE_FAN = 16
-_SD_COARSE_THRESH = (1 << 32) // (_SD_PER * _SD_COARSE_FAN)
+#: second-level (coarse) seed rate: 1/sqrt(N·per) — i.e. the coarse
+#: cell count is ~sqrt(K), the classic IVF nlist ≈ sqrt(corpus)
+#: balance point. Assignment is two-level — vector → nearest coarse
+#: cell → exact argmax among that cell's fine centroids — so
+#: per-vector fold work is O(sqrt(K) + K/sqrt(K)) = O(sqrt(K)) and
+#: TOTAL assignment work is O(N·sqrt(K)) = O(N^1.5/sqrt(per)). A
+#: FIXED coarse fan (K/FAN cells, the first r7 form) only divides the
+#: N·K quadratic by FAN — per-vector work still grows ∝ N; the
+#: sqrt rate is what actually changes the exponent. The rate is
+#: integer-exact and count-derived IN-PLAN (no driver job): coarse
+#: iff hv²·N·per < 2^64  ⇔  hv < 2^32/sqrt(N·per), evaluated in
+#: DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB — no float
+#: sqrt, so the member set can never flip on a rounding boundary.
+_SD_2POW64 = "18446744073709551616"  # 2^64 as an exact string literal
 
 
 def _semdedup_oracle() -> str:
@@ -600,9 +606,15 @@ def _semdedup_oracle() -> str:
         WHERE hv < {_SD_SEED_THRESH} OR hv = (SELECT min(hv) FROM e0)
     ),
     coarse AS (
+        -- sqrt coarse rate, integer-exact in HUGEINT (mirrors the
+        -- Spark side's DECIMAL(38,0) form bit-for-bit):
+        -- hv*hv*N*per < 2^64  <=>  hv < 2^32/sqrt(N*per)
         SELECT cid AS ccid, c AS cc
         FROM fine
-        WHERE hv < {_SD_COARSE_THRESH} OR hv = (SELECT min(hv) FROM e0)
+        WHERE CAST(hv AS HUGEINT) * hv
+                * (SELECT COUNT(*) FROM e0) * {_SD_PER}
+              < CAST('{_SD_2POW64}' AS HUGEINT)
+           OR hv = (SELECT min(hv) FROM e0)
     ),
     vc0 AS (
         SELECT e.vec_id, coarse.ccid, {cos('e.v', 'coarse.cc')} AS sim
@@ -687,15 +699,18 @@ def semdedup(
     """Parametric SemDeDup (see :func:`j41_semdedup`): blocking
     clusters from hash-ranked seeds, dup threshold tau. Exactly one
     of ``k`` (fixed seed count — the legacy demo; quadratic as N
-    grows) or ``per`` (target cluster size — seeds at rate 1/per, so
-    K ∝ N and pair work stays linear) must be given.
-    The assignment scan is N·K folds; when THAT becomes the
-    bottleneck (K in the tens of thousands), the production move is
-    IVF-style coarse quantization of the seed table (j3b's cell-probe
-    shape). A two-level probe was prototyped and measured here: at
-    16k×64-dim it saves nothing (broadcast/overhead-dominated) and
-    its cell-border approximation cannot be validated on isotropic
-    random synthetic vectors, so it is deliberately NOT shipped."""
+    grows: the N·K assignment crossJoin AND the broadcast of a K-row
+    centroid table both scale with the corpus when K does) or ``per``
+    (target cluster size — seeds at rate 1/per, so K ∝ N and pair
+    work stays linear; assignment runs through the sqrt-rate
+    two-level IVF, total O(N^1.5/sqrt(per)) fold work) must be given.
+    Residual scale notes for the per= path: the coarse table
+    (~sqrt(K) rows) and the fine cell map (K rows of id/vector) are
+    broadcast — at a corpus size where K-row broadcasts stop fitting
+    (K ~ 10^8+), swap the cellmap broadcast for a ccid-keyed shuffle
+    join (values unchanged) and take the next level of the hierarchy
+    (three-level: N^1.33); the within-cluster pair stage stays linear
+    by the constant-cluster-size rate rule either way."""
     if (k is None) == (per is None):
         raise ValueError("pass exactly one of k= or per=")
     from .vectors import dot, l2norm, neardup_blocked
@@ -742,34 +757,42 @@ def semdedup(
     else:
         # Rate rule: seed iff the 32-bit md5 prefix < 2^32/per, OR it
         # is the corpus-min prefix (≥1 seed even on a tiny corpus).
-        # The min rides a 1-row aggregate broadcast and the whole rule
-        # stays inside the plan (zero driver-side jobs). Assignment is
-        # two-level IVF: a 1/FAN subset of the fine seeds forms coarse
-        # cells (the min-hv fallback row qualifies for both levels, so
-        # coarse is never empty); each fine centroid and each vector
-        # argmax-assigns to its nearest coarse cell, then the vector
-        # exact-scores ONLY that cell's fine centroids. Per-vector
-        # fold work drops from K to K/FAN + (expected) FAN·per-cell —
-        # linear in N for K ∝ N. Every coarse cell contains at least
-        # its own fine centroid (sim(c,c)=1 is the argmax), so every
-        # vector sees ≥1 candidate. Standard IVF cell-border caveat:
-        # a vector near a cell boundary may label to a near- rather
-        # than global-nearest centroid — acceptable for blocking (the
-        # pair stage re-checks real cosine), mirrored exactly by the
+        # The min and the corpus count ride ONE 1-row aggregate
+        # broadcast and the whole rule stays inside the plan (zero
+        # driver-side jobs). Assignment is two-level IVF: a
+        # 1/sqrt(N·per)-rate subset of the fine seeds forms ~sqrt(K)
+        # coarse cells (the min-hv fallback row qualifies for both
+        # levels, so coarse is never empty); each fine centroid and
+        # each vector argmax-assigns to its nearest coarse cell, then
+        # the vector exact-scores ONLY that cell's fine centroids.
+        # Per-vector fold work is ~2·sqrt(K) (sqrt(K) coarse cells +
+        # expected sqrt(K) fine per cell), so TOTAL assignment work is
+        # O(N^1.5/sqrt(per)) — a fixed-FAN coarse level (the first r7
+        # form) only divided the N·K/per quadratic by FAN. Every
+        # coarse cell contains at least its own fine centroid
+        # (sim(c,c)=1 is the argmax), so every vector sees ≥1
+        # candidate. Standard IVF cell-border caveat: a vector near a
+        # cell boundary may label to a near- rather than
+        # global-nearest centroid — acceptable for blocking (the pair
+        # stage re-checks real cosine), mirrored exactly by the
         # oracle.
-        fan = _SD_COARSE_FAN
         hv = F.conv(F.substring(seed_hash, 1, 8), 16, 10).cast("long")
         e2 = e.select(
             "vec_id", seed_hash.alias("h"), hv.alias("hv"), "v"
         )
-        minhv = e2.agg(F.min("hv").alias("minhv"))
+        # one 1-row aggregate carries BOTH the min-hash fallback and
+        # the corpus count the sqrt coarse rate needs — still a single
+        # broadcast, still zero driver-side jobs at plan time.
+        stats = e2.agg(
+            F.min("hv").alias("minhv"), F.count(F.lit(1)).alias("nvec")
+        )
         seeds = (
-            e2.crossJoin(F.broadcast(minhv))
+            e2.crossJoin(F.broadcast(stats))
             .where(
                 (F.col("hv") < F.lit((1 << 32) // per))
                 | (F.col("hv") == F.col("minhv"))
             )
-            .select("vec_id", "h", "hv", "v", "minhv")
+            .select("vec_id", "h", "hv", "v", "minhv", "nvec")
         )
         # fine (K rows) and v2c (N id-pairs) each feed two consumers;
         # lazy-checkpoint both so their lineages evaluate once (same
@@ -783,9 +806,19 @@ def semdedup(
             F.col("v").alias("c"),
             "hv",
             "minhv",
+            "nvec",
         ).withColumn("nc", l2norm(F.col("c"))).localCheckpoint(eager=False)
+        # sqrt coarse rate, integer-exact: hv²·N·per < 2^64 (see the
+        # _SD_2POW64 note). hv² reaches 2^64, so the product evaluates
+        # in DECIMAL(38,0) — exact for hv²·N·per up to 10^38.
         coarse = fine.where(
-            (F.col("hv") < F.lit((1 << 32) // (per * fan)))
+            (
+                F.col("hv").cast("decimal(38,0)")
+                * F.col("hv")
+                * F.col("nvec")
+                * F.lit(per)
+                < F.expr(f"CAST('{_SD_2POW64}' AS DECIMAL(38,0))")
+            )
             | (F.col("hv") == F.col("minhv"))
         ).select(
             F.col("cid").alias("ccid"),
