@@ -380,13 +380,24 @@ def t12_golden_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose returned ('R') lineitems sit in finalized multi-supplier
     orders where NO other supplier had a return (the schema has no
     commit/receipt dates, so the returnflag stands in for "kept
-    waiting"). Q21's EXISTS / NOT-EXISTS pair compiles to a left-semi
-    and a left-anti self-join of lineitem on the order key.
+    waiting"). Q21's EXISTS / NOT-EXISTS pair is algebraically a
+    per-order predicate on supplier counts, so instead of compiling it
+    to a left-semi + left-anti self-join (three lineitem legs), we
+    aggregate lineitem ONCE: for each l1 row of a qualifying order,
+    EXISTS(other supplier) <=> the order has >= 2 distinct suppliers,
+    and NOT EXISTS(other RETURNING supplier) <=> the order has exactly
+    1 distinct returning supplier (l1's own, since l1 itself returns).
+    Every qualifying order therefore contributes its unique returning
+    supplier's R-row count to that supplier's numwait.
 
-    100 TB notes: all three lineitem legs hash-shuffle on l_orderkey —
-    co-partitioned, so the semi/anti pair adds no extra full-table
-    exchange beyond the first; supplier is a broadcast dim and the
-    final top-20 is TakeOrderedAndProject."""
+    100 TB notes: one lineitem scan -> partial-agg groupBy
+    (l_orderkey, l_suppkey) with a huge map-side combine ratio ->
+    re-agg per order (no exchange: hash(l_orderkey, l_suppkey) rows
+    re-shuffle once on l_orderkey, the same key the orders join needs,
+    so AQE reuses the partitioning). The old semi/anti form shuffled
+    the full lineitem table three times; this shape shuffles the
+    (order, supplier)-distinct rows once. Supplier stays a broadcast
+    dim; the final top-20 is TakeOrderedAndProject."""
     li = scan(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
@@ -394,31 +405,36 @@ def t12_golden_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     )
     s = scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.alias("l2")
-    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
-    faulty = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("r_cnt")
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(
+                F.when(F.col("r_cnt") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_r_supp"),
+            F.max(
+                F.when(F.col("r_cnt") > 0, F.col("l_suppkey"))
+            ).alias("f_suppkey"),
+            F.max(F.when(F.col("r_cnt") > 0, F.col("r_cnt"))).alias("f_rows"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
     )
     return (
         # orders is NOT broadcast: the status filter keeps ~1/3 of an
-        # arbitrarily large fact table; the join key is l_orderkey, the
-        # same key the semi/anti legs already hash on (co-partitioned).
-        faulty.join(
+        # arbitrarily large fact table; per_order is already keyed on
+        # l_orderkey, so this join adds no new lineitem-sized exchange.
+        per_order.join(
             o.select("o_orderkey"),
-            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(s), F.col("f_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("f_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
