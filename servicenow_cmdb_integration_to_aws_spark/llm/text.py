@@ -128,28 +128,33 @@ def j8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = ln(N/df) rounded 9dp before the product (ulp-parity, see
     h4_math); tf·idf rounded 6dp.
 
-    100 TB notes: the df count-window below is the one power-law-keyed
-    UNBOUNDED window in the text family — a stopword term's partition
-    is ~n_docs tf rows, and WindowExec BUFFERS the partition it
-    annotates (rank≤k windows get the map-side WindowGroupLimit
-    rewrite; whole-partition counts don't). At corpus scale swap it
-    for the partial-agg form: groupBy(term).count() (combiner absorbs
-    the skew) + a term-keyed join back — same exchange count, and the
-    join STREAMS the stopword partition instead of buffering it. Kept
-    as the window here because at bench scale the join shape re-ran
-    the tokenize+explode lineage twice (see comment below); the final
-    doc_id top-3 window is group-limited and skew-safe."""
+    100 TB notes: document frequency used to be the one
+    power-law-keyed UNBOUNDED window in the text family — a stopword
+    term's partition is ~n_docs tf rows, and WindowExec BUFFERS the
+    partition it annotates (rank≤k windows get the map-side
+    WindowGroupLimit rewrite; whole-partition counts don't). It is now
+    the partial-agg form: groupBy(term).count() (the combiner absorbs
+    the skew map-side) + a term-keyed join back, which STREAMS the
+    stopword partition instead of buffering it. The historical
+    objection — the join shape re-ran the tokenize+explode lineage
+    once per consumer — is retired by the round-7 lineage rule: a
+    lazy persist on the aggregated tf table (narrow: one row per
+    (doc, term), no document text) evaluates the tokenize pipeline
+    exactly once, both consumers read the InMemoryTableScan.
+    persist, NOT localCheckpoint: under AQE even eager=False
+    checkpointing materializes the upstream stages at plan-
+    construction time (gated by test_no_eager_jobs_during_plan_
+    construction); persist stays fully lazy. The final doc_id top-3
+    window is group-limited and skew-safe."""
+    from pyspark import StorageLevel
+
     tf = (
         _doc_tokens(spark, sf_dir)
         .groupBy("doc_id", F.col("tok").alias("term"))
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # document frequency as a COUNT window over the term partition —
-    # NOT a second groupBy+join: that shape re-ran the tokenize+explode
-    # pipeline for both subtrees (no exchange reuse, the df side prunes
-    # differently) and shuffled tf twice on term. The window is one
-    # shuffle on term over the already-aggregated tf rows.
-    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a 1-row broadcast, NOT an eager .count(): the
     # count() forced a full extra job + driver sync barrier before the
     # plan was even built — at 100 TB that is a second pass over the
@@ -161,7 +166,7 @@ def j8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("n_docs").cast("double") / F.col("df")), 9
     )
     scored = (
-        tf.withColumn("df", df_)
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
