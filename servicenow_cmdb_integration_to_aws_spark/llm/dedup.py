@@ -28,11 +28,20 @@ near-duplicate detection, built entirely from native Spark expressions
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan, spread
+
+#: lazy materialization level for multi-consumer pipeline intermediates.
+#: persist, NOT localCheckpoint: under AQE even eager=False
+#: checkpointing runs the upstream stages at plan-CONSTRUCTION time
+#: (measured: jobs fire before any action), and checkpoint blocks are
+#: non-recoverable on executor loss; persist stays lazy and recomputes
+#: from lineage.
+_MAD = StorageLevel.MEMORY_AND_DISK
 
 N_HASHES = 32
 N_BANDS = 16
@@ -353,24 +362,27 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
     # consumers (sorted_sets -> groups/gtok/da/db, gtok -> sigs/ta/tb,
     # bands -> both join sides) and Spark plans duplicate the full
     # upstream lineage per consumer (measured: 14 document scans in
-    # the un-checkpointed executed plan, zero ReusedExchange). Lazy
-    # localCheckpoint (no plan-time job) materializes each once —
-    # these are exactly the token/signature tables a production
-    # minhash pipeline persists; on a cluster use checkpoint() if
-    # executor loss must not trigger recompute.
-    tok = tok.localCheckpoint(eager=False)
+    # the un-checkpointed executed plan, zero ReusedExchange). A lazy
+    # persist materializes each once (every consumer reads the
+    # InMemoryTableScan) — these are exactly the token/signature
+    # tables a production minhash pipeline persists. persist, NOT
+    # localCheckpoint: under AQE even eager=False checkpointing runs
+    # the upstream stages at plan-CONSTRUCTION time (measured: 6 jobs
+    # before any action), and its blocks are non-recoverable on
+    # executor loss; persist stays lazy and recomputes from lineage.
+    tok = tok.persist(_MAD)
     sorted_sets = tok.groupBy("doc_id").agg(
         F.md5(F.concat_ws("\x01", F.sort_array(F.collect_list("tok")))).alias(
             "gkey"
         ),
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).persist(_MAD)
     groups = sorted_sets.select("gkey", "n").distinct()
     gtok = (
         tok.join(sorted_sets.select("doc_id", "gkey"), "doc_id")
         .select("gkey", "tok")
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist(_MAD)
     )
 
     # MinHash signature: 32 independent min-hashes per distinct SET.
@@ -400,7 +412,7 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
             F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
         ),
         ["band_idx", "band_hash"],
-    ).localCheckpoint(eager=False)
+    ).persist(_MAD)
 
     # candidate SET pairs: same (band_idx, band_hash) bucket, a < b
     left = bands.alias("L")
@@ -698,17 +710,17 @@ def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # grams feeds df_counts + gk and gk feeds sz/a/b — without the
-        # lazy checkpoints Spark re-runs the explode+distinct once per
+        # lazy persists Spark re-runs the explode+distinct once per
         # consumer (measured 8 document scans in one executed plan; the
         # lineage-duplication class, same fix as j2's general path).
         # These are the doc-gram tables a production containment
         # pipeline persists — at 100 TB they ride 8-byte digests.
-        .localCheckpoint(eager=False)
+        .persist(_MAD)
     )
     df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     gk = grams.join(
         df_counts.filter(F.col("nd") <= _J52_DF_CAP).select("gram"), "gram"
-    ).localCheckpoint(eager=False)
+    ).persist(_MAD)
     sz = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = gk.select(F.col("doc_id").alias("doc_a"), "gram")
     b = gk.select(F.col("doc_id").alias("doc_b"), "gram")

@@ -19,11 +19,18 @@ shuffle that a digest or id could ride instead.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
+
+#: lazy materialization for multi-consumer intermediates (persist, not
+#: localCheckpoint: under AQE eager=False checkpointing executes the
+#: upstream stages at plan-construction time and its blocks are
+#: non-recoverable on executor loss; persist stays lazy + recomputable).
+_MAD = StorageLevel.MEMORY_AND_DISK
 
 _K = 8  # j37 cluster count
 _ITERS = 2  # j37 Lloyd iterations (unrolled identically in the oracle)
@@ -795,9 +802,9 @@ def semdedup(
             .select("vec_id", "h", "hv", "v", "minhv", "nvec")
         )
         # fine (K rows) and v2c (N id-pairs) each feed two consumers;
-        # lazy-checkpoint both so their lineages evaluate once (same
+        # lazy-persist both so their lineages evaluate once (same
         # values — pure materialization). `en` deliberately NOT
-        # checkpointed: it is corpus-wide WITH vectors, and at scale
+        # persisted: it is corpus-wide WITH vectors, and at scale
         # re-scanning the columnar source per consumer is cheaper
         # than materializing a full corpus copy.
         fine = seeds.select(
@@ -807,7 +814,7 @@ def semdedup(
             "hv",
             "minhv",
             "nvec",
-        ).withColumn("nc", l2norm(F.col("c"))).localCheckpoint(eager=False)
+        ).withColumn("nc", l2norm(F.col("c"))).persist(_MAD)
         # sqrt coarse rate, integer-exact: hv²·N·per < 2^64 (see the
         # _SD_2POW64 note). hv² reaches 2^64, so the product evaluates
         # in DECIMAL(38,0) — exact for hv²·N·per up to 10^38.
@@ -833,7 +840,7 @@ def semdedup(
             ),
             "vec_id",
             "ccid",
-        ).localCheckpoint(eager=False)
+        ).persist(_MAD)
         # fine centroid -> coarse cell: every fine centroid IS a corpus
         # vector, so v2c already holds its argmax — join it out rather
         # than re-scoring a separate fine×coarse pass (one fewer
@@ -849,16 +856,16 @@ def semdedup(
             "vec_id",
             "label",
         )
-    # LAZY checkpoint (no plan-time job): `assigned` feeds FOUR
-    # consumers (the pair stage's count/a-side/b-side plus the final
-    # mark join), and Spark's tree plans duplicate the entire
-    # assignment lineage per consumer — measured 50 embedding scans /
-    # 42 broadcast builds / 0 ReusedExchange in the un-checkpointed
-    # executed plan. Materializing the N-row assignment once collapses
-    # that to one evaluation (same values; warm sf0.1 ~4.7 → ~2 s).
+    # Lazy persist: `assigned` feeds FOUR consumers (the pair stage's
+    # count/a-side/b-side plus the final mark join), and Spark's tree
+    # plans duplicate the entire assignment lineage per consumer —
+    # measured 50 embedding scans / 42 broadcast builds / 0
+    # ReusedExchange in the un-materialized executed plan. Persisting
+    # the N-row assignment once collapses that to one evaluation (same
+    # values; warm sf0.1 ~4.7 → ~2 s).
     assigned = e.select("vec_id", "embedding").join(
         label, "vec_id"
-    ).localCheckpoint(eager=False)
+    ).persist(_MAD)
     pairs = neardup_blocked(assigned, tau=tau, cap=cap)
     dup = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return assigned.join(

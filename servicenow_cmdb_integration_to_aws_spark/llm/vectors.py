@@ -21,11 +21,18 @@ can never flip a value.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
+
+#: lazy materialization for multi-consumer intermediates (persist, not
+#: localCheckpoint: under AQE eager=False checkpointing executes the
+#: upstream stages at plan-construction time and its blocks are
+#: non-recoverable on executor loss; persist stays lazy + recomputable).
+_MAD = StorageLevel.MEMORY_AND_DISK
 
 _D = lambda x: x.cast("double")  # noqa: E731
 
@@ -350,11 +357,11 @@ def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
     # ch feeds both join sides, so its lineage (scan + broadcast join +
     # norm) plans twice — acceptable: re-scanning the columnar source
     # beats materializing an embedding-payload copy at 100 TB. The tiny
-    # label->n_chunks agg, though, is checkpointed so the counting scan
+    # label->n_chunks agg, though, is persisted so the counting scan
     # runs once, not once per side (lineage-duplication class).
     counts = e.groupBy("label").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("n_chunks")
-    ).localCheckpoint(eager=False)
+    ).persist(_MAD)
     # norms are per-VECTOR, so compute them once before the pair join —
     # per-pair work is then a single dot fold instead of three
     # (higher-order folds are interpreted, not codegen'd: 3x matters).

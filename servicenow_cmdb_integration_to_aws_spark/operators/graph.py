@@ -13,11 +13,22 @@ into the next iteration.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
+
+#: lazy materialization for single-pass multi-consumer intermediates
+#: (persist, not localCheckpoint: under AQE eager=False checkpointing
+#: executes the upstream stages at plan-construction time and its
+#: blocks are non-recoverable on executor loss). The ITERATIVE
+#: truncation sites below (c22's per-round edge sets) keep
+#: localCheckpoint(eager=True) — there the point IS cutting lineage
+#: so plans don't grow per round, and the round boundary is a
+#: deliberate materialization barrier.
+_MAD = StorageLevel.MEMORY_AND_DISK
 
 _DAMP = 0.85
 _PR_ITERS = 2
@@ -314,7 +325,7 @@ def c19_cooccur_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     production form caps per-customer breadth with the j12 chunked
     triangle join; degrees broadcast (catalog-sized); top-K is
     TakeOrderedAndProject. The distinct edge list feeds four lineage
-    consumers (self-join a/b + deg via d1/d2) — a lazy localCheckpoint
+    consumers (self-join a/b + deg via d1/d2) — a lazy persist
     materializes the join+distinct once instead of four times (the
     lineage-duplication class; 12 parquet scans -> 2, it is an
     int-pair table with no payload so the copy is cheap at any SF)."""
@@ -331,7 +342,7 @@ def c19_cooccur_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist(_MAD)
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     a, b = edges.alias("a"), edges.alias("b")
