@@ -29,7 +29,7 @@ near-duplicate detection, built entirely from native Spark expressions
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -96,25 +96,38 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_masks(tok: DataFrame) -> DataFrame:
+def _vocab_row(tok: DataFrame) -> DataFrame:
+    """1-row ``(vocab: array<string>)`` — the sorted corpus vocabulary.
+
+    Only called under the masked-path premise (vocabulary fits
+    MASK_MAX_VOCAB symbols, guarded by a bounded probe before entry),
+    so every partition's ``collect_set`` partial state holds ≤62
+    entries: a safe map-side-combined single pass. ``sort_array``
+    makes the rank dictionary deterministic. Replaces the previous
+    distinct → row_number window → dim broadcast-join pipeline (three
+    exchanges and a single-partition window) with one 1-row aggregate
+    — cold-plan stage count is the measured cost driver here."""
+    return tok.select(F.sort_array(F.collect_set("tok")).alias("vocab"))
+
+
+def _doc_masks(tok: DataFrame, vocab_row: DataFrame) -> DataFrame:
     """(doc_id, mask, n) — token set as a packed 64-bit bitmask.
 
-    Vocabulary is dictionary-encoded by sorted rank (deterministic) and
-    broadcast; the per-doc OR-fold is a partial-aggregatable bit_or.
-    Only valid when the vocabulary fits MASK_MAX_VOCAB symbols."""
-    vocab = (
-        tok.select("tok")
-        .distinct()
-        .select(
-            "tok",
-            (F.row_number().over(Window.orderBy("tok")) - 1).alias("tok_id"),
-        )
-    )
+    The bit position is ``array_position`` into the broadcast sorted
+    vocabulary array (1-row crossJoin-broadcast, the house pattern) and
+    the per-doc OR-fold is a partial-aggregatable bit_or — whole-stage
+    codegen end to end, no window, no dim join. Only valid when the
+    vocabulary fits MASK_MAX_VOCAB symbols."""
     return (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.crossJoin(F.broadcast(vocab_row))
         .groupBy("doc_id")
         .agg(
-            F.bit_or(F.expr("CAST(1 AS BIGINT) << tok_id")).alias("mask"),
+            F.bit_or(
+                F.expr(
+                    "CAST(1 AS BIGINT)"
+                    " << CAST(array_position(vocab, tok) - 1 AS INT)"
+                )
+            ).alias("mask"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -140,20 +153,19 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
     AQE instead of force-broadcasting a g-row table."""
     # masks feeds the expansion twice and groups; groups feeds candidate
     # generation, both verify dims and self_pairs. Without persistence
-    # the doc scan + mask build re-executes per consumer (17 scans in
-    # the executed plan) — at 100 TB that is 17 passes over the corpus,
-    # so large inputs persist both narrow intermediates (<=24 B/row,
-    # MEMORY_AND_DISK spills instead of OOMing; the ContextCleaner drops
-    # blocks once the plan is unreferenced). Small inputs skip the
-    # persist: the materialization barrier costs more than the
-    # recompute it saves (measured +4 s at sf0.1).
-    masks = _doc_masks(tok)
+    # the doc scan + mask build re-executes per consumer — at 100 TB
+    # that is that many passes over the corpus, so large inputs persist
+    # both narrow intermediates (<=24 B/row, MEMORY_AND_DISK spills
+    # instead of OOMing; the ContextCleaner drops blocks once the plan
+    # is unreferenced). Small inputs skip the persist: the
+    # materialization barrier costs more than the recompute it saves
+    # (the mask build is now a map-only pass over the scan).
+    vocab_row = _vocab_row(tok)
+    masks = _doc_masks(tok, vocab_row)
     groups = masks.select("mask", "n").distinct()
     if n_docs_hint > PERSIST_MIN_DOCS:
-        from pyspark import StorageLevel
-
-        masks = masks.persist(StorageLevel.MEMORY_AND_DISK)
-        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+        masks = masks.persist(_MAD)
+        groups = groups.persist(_MAD)
 
     # Cost-based candidate generation (the LSH analogue of Spark picking
     # broadcast-NL vs sort-merge): below BRUTE_MAX_GROUPS distinct sets,
@@ -166,27 +178,32 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
     # metadata-only) — conservative: a dup-dense corpus with small g
     # but huge n takes the LSH path, which is still correct and the
     # group collapse still applies.
-    if n_docs_hint <= BRUTE_MAX_GROUPS:
-        cand = (
-            groups.select(F.col("mask").alias("mask_a"))
-            .join(
-                groups.select(F.col("mask").alias("mask_b")),
-                F.col("mask_a") < F.col("mask_b"),
+    brute = n_docs_hint <= BRUTE_MAX_GROUPS
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    ga = groups.select(F.col("mask").alias("mask_a"), F.col("n").alias("na"))
+    gb = groups.select(F.col("mask").alias("mask_b"), F.col("n").alias("nb"))
+    if brute:
+        # Fused all-pairs verify: the exact-Jaccard test rides IN the
+        # broadcast-NL join predicate (g <= BRUTE_MAX_GROUPS by the
+        # branch test → a <=320 KB build side), so no g²/2 candidate
+        # set ever materializes and no post-join dim lookups run —
+        # one codegen'd stage emits the surviving pairs directly.
+        cross = (
+            ga.join(
+                F.broadcast(gb),
+                (F.col("mask_a") < F.col("mask_b")) & (jac >= TAU),
             )
+            .select("mask_a", "mask_b", jac.alias("jaccard"))
         )
     else:
         # re-materialize each group's token set from its mask bits
-        # (vocab dim broadcasts) and MinHash the groups, not the docs.
-        vocab = (
-            tok.select("tok")
-            .distinct()
-            .select(
-                "tok",
-                (F.row_number().over(Window.orderBy("tok")) - 1).alias("tok_id"),
-            )
-        )
+        # (the tok_id dictionary is a posexplode of the 1-row sorted
+        # vocab array — no window) and MinHash the groups, not the
+        # docs.
+        vid = vocab_row.select(F.posexplode("vocab").alias("tok_id", "tok"))
         gtok = groups.join(
-            F.broadcast(vocab), F.expr("(mask >> tok_id) & 1 = 1")
+            F.broadcast(vid), F.expr("(mask >> tok_id) & 1 = 1")
         ).select("mask", "tok")
         sigs = gtok.groupBy("mask").agg(
             *[
@@ -228,25 +245,17 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
             .select(F.col("L.mask").alias("mask_a"), F.col("R.mask").alias("mask_b"))
             .distinct()
         )
-    ga = groups.select(F.col("mask").alias("mask_a"), F.col("n").alias("na"))
-    gb = groups.select(F.col("mask").alias("mask_b"), F.col("n").alias("nb"))
-    # Broadcast the group dims only in the brute branch, where
-    # g <= BRUTE_MAX_GROUPS by the branch's own test (16 B/row -> a
-    # <=320 KB build side). The LSH branch exists BECAUSE g is large —
-    # force-broadcasting a g-row dim there is the exact scale
-    # assumption the branch was built to avoid; leave the strategy to
-    # Catalyst/AQE, which still picks broadcast whenever the runtime
-    # size permits and degrades to a mask-keyed shuffle join when not.
-    if n_docs_hint <= BRUTE_MAX_GROUPS:
-        ga, gb = F.broadcast(ga), F.broadcast(gb)
-    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
-    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
-    cross = (
-        cand.join(ga, "mask_a")
-        .join(gb, "mask_b")
-        .select("mask_a", "mask_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= TAU)
-    )
+        # The LSH branch exists BECAUSE g is large — force-broadcasting
+        # a g-row dim here is the exact scale assumption the branch was
+        # built to avoid; leave the dim-join strategy to Catalyst/AQE,
+        # which still picks broadcast whenever the runtime size permits
+        # and degrades to a mask-keyed shuffle join when not.
+        cross = (
+            cand.join(ga, "mask_a")
+            .join(gb, "mask_b")
+            .select("mask_a", "mask_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= TAU)
+        )
     self_pairs = groups.select(
         F.col("mask").alias("mask_a"),
         F.col("mask").alias("mask_b"),
@@ -259,6 +268,11 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
     # keep da < db to emit each unordered pair once.
     da = masks.select(F.col("mask").alias("mask_a"), F.col("doc_id").alias("da"))
     db = masks.select(F.col("mask").alias("mask_b"), F.col("doc_id").alias("db"))
+    if brute:
+        # masks <= BRUTE_MAX_GROUPS rows by the branch test (n_docs is
+        # an upper bound): broadcast the doc dims so the output-bound
+        # expansion never shuffles. The LSH regime leaves both to AQE.
+        da, db = F.broadcast(da), F.broadcast(db)
     return (
         cross.unionByName(self_pairs)
         .join(da, "mask_a")
