@@ -49,6 +49,14 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 TAU = 0.8
 #: token sets over an ≤62-symbol vocabulary pack into one BIGINT mask
 MASK_MAX_VOCAB = 62
+#: bits used per mask word in the wide (multi-BIGINT) regime — kept
+#: below 64 so no shift ever touches the sign bit's neighborhood
+MASK_WORD_BITS = 62
+#: the wide-mask EXACT path covers vocabularies up to this many
+#: symbols (16 BIGINT words). Beyond it (or above BRUTE_MAX_GROUPS
+#: docs) the banded general path takes over — which is approximate
+#: on adversarially dup-dense corpora (see _lsh_pairs_general).
+WIDE_MAX_VOCAB = MASK_WORD_BITS * 16
 #: below this many DISTINCT token sets, all-pairs popcount beats LSH
 #: banding (g²/2 codegen'd comparisons vs band-explode + dedup shuffle)
 BRUTE_MAX_GROUPS = 20_000
@@ -189,8 +197,21 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
         # branch test → a <=320 KB build side), so no g²/2 candidate
         # set ever materializes and no post-join dim lookups run —
         # one codegen'd stage emits the surviving pairs directly.
+        # The stream side MUST be explicitly spread first: g rows are
+        # only ~16 B each, so AQE's size-based coalescing collapses
+        # the distinct's output to ONE partition — and then the g²/2
+        # predicate evaluations plus the (potentially huge on
+        # dup-dense corpora) qualifying-pair output run on one core
+        # (measured: a 4x probe cliffed 3.3 s → 172 s exactly at this
+        # boundary). Bytes are the wrong cost model for an NL join;
+        # an explicit round-robin repartition (AQE never re-coalesces
+        # user-specified repartitions) slices the quadratic COMPUTE
+        # evenly across the cluster for the price of shuffling ≤20k
+        # tiny rows.
+        par = tok.sparkSession.sparkContext.defaultParallelism
         cross = (
-            ga.join(
+            ga.repartition(par)
+            .join(
                 F.broadcast(gb),
                 (F.col("mask_a") < F.col("mask_b")) & (jac >= TAU),
             )
@@ -341,31 +362,136 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection (j2): MinHash signatures → LSH banding →
     candidate pairs → exact-Jaccard verification at τ=0.8.
 
-    The oracle is the *brute-force* O(n²) pair set — equality holds
-    because banding recall at J≥τ is ≈1-8e-8 with (b=16, r=2) and every
-    candidate is verified exactly, so LSH only prunes, never invents.
-    Hash family: xxhash64 over a seed-prefixed token (fixed seeds →
-    fully deterministic)."""
+    The oracle is the *brute-force* O(n²) pair set — equality holds in
+    the masked and wide-mask regimes (exact popcount Jaccard over every
+    surviving pair) and, in the banded general regime, because banding
+    recall at J≥τ is ≈1-8e-8 with (b=16, r=2) and every candidate is
+    verified exactly — EXCEPT on adversarially dup-dense big-vocab
+    corpora where the degenerate-bucket cap prunes true pairs (measured:
+    a 4x dup-dense probe corpus kept 1.37M of ~11.9M true pairs). That
+    is exactly why the wide-mask regime exists: any corpus small enough
+    that pair enumeration is the right query (≤BRUTE_MAX_GROUPS docs,
+    ≤WIDE_MAX_VOCAB symbols) gets the exact path. Hash family: xxhash64
+    over a seed-prefixed token (fixed seeds → fully deterministic)."""
     tok = _tokens(spark, sf_dir)
 
-    # Adaptive strategy: when the vocabulary packs into one BIGINT mask,
-    # collapse identical token sets and run the whole LSH pipeline over
-    # distinct sets (see _lsh_pairs_masked — output-optimal on
-    # duplicate-heavy corpora). The guard is bounded work:
-    # distinct().limit(63).count().
-    vocab_fits_mask = (
-        tok.select("tok").distinct().limit(MASK_MAX_VOCAB + 1).count()
-        <= MASK_MAX_VOCAB
-    )
-    if vocab_fits_mask:
+    # Adaptive strategy, picked by one BOUNDED vocabulary probe
+    # (distinct().limit(993).count() — never scans past 993 distinct
+    # tokens) plus the metadata-only doc count:
+    #   v ≤ 62                      → single-BIGINT masked path
+    #     (collapse identical sets, brute or banded by group count);
+    #   v ≤ 992 and docs ≤ 20k     → wide-mask EXACT brute path
+    #     (⌈v/62⌉ BIGINT words, codegen popcount Jaccard);
+    #   else                        → doc-level banded LSH (the 100 TB
+    #     regime: approximate only on corpora dense enough that pair
+    #     enumeration is itself the wrong query — see j16/j36).
+    v = tok.select("tok").distinct().limit(WIDE_MAX_VOCAB + 1).count()
+    if v <= MASK_MAX_VOCAB:
         return _lsh_pairs_masked(tok, scan(spark, sf_dir, "documents").count())
+    if v <= WIDE_MAX_VOCAB:
+        n_docs = scan(spark, sf_dir, "documents").count()
+        if n_docs <= BRUTE_MAX_GROUPS:
+            n_words = -(-v // MASK_WORD_BITS)  # ceil
+            return _wide_brute_pairs(tok, n_words)
     return _lsh_pairs_general(tok)
 
 
+def _wide_brute_pairs(tok: DataFrame, n_words: int) -> DataFrame:
+    """Exact near-dup pairs over a mid-size vocabulary: token sets pack
+    into ``n_words`` BIGINT mask words and every group pair is verified
+    with codegen'd popcount Jaccard — no banding, no caps, no recall
+    loss. Gated to ≤BRUTE_MAX_GROUPS docs and ≤WIDE_MAX_VOCAB symbols
+    by the caller, so the build side stays ≤20k × (8·W+8) B and the
+    g²/2 predicate evaluations are bounded; the same dup-dense corpus
+    that defeats banded candidate generation (thousands of DISTINCT
+    sets all mutually near-dup) is exactly where this regime wins.
+    Same collapse-identical-sets-first design as _lsh_pairs_masked;
+    the single-long masked path is this with W=1 plus an LSH branch."""
+    mcols = [f"m{w}" for w in range(n_words)]
+    a_of = lambda c: f"{c}_a"  # noqa: E731
+    b_of = lambda c: f"{c}_b"  # noqa: E731
+    vocab_row = _vocab_row(tok)
+    pos = "(array_position(vocab, tok) - 1)"
+    masks = (
+        tok.crossJoin(F.broadcast(vocab_row))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.bit_or(
+                    F.expr(
+                        f"CASE WHEN {pos} DIV {MASK_WORD_BITS} = {w}"
+                        f" THEN CAST(1 AS BIGINT)"
+                        f" << CAST({pos} % {MASK_WORD_BITS} AS INT)"
+                        f" ELSE CAST(0 AS BIGINT) END"
+                    )
+                ).alias(f"m{w}")
+                for w in range(n_words)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    groups = masks.select(*mcols, "n").distinct()
+    ga = groups.select(
+        *[F.col(c).alias(a_of(c)) for c in mcols], F.col("n").alias("na")
+    )
+    gb = groups.select(
+        *[F.col(c).alias(b_of(c)) for c in mcols], F.col("n").alias("nb")
+    )
+    inter = None
+    for c in mcols:
+        term = F.bit_count(F.col(a_of(c)).bitwiseAND(F.col(b_of(c))))
+        inter = term if inter is None else inter + term
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    sa = F.struct(*[F.col(a_of(c)) for c in mcols])
+    sb = F.struct(*[F.col(b_of(c)) for c in mcols])
+    # explicit spread of the stream side: same AQE bytes-vs-compute
+    # blind spot as the single-long brute branch (see _lsh_pairs_masked)
+    par = tok.sparkSession.sparkContext.defaultParallelism
+    cross = (
+        ga.repartition(par)
+        .join(F.broadcast(gb), (sa < sb) & (jac >= TAU))
+        .select(
+            *[F.col(a_of(c)) for c in mcols],
+            *[F.col(b_of(c)) for c in mcols],
+            jac.alias("jaccard"),
+        )
+    )
+    self_pairs = groups.select(
+        *[F.col(c).alias(a_of(c)) for c in mcols],
+        *[F.col(c).alias(b_of(c)) for c in mcols],
+        F.lit(1.0).alias("jaccard"),
+    )
+    da = masks.select(
+        *[F.col(c).alias(a_of(c)) for c in mcols], F.col("doc_id").alias("da")
+    )
+    db = masks.select(
+        *[F.col(c).alias(b_of(c)) for c in mcols], F.col("doc_id").alias("db")
+    )
+    return (
+        cross.unionByName(self_pairs)
+        .join(F.broadcast(da), [a_of(c) for c in mcols])
+        .join(F.broadcast(db), [b_of(c) for c in mcols])
+        .filter((sa != sb) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
 def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
-    # General path (vocab too large for masks): SAME
-    # collapse-identical-sets-first design as the masked path, with an
-    # md5 set-digest standing in for the bitmask as the group key.
+    # General path (vocab too large for masks, or corpus too large for
+    # brute verification): SAME collapse-identical-sets-first design as
+    # the masked path, with an md5 set-digest standing in for the
+    # bitmask as the group key. CONTRACT NOTE: this is the approximate
+    # 100 TB regime — on corpora where thousands of DISTINCT sets are
+    # all mutually near-dup, the degenerate-bucket cap prunes true
+    # cross-set pairs (measured 88% loss on a dup-dense probe corpus).
+    # The dispatch in j2_minhash_lsh guarantees any corpus small enough
+    # for exact pair enumeration takes the masked/wide exact paths
+    # instead; reaching here with a dup-dense corpus means pair
+    # enumeration is the wrong query (use j16/j36 cluster forms).
     # Collapsing before banding matters twice here: (a) dup-heavy
     # corpora shrink the quadratic stages by (n/g)²; (b) a clone
     # cluster of ANY size (boilerplate pages, the common real-world

@@ -85,8 +85,13 @@ def test_minhash_lsh_paths_agree(spark, monkeypatch):
             for r in QUERIES["j2_minhash_lsh"](spark, d).collect()
         )
 
-    general = run()  # vocab=70 > MASK_MAX_VOCAB → doc-level LSH
-    assert [(a, b) for a, b, _ in general] == [(1, 2), (1, 3), (2, 3)]
+    wide = run()  # vocab=70 > MASK_MAX_VOCAB, ≤ WIDE_MAX_VOCAB → 2-word masks
+    assert [(a, b) for a, b, _ in wide] == [(1, 2), (1, 3), (2, 3)]
+    # force the doc-level banded general path on the same corpus
+    monkeypatch.setattr(dedup, "WIDE_MAX_VOCAB", dedup.MASK_MAX_VOCAB)
+    general = run()
+    assert general == wide
+    monkeypatch.undo()
 
     # small-vocab corpus: same docs restricted to a packable vocabulary
     rows2 = [(1, base), (2, base), (3, near), (4, far)]
@@ -108,6 +113,53 @@ def test_minhash_lsh_paths_agree(spark, monkeypatch):
     monkeypatch.setattr(dedup, "BRUTE_MAX_GROUPS", 0)
     banded = run2()  # force mask + LSH banding
     assert brute == banded
+
+
+def test_minhash_wide_mask_exact_on_dup_dense(spark):
+    """j2 wide-mask regime (62 < vocab ≤ WIDE_MAX_VOCAB, docs ≤
+    BRUTE_MAX_GROUPS): output equals the Python-computed brute-force
+    pair set on a dup-DENSE corpus — the exact shape where banded
+    candidate generation loses recall to the degenerate-bucket cap
+    (measured 88% loss on the 4x probe corpus before this regime
+    existed)."""
+    import itertools
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    # 90 docs over a 70-token vocabulary, built as 9 clusters of 10
+    # near-identical sets (each doc drops one distinct token from its
+    # cluster's 25-token base → pairwise J = 23/25 = 0.92 ≥ 0.8),
+    # plus cross-cluster pairs well below τ (overlap ≤ 18 of 25).
+    vocab = [f"w{i:02d}" for i in range(70)]
+    rows = []
+    sets = {}
+    for c in range(9):
+        base = [vocab[(c * 7 + j) % 70] for j in range(25)]
+        for k in range(10):
+            doc_id = c * 10 + k + 1
+            toks = [t for idx, t in enumerate(base) if idx != k]
+            rows.append((doc_id, " ".join(toks)))
+            sets[doc_id] = frozenset(toks)
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        if i / len(sets[a] | sets[b]) >= 0.8:
+            expected.add((a, b))
+    assert len(expected) == 9 * 45  # every within-cluster pair qualifies
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="j2wide_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["j2_minhash_lsh"](spark, d).collect()
+    }
+    assert got == expected
 
 
 def test_simhash_hamming_locality(spark):
