@@ -161,8 +161,10 @@ _DRIVER_GREEN = frozenset(
 
 
 #: measured sf0.01 end-to-end seconds per never-driver-checked id
-#: (one clean full-registry check_parity run, r7 closing session; the
-#: same work the driver's per-id correctness check performs). The
+#: (one clean full-registry check_parity run, r7 closing session;
+#: near-dup family entries re-measured after the r7 driver testdata
+#: regen made `documents` dup-dense — j2's oracle alone costs multiple
+#: seconds there. Same work the driver's per-id check performs). The
 #: driver re-checks in registration order under a TIME budget, so the
 #: unchecked block sorts by this cost ASCENDING — a greedy
 #: shortest-job-first order maximizes the NUMBER of ids that gain a
@@ -193,16 +195,16 @@ _CHECK_COST_S = {
     "d17_approx_percentile": 0.6, "p9_sql_recursive": 0.6,
     "t14_golden_q7": 0.6, "t17_golden_q11": 0.6, "d26_weighted_median": 0.8,
     "a24_permissive_json": 0.9, "b15_dynamic_pruning": 0.9,
-    "b16_bloom_join": 0.9, "j12_embedding_neardup": 0.9,
-    "j50_tau_sweep": 0.9, "a5_sink_partitioned": 1.0,
+    "b16_bloom_join": 0.9, "j50_tau_sweep": 1.1, "a5_sink_partitioned": 1.0,
     "a22_zorder_sink": 1.1, "c12_rel_closure_unbounded": 1.1,
-    "j2c_ngram_jaccard": 1.1, "j52_containment_dedup": 1.1,
+    "j12_embedding_neardup": 1.5,
     "c17_triangle_count": 1.3, "c22_k_core": 1.3, "a14_sink_clustered": 1.4,
-    "j3c_lsh_ann": 1.4, "a19_small_file_compact": 1.5,
-    "j16_neardup_components": 1.6, "a8_rest_pushdown": 1.8,
-    "d20_column_profile": 1.9, "j2_minhash_lsh": 2.1, "j41_semdedup": 2.2,
+    "a19_small_file_compact": 1.5, "a8_rest_pushdown": 1.8,
+    "d20_column_profile": 1.9, "j2c_ngram_jaccard": 2.1,
+    "j16_neardup_components": 2.6, "j52_containment_dedup": 3.1,
+    "j3c_lsh_ann": 3.5, "j41_semdedup": 4.3,
     "a18_python_stream_source": 2.6, "a20_python_datasource_writer": 3.5,
-    "a17_python_datasource": 5.1,
+    "a17_python_datasource": 5.1, "j2_minhash_lsh": 7.6,
 }
 
 #: true Structured Streaming ids among the unchecked — forced to the

@@ -591,6 +591,19 @@ def test_weighted_median_two_phase_histogram_refine(spark, sf_dir):
     assert parts and re.search(r"\bb#\d+", parts[0]), parts[:2] or plan
 
 
+def test_minhash_brute_nl_stream_side_spread(spark, sf_dir):
+    """j2 brute regimes: the broadcast-NL join's stream side must carry
+    an explicit round-robin repartition. AQE coalesces exchanges by
+    BYTES, and the groups table is ~16 B/row — without the explicit
+    spread (exempt from AQE re-coalescing) the g²/2 fused-Jaccard
+    evaluations and the qualifying-pair output run on ONE core
+    (measured 3.3 s → 172 s across one probe doubling). Bytes are the
+    wrong cost model for compute-bound NL joins."""
+    plan = plan_of(_q(spark, sf_dir, "j2_minhash_lsh"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, plan
+
+
 def test_heavy_hitters_no_vocabulary_shuffle_before_candidates(spark, sf_dir):
     """d28: pass 1 (candidate pruning) must sit directly on the scan —
     the only exchange upstream of MapInPandas is spread()'s
