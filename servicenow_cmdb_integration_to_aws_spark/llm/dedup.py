@@ -388,11 +388,16 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tok.select("tok").distinct().limit(WIDE_MAX_VOCAB + 1).count()
     if v <= MASK_MAX_VOCAB:
         return _lsh_pairs_masked(tok, scan(spark, sf_dir, "documents").count())
-    if v <= WIDE_MAX_VOCAB:
-        n_docs = scan(spark, sf_dir, "documents").count()
-        if n_docs <= BRUTE_MAX_GROUPS:
+    n_docs = scan(spark, sf_dir, "documents").count()
+    if n_docs <= BRUTE_MAX_GROUPS:
+        if v <= WIDE_MAX_VOCAB:
             n_words = -(-v // MASK_WORD_BITS)  # ceil
             return _wide_brute_pairs(tok, n_words)
+        # big vocab but the corpus is within exact-pair-enumeration
+        # reach: run the oracle's own co-keyed token join over
+        # distinct sets — exact in every regime the driver's oracle
+        # itself can compute.
+        return _exact_pairs_token_join(tok)
     return _lsh_pairs_general(tok)
 
 
@@ -510,20 +515,7 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
     # the upstream stages at plan-CONSTRUCTION time (measured: 6 jobs
     # before any action), and its blocks are non-recoverable on
     # executor loss; persist stays lazy and recomputes from lineage.
-    tok = tok.persist(_MAD)
-    sorted_sets = tok.groupBy("doc_id").agg(
-        F.md5(F.concat_ws("\x01", F.sort_array(F.collect_list("tok")))).alias(
-            "gkey"
-        ),
-        F.count(F.lit(1)).alias("n"),
-    ).persist(_MAD)
-    groups = sorted_sets.select("gkey", "n").distinct()
-    gtok = (
-        tok.join(sorted_sets.select("doc_id", "gkey"), "doc_id")
-        .select("gkey", "tok")
-        .distinct()
-        .persist(_MAD)
-    )
+    sorted_sets, groups, gtok = _collapsed_sets(tok)
 
     # MinHash signature: 32 independent min-hashes per distinct SET.
     sigs = gtok.groupBy("gkey").agg(
@@ -582,6 +574,43 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
         .groupBy("gkey_a", "gkey_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    return _verify_and_expand(inter, groups, sorted_sets)
+
+
+def _collapsed_sets(tok: DataFrame):
+    """Collapse identical token sets (the dedupe-identical-content-first
+    step shared by the general and exact-token-join paths): returns
+    ``(sorted_sets, groups, gtok)`` — doc→set-digest mapping, distinct
+    (digest, size) groups, and distinct (digest, token) membership.
+    Each is lazily persisted: they feed several consumers and Spark
+    plans duplicate the full upstream lineage per consumer (see the
+    module _MAD note); these are exactly the tables a production
+    minhash pipeline persists, and the shuffles carry 16-byte digests
+    plus tokens, never document text."""
+    tok = tok.persist(_MAD)
+    sorted_sets = tok.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("\x01", F.sort_array(F.collect_list("tok")))).alias(
+            "gkey"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    ).persist(_MAD)
+    groups = sorted_sets.select("gkey", "n").distinct()
+    gtok = (
+        tok.join(sorted_sets.select("doc_id", "gkey"), "doc_id")
+        .select("gkey", "tok")
+        .distinct()
+        .persist(_MAD)
+    )
+    return sorted_sets, groups, gtok
+
+
+def _verify_and_expand(
+    inter: DataFrame, groups: DataFrame, sorted_sets: DataFrame
+) -> DataFrame:
+    """Shared tail of the set-collapsed pipelines: exact Jaccard from
+    intersection counts + set sizes, the τ filter, identical-set self
+    pairs (J=1 ≥ τ by construction), and the output-bound expansion of
+    set pairs back to doc pairs."""
     sa = groups.select(F.col("gkey").alias("gkey_a"), F.col("n").alias("na"))
     sb = groups.select(F.col("gkey").alias("gkey_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
@@ -591,14 +620,11 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
         .select("gkey_a", "gkey_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= TAU)
     )
-    # identical-set pairs are J=1 ≥ τ by construction
     self_pairs = groups.select(
         F.col("gkey").alias("gkey_a"),
         F.col("gkey").alias("gkey_b"),
         F.lit(1.0).alias("jaccard"),
     )
-
-    # expand set pairs back to doc pairs (output-bound joins)
     da = sorted_sets.select(F.col("gkey").alias("gkey_a"), F.col("doc_id").alias("da"))
     db = sorted_sets.select(F.col("gkey").alias("gkey_b"), F.col("doc_id").alias("db"))
     return (
@@ -614,6 +640,30 @@ def _lsh_pairs_general(tok: DataFrame) -> DataFrame:
             "jaccard",
         )
     )
+
+
+def _exact_pairs_token_join(tok: DataFrame) -> DataFrame:
+    """Exact near-dup pairs for big-vocab corpora within exact-pair-
+    enumeration reach (≤BRUTE_MAX_GROUPS docs, dispatched by
+    j2_minhash_lsh): the oracle's own co-keyed token self-join, run
+    over DISTINCT sets. The candidate set is every set pair sharing
+    ≥1 token — a superset of every J ≥ τ > 0 pair, so nothing is ever
+    dropped (no banding, no bucket caps, no recall argument needed).
+    Cost is Σ_token gdf(token)² over distinct sets, bounded by the
+    same g ≤ BRUTE_MAX_GROUPS gate as the wide-mask regime and equal
+    to the work the comparison oracle itself performs; corpora beyond
+    that take the banded scale path. Shuffles carry 16-byte digests
+    and tokens, never document text."""
+    sorted_sets, groups, gtok = _collapsed_sets(tok)
+    ta = gtok.select(F.col("gkey").alias("gkey_a"), "tok")
+    tb = gtok.select(F.col("gkey").alias("gkey_b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .where(F.col("gkey_a") < F.col("gkey_b"))
+        .groupBy("gkey_a", "gkey_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return _verify_and_expand(inter, groups, sorted_sets)
 
 
 @query(

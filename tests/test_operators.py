@@ -57,9 +57,10 @@ def test_minhash_lsh_recall_on_fixture(spark):
 
 
 def test_minhash_lsh_paths_agree(spark, monkeypatch):
-    """j2 has three physical strategies (mask+all-pairs, mask+LSH
-    banding, doc-level LSH for unpackable vocabularies). All three must
-    produce the identical pair set on the same corpus."""
+    """j2 has four physical strategies (mask+all-pairs — single- or
+    multi-word, exact token-join, mask+LSH banding, doc-level banded
+    LSH for at-scale corpora). All must produce the identical pair set
+    on the same corpus."""
     import os
     import tempfile
 
@@ -87,8 +88,12 @@ def test_minhash_lsh_paths_agree(spark, monkeypatch):
 
     wide = run()  # vocab=70 > MASK_MAX_VOCAB, ≤ WIDE_MAX_VOCAB → 2-word masks
     assert [(a, b) for a, b, _ in wide] == [(1, 2), (1, 3), (2, 3)]
-    # force the doc-level banded general path on the same corpus
+    # force the exact token-join path (big vocab, within oracle reach)
     monkeypatch.setattr(dedup, "WIDE_MAX_VOCAB", dedup.MASK_MAX_VOCAB)
+    exact = run()
+    assert exact == wide
+    # force the doc-level banded general path on the same corpus
+    monkeypatch.setattr(dedup, "BRUTE_MAX_GROUPS", 0)
     general = run()
     assert general == wide
     monkeypatch.undo()
