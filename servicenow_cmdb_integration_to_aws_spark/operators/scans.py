@@ -92,6 +92,35 @@ def a4_rest_page_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paged.filter(F.col("_page") >= 0).drop("_page")
 
 
+def bucketed_table_names(sf_dir: str) -> tuple[str, str]:
+    """a9's (orders, lineitem) bucketed-table names for this sf_dir.
+
+    The identity fingerprints the SOURCE CONTENT, not just the sf tag:
+    the warehouse outlives both the SparkContext and the test-data
+    generation (the r7 driver regenerated /root/testdata in place),
+    and re-registering a surviving bucketed copy written from the OLD
+    file would silently serve stale rows. size+mtime of the source
+    parquet is a free, job-less staleness key; a regen simply mints a
+    new table name and the stale copy becomes dead weight, exactly
+    like a real warehouse retiring a superseded snapshot."""
+    import hashlib
+    import os
+
+    from ..sources.tables import path_of
+
+    def _fp(name: str) -> str:
+        st = os.stat(path_of(sf_dir, name))
+        return hashlib.md5(
+            f"{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:10]
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return (
+        f"orders_b_{sf_tag}_{_fp('orders')}",
+        f"lineitem_b_{sf_tag}_{_fp('lineitem')}",
+    )
+
+
 @query(
     "a9_bucketed_join",
     oracle="""
@@ -122,8 +151,7 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    to, tl = f"orders_b_{sf_tag}", f"lineitem_b_{sf_tag}"
+    to, tl = bucketed_table_names(sf_dir)
     cat = spark.catalog
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
 

@@ -138,11 +138,14 @@ def test_bucketed_tables_reregister_without_rewrite(spark, sf_dir):
     import glob
     import os
 
+    from servicenow_cmdb_integration_to_aws_spark.operators.scans import (
+        bucketed_table_names,
+    )
+
     df = _q(spark, sf_dir, "a9_bucketed_join")
     want = sorted(map(tuple, df.collect()))
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    to, tl = f"orders_b_{sf_tag}", f"lineitem_b_{sf_tag}"
+    to, tl = bucketed_table_names(sf_dir)
     files = sorted(glob.glob(f"{wh}/{to}/*.parquet") + glob.glob(f"{wh}/{tl}/*.parquet"))
     assert files, "expected bucketed files in the warehouse"
     mtimes = [os.path.getmtime(f) for f in files]
@@ -163,6 +166,29 @@ def test_bucketed_tables_reregister_without_rewrite(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan and "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bucketed_table_identity_tracks_source_content(tmp_path):
+    """a9 staleness key: the bucketed-table name must change when the
+    SOURCE parquet changes (the driver regenerates /root/testdata in
+    place between rounds) — otherwise a surviving warehouse copy from
+    the old data gets re-registered and silently serves stale rows."""
+    import shutil
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.scans import (
+        bucketed_table_names,
+    )
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    before = bucketed_table_names(str(d))
+    with open(d / "orders.parquet", "ab") as fh:
+        fh.write(b"\x00")  # size+mtime both move
+    after = bucketed_table_names(str(d))
+    assert before[0] != after[0], "orders identity must track content"
+    assert before[1] == after[1], "lineitem identity must be independent"
 
 
 def test_unpivot_is_expand_no_shuffle(spark, sf_dir):
