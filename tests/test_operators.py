@@ -167,6 +167,48 @@ def test_minhash_wide_mask_exact_on_dup_dense(spark):
     assert got == expected
 
 
+def test_minhash_mask_regime_boundaries_exact(spark):
+    """j2 regime arithmetic at the word boundaries: vocab sizes 62
+    (last single-long bit), 63 (first 2-word vocab — a token lands on
+    bit 0 of word 1), and 124 (last 2-word bit) must all reproduce
+    the Python brute force, including pairs whose distinguishing
+    tokens straddle the word boundary (positions 61/62/63)."""
+    import itertools
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    for vsize in (62, 63, 124):
+        vocab = [f"t{i:03d}" for i in range(vsize)]
+        # doc k uses the full vocab minus one token near the boundary;
+        # with n = vsize-1 per doc, pairwise J = (n-1)/(n+1) ≥ 0.8 for
+        # vsize ≥ 11 → every pair qualifies; the dropped tokens sit at
+        # the end of the sorted order (= the highest bit positions).
+        rows, sets = [], {}
+        for k in range(4):
+            toks = [t for i, t in enumerate(vocab) if i != vsize - 1 - k]
+            rows.append((k + 1, " ".join(toks)))
+            sets[k + 1] = frozenset(toks)
+        expected = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            if i / len(sets[a] | sets[b]) >= 0.8:
+                expected.add((a, b))
+        assert expected == {(a, b) for a, b in itertools.combinations(range(1, 5), 2)}
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        d = tempfile.mkdtemp(prefix=f"j2bound{vsize}_")
+        docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["j2_minhash_lsh"](spark, d).collect()
+        }
+        assert got == expected, f"vocab={vsize}: {sorted(got)}"
+
+
 def test_simhash_hamming_locality(spark):
     """j2b: identical docs → identical fingerprints; unrelated docs →
     different fingerprints (locality property on a crafted fixture)."""
