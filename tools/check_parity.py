@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -73,9 +74,12 @@ def main() -> int:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLE_NAMES:
+        # testdata tables are single files; Spark-written copies (the
+        # scale_probe dirs) are DIRECTORIES of part files — glob those
+        p = f"{args.sf}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet({src})"
         )
 
     spark = build_session("check-parity")
