@@ -252,13 +252,22 @@ def a23_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice is a reconciliation count against the manifest (a21's
     observe) so silently-skipped volume is alarmed, not ignored —
     tolerance without measurement is data loss."""
+    import glob
+    import os
     import shutil
     import tempfile
 
     from ..sources.tables import SCHEMAS, path_of
 
     d = tempfile.mkdtemp(prefix="a23_landing_")
-    shutil.copy(path_of(sf_dir, "orders"), f"{d}/good.parquet")
+    src = path_of(sf_dir, "orders")
+    # single-file (testdata) or directory-of-part-files (every
+    # Spark-written table) — land the healthy files either way
+    goods = (
+        sorted(glob.glob(f"{src}/*.parquet")) if os.path.isdir(src) else [src]
+    )
+    for i, g in enumerate(goods):
+        shutil.copy(g, f"{d}/good{i}.parquet")
     with open(f"{d}/corrupt.parquet", "wb") as f:
         f.write(b"PAR1 this is not a parquet file \x00\xff" * 64)
     # schema declared (a2 discipline) — inference would itself die on

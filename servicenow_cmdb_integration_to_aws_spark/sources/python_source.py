@@ -56,6 +56,38 @@ def _page_table(path: str):
     return t
 
 
+def _footer_max(path: str, col: str):
+    """Planner-side max(col) from FOOTER row-group statistics only — a
+    column read here would scan the whole key column on the driver,
+    the exact anti-pattern the paged source exists to avoid. Handles
+    both single-file tables (the testdata layout) and directory-of-
+    part-files tables (every Spark-written table, i.e. the production
+    layout): per-file footers, max across files — the same metadata a
+    real catalog keeps per data file."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    mk = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ci = next(
+            i for i in range(len(md.schema)) if md.schema.column(i).name == col
+        )
+        m = max(
+            md.row_group(g).column(ci).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        mk = m if mk is None else max(mk, m)
+    return mk
+
+
 class _PagePartition(InputPartition):
     def __init__(self, lo: int, hi: int, path: str):
         self.lo = lo
@@ -137,23 +169,9 @@ def a17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned as N input partitions, each fetched and Arrow-batched on
     an executor. Oracle: the same three columns straight off parquet
     (the source must be a faithful, complete export)."""
-    import pyarrow.parquet as pq
-
     register(spark)
     path = path_of(sf_dir, "orders")
-    # planner-side max-key probe from FOOTER row-group statistics only
-    # (a column read here would scan the whole key column on the
-    # driver — the exact anti-pattern this source exists to avoid)
-    md = pq.ParquetFile(path).metadata
-    ci = next(
-        i
-        for i in range(len(md.schema))
-        if md.schema.column(i).name == "o_orderkey"
-    )
-    mk = max(
-        md.row_group(g).column(ci).statistics.max
-        for g in range(md.num_row_groups)
-    )
+    mk = _footer_max(path, "o_orderkey")
     return (
         spark.read.format("cmdb_pages")
         .option("path", path)
@@ -246,22 +264,11 @@ def a18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-fetch idempotently on failure before commit), page fetches
     parallelize across the cluster, and the per-batch page budget is
     the ingest rate limiter."""
-    import pyarrow.parquet as pq
-
     from ..streaming.stream_ops import _run_to_memory
 
     register_stream(spark)
     path = path_of(sf_dir, "orders")
-    md = pq.ParquetFile(path).metadata
-    ci = next(
-        i
-        for i in range(len(md.schema))
-        if md.schema.column(i).name == "o_orderkey"
-    )
-    mk = max(
-        md.row_group(g).column(ci).statistics.max
-        for g in range(md.num_row_groups)
-    )
+    mk = _footer_max(path, "o_orderkey")
     s = (
         spark.readStream.format("cmdb_pages_stream")
         .option("path", path)
