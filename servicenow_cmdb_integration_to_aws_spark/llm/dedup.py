@@ -60,9 +60,6 @@ WIDE_MAX_VOCAB = MASK_WORD_BITS * 16
 #: below this many DISTINCT token sets, all-pairs popcount beats LSH
 #: banding (g²/2 codegen'd comparisons vs band-explode + dedup shuffle)
 BRUTE_MAX_GROUPS = 20_000
-#: persist the mask/group intermediates only above this corpus size —
-#: below it the cache-materialization barrier costs more than recompute
-PERSIST_MIN_DOCS = 100_000
 #: degenerate-bucket valve: an LSH band bucket holding more than this
 #: many members contributes bsz²/2 candidate pairs — one hot bucket is
 #: the known quadratic failure mode at scale (self-documented above
@@ -171,22 +168,35 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
     vocab_row = _vocab_row(tok)
     masks = _doc_masks(tok, vocab_row)
     groups = masks.select("mask", "n").distinct()
-    if n_docs_hint > PERSIST_MIN_DOCS:
-        masks = masks.persist(_MAD)
-        groups = groups.persist(_MAD)
 
     # Cost-based candidate generation (the LSH analogue of Spark picking
     # broadcast-NL vs sort-merge): below BRUTE_MAX_GROUPS distinct sets,
     # evaluating all g²/2 group pairs with a codegen'd popcount is
     # cheaper than exploding 16 bands per group and deduplicating the
     # collision multiset — especially on dup-dense corpora where LSH
-    # prunes little. Above the threshold (the 100 TB regime), banding
-    # caps the pair space by construction. The guard uses the doc count
-    # as a free upper bound on g (g <= n_docs; parquet row count is
-    # metadata-only) — conservative: a dup-dense corpus with small g
-    # but huge n takes the LSH path, which is still correct and the
-    # group collapse still applies.
+    # prunes little, AND it is exact where banding's bucket cap is not.
+    # The feasibility measure is g (distinct sets), NOT the corpus row
+    # count: a dup-dense web corpus keeps g small while n grows without
+    # bound, and collapsing first makes exactness a function of g
+    # alone. n_docs <= threshold proves g <= threshold for free
+    # (parquet metadata count); above it, one BOUNDED probe
+    # (limit(g+1).count() over the persisted groups — never counts past
+    # the threshold) decides. Only corpora with genuinely many DISTINCT
+    # mutually-similar sets take the banded branch, where the
+    # degenerate-bucket cap's approximate contract is documented —
+    # that regime is exactly where exact pair enumeration (any
+    # engine's) stops being computable.
     brute = n_docs_hint <= BRUTE_MAX_GROUPS
+    if not brute:
+        # the probe is also the multi-consumer persist point: masks
+        # feeds groups + both expansion dims, groups feeds the probe +
+        # candidate generation + both verify dims + self_pairs
+        masks = masks.persist(_MAD)
+        groups = groups.persist(_MAD)
+        brute = (
+            groups.select("mask").limit(BRUTE_MAX_GROUPS + 1).count()
+            <= BRUTE_MAX_GROUPS
+        )
     inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     ga = groups.select(F.col("mask").alias("mask_a"), F.col("n").alias("na"))
@@ -289,10 +299,11 @@ def _lsh_pairs_masked(tok: DataFrame, n_docs_hint: int) -> DataFrame:
     # keep da < db to emit each unordered pair once.
     da = masks.select(F.col("mask").alias("mask_a"), F.col("doc_id").alias("da"))
     db = masks.select(F.col("mask").alias("mask_b"), F.col("doc_id").alias("db"))
-    if brute:
-        # masks <= BRUTE_MAX_GROUPS rows by the branch test (n_docs is
-        # an upper bound): broadcast the doc dims so the output-bound
-        # expansion never shuffles. The LSH regime leaves both to AQE.
+    if n_docs_hint <= BRUTE_MAX_GROUPS:
+        # the doc dims are masks = n_docs rows — broadcastable only
+        # when the DOC count is small, NOT merely when g is (the
+        # g-probed brute regime can hold with billions of docs over
+        # few distinct sets; there AQE picks the dim-join strategy).
         da, db = F.broadcast(da), F.broadcast(db)
     return (
         cross.unionByName(self_pairs)
@@ -369,10 +380,12 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified exactly — EXCEPT on adversarially dup-dense big-vocab
     corpora where the degenerate-bucket cap prunes true pairs (measured:
     a 4x dup-dense probe corpus kept 1.37M of ~11.9M true pairs). That
-    is exactly why the wide-mask regime exists: any corpus small enough
-    that pair enumeration is the right query (≤BRUTE_MAX_GROUPS docs,
-    ≤WIDE_MAX_VOCAB symbols) gets the exact path. Hash family: xxhash64
-    over a seed-prefixed token (fixed seeds → fully deterministic)."""
+    is exactly why the exact regimes exist: any corpus where pair
+    enumeration is the right query gets an exact path — the masked
+    path decides by g (DISTINCT sets, probed boundedly: dup-dense
+    corpora stay exact at ANY row count), the wide and token-join
+    paths by doc count. Hash family: xxhash64 over a seed-prefixed
+    token (fixed seeds → fully deterministic)."""
     tok = _tokens(spark, sf_dir)
 
     # Adaptive strategy, picked by one BOUNDED vocabulary probe

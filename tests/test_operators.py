@@ -115,8 +115,14 @@ def test_minhash_lsh_paths_agree(spark, monkeypatch):
 
     # vocab after the rewrite is 60 symbols ≤ 62 → mask paths engage
     brute = run2()  # groups below threshold → all-pairs popcount
+    # the corpus has 3 DISTINCT sets over 4 docs (docs 1,2 collapse):
+    # with the threshold between g and n_docs, the bounded g-probe
+    # must still pick the exact brute branch (g=3 ≤ 3 < n=4)
+    monkeypatch.setattr(dedup, "BRUTE_MAX_GROUPS", 3)
+    g_probed = run2()
+    assert g_probed == brute
     monkeypatch.setattr(dedup, "BRUTE_MAX_GROUPS", 0)
-    banded = run2()  # force mask + LSH banding
+    banded = run2()  # force mask + LSH banding (g=3 > 0)
     assert brute == banded
 
 
