@@ -402,10 +402,10 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if v <= MASK_MAX_VOCAB:
         return _lsh_pairs_masked(tok, scan(spark, sf_dir, "documents").count())
     n_docs = scan(spark, sf_dir, "documents").count()
+    if v <= WIDE_MAX_VOCAB:
+        n_words = -(-v // MASK_WORD_BITS)  # ceil
+        return _wide_brute_pairs(tok, n_words, n_docs)
     if n_docs <= BRUTE_MAX_GROUPS:
-        if v <= WIDE_MAX_VOCAB:
-            n_words = -(-v // MASK_WORD_BITS)  # ceil
-            return _wide_brute_pairs(tok, n_words)
         # big vocab but the corpus is within exact-pair-enumeration
         # reach: run the oracle's own co-keyed token join over
         # distinct sets — exact in every regime the driver's oracle
@@ -414,17 +414,23 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_general(tok)
 
 
-def _wide_brute_pairs(tok: DataFrame, n_words: int) -> DataFrame:
+def _wide_brute_pairs(
+    tok: DataFrame, n_words: int, n_docs_hint: int
+) -> DataFrame:
     """Exact near-dup pairs over a mid-size vocabulary: token sets pack
     into ``n_words`` BIGINT mask words and every group pair is verified
     with codegen'd popcount Jaccard — no banding, no caps, no recall
-    loss. Gated to ≤BRUTE_MAX_GROUPS docs and ≤WIDE_MAX_VOCAB symbols
-    by the caller, so the build side stays ≤20k × (8·W+8) B and the
-    g²/2 predicate evaluations are bounded; the same dup-dense corpus
-    that defeats banded candidate generation (thousands of DISTINCT
-    sets all mutually near-dup) is exactly where this regime wins.
-    Same collapse-identical-sets-first design as _lsh_pairs_masked;
-    the single-long masked path is this with W=1 plus an LSH branch."""
+    loss. Exactness feasibility is decided by g (distinct sets), same
+    rule as the masked path: n ≤ BRUTE_MAX_GROUPS proves g for free,
+    otherwise one bounded probe over the persisted groups decides; a
+    genuinely-many-distinct-sets corpus falls back to the banded
+    general path (its approximate contract documented there). In the
+    brute regime the build side stays ≤20k × (8·W+8) B and the g²/2
+    predicate evaluations are bounded; the same dup-dense corpus that
+    defeats banded candidate generation (thousands of DISTINCT sets
+    all mutually near-dup) is exactly where this regime wins. Same
+    collapse-identical-sets-first design as _lsh_pairs_masked; the
+    single-long masked path is this with W=1 plus an LSH branch."""
     mcols = [f"m{w}" for w in range(n_words)]
     a_of = lambda c: f"{c}_a"  # noqa: E731
     b_of = lambda c: f"{c}_b"  # noqa: E731
@@ -449,6 +455,18 @@ def _wide_brute_pairs(tok: DataFrame, n_words: int) -> DataFrame:
         )
     )
     groups = masks.select(*mcols, "n").distinct()
+    if n_docs_hint > BRUTE_MAX_GROUPS:
+        masks = masks.persist(_MAD)
+        groups = groups.persist(_MAD)
+        g_small = (
+            groups.select(mcols[0]).limit(BRUTE_MAX_GROUPS + 1).count()
+            <= BRUTE_MAX_GROUPS
+        )
+        if not g_small:
+            # beyond exact-enumeration reach: banded scale path (the
+            # probe's materialized masks are abandoned — one extra
+            # corpus pass in the crossover regime, paid once)
+            return _lsh_pairs_general(tok)
     ga = groups.select(
         *[F.col(c).alias(a_of(c)) for c in mcols], F.col("n").alias("na")
     )
@@ -485,10 +503,15 @@ def _wide_brute_pairs(tok: DataFrame, n_words: int) -> DataFrame:
     db = masks.select(
         *[F.col(c).alias(b_of(c)) for c in mcols], F.col("doc_id").alias("db")
     )
+    if n_docs_hint <= BRUTE_MAX_GROUPS:
+        # the doc dims are n_docs rows — broadcastable only when the
+        # DOC count is small, not merely g (the g-probed regime can
+        # hold with huge n over few sets; there AQE picks the strategy)
+        da, db = F.broadcast(da), F.broadcast(db)
     return (
         cross.unionByName(self_pairs)
-        .join(F.broadcast(da), [a_of(c) for c in mcols])
-        .join(F.broadcast(db), [b_of(c) for c in mcols])
+        .join(da, [a_of(c) for c in mcols])
+        .join(db, [b_of(c) for c in mcols])
         .filter((sa != sb) | (F.col("da") < F.col("db")))
         .select(
             F.least("da", "db").alias("doc_a"),

@@ -88,6 +88,14 @@ def test_minhash_lsh_paths_agree(spark, monkeypatch):
 
     wide = run()  # vocab=70 > MASK_MAX_VOCAB, ≤ WIDE_MAX_VOCAB → 2-word masks
     assert [(a, b) for a, b, _ in wide] == [(1, 2), (1, 3), (2, 3)]
+    # wide g-probe: 3 distinct sets over 4 docs — with the threshold
+    # between g and n the bounded probe keeps the exact wide branch...
+    monkeypatch.setattr(dedup, "BRUTE_MAX_GROUPS", 3)
+    assert run() == wide
+    # ...and below g it falls back to the banded general path
+    monkeypatch.setattr(dedup, "BRUTE_MAX_GROUPS", 2)
+    assert run() == wide
+    monkeypatch.setattr(dedup, "BRUTE_MAX_GROUPS", 20_000)
     # force the exact token-join path (big vocab, within oracle reach)
     monkeypatch.setattr(dedup, "WIDE_MAX_VOCAB", dedup.MASK_MAX_VOCAB)
     exact = run()
