@@ -103,15 +103,13 @@ class CmdbEngine:
     # -- corpus ----------------------------------------------------------
     def near_dup_pairs(self, docs: DataFrame) -> DataFrame:
         """MinHash/LSH near-duplicate (doc_a, doc_b, jaccard) pairs
-        over a (doc_id, text) frame (j2 machinery; cost-based
-        masked/brute/banded strategy, degenerate-bucket cap)."""
+        over a (doc_id, text) frame — the SAME strategy dispatch as
+        the registered j2 query (masked / wide-mask / exact token-join
+        / banded, exactness gated by distinct-set count): the facade
+        can never diverge from the oracle-checked machinery."""
         from pyspark.sql import functions as F
 
-        from .llm.dedup import (
-            MASK_MAX_VOCAB,
-            _lsh_pairs_general,
-            _lsh_pairs_masked,
-        )
+        from .llm.dedup import lsh_pairs
 
         tok = docs.select(
             "doc_id",
@@ -119,13 +117,7 @@ class CmdbEngine:
                 "tok"
             ),
         )
-        fits_mask = (
-            tok.select("tok").distinct().limit(MASK_MAX_VOCAB + 1).count()
-            <= MASK_MAX_VOCAB
-        )
-        if fits_mask:
-            return _lsh_pairs_masked(tok, docs.count())
-        return _lsh_pairs_general(tok)
+        return lsh_pairs(tok, docs.count())
 
     def dup_clusters(self, docs: DataFrame) -> DataFrame:
         """Near-dup clusters (doc_id, component): j2 pairs collapsed

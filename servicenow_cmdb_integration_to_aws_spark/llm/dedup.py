@@ -387,29 +387,34 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths by doc count. Hash family: xxhash64 over a seed-prefixed
     token (fixed seeds → fully deterministic)."""
     tok = _tokens(spark, sf_dir)
+    return lsh_pairs(tok, scan(spark, sf_dir, "documents").count())
 
-    # Adaptive strategy, picked by one BOUNDED vocabulary probe
-    # (distinct().limit(993).count() — never scans past 993 distinct
-    # tokens) plus the metadata-only doc count:
-    #   v ≤ 62                      → single-BIGINT masked path
-    #     (collapse identical sets, brute or banded by group count);
-    #   v ≤ 992 and docs ≤ 20k     → wide-mask EXACT brute path
-    #     (⌈v/62⌉ BIGINT words, codegen popcount Jaccard);
-    #   else                        → doc-level banded LSH (the 100 TB
-    #     regime: approximate only on corpora dense enough that pair
-    #     enumeration is itself the wrong query — see j16/j36).
+
+def lsh_pairs(tok: DataFrame, n_docs: int) -> DataFrame:
+    """Strategy dispatch for near-dup pair enumeration over a
+    ``(doc_id, tok)`` frame — j2's machinery, also the engine behind
+    ``CmdbEngine.near_dup_pairs`` so the API facade and the registered
+    query can never diverge. Picked by one BOUNDED vocabulary probe
+    (distinct().limit(993).count() — never scans past 993 distinct
+    tokens) plus the caller-supplied doc count:
+
+    - v ≤ 62                 → single-BIGINT masked path (collapse
+      identical sets; brute if g ≤ 20k — probed boundedly — else
+      set-level banded LSH);
+    - v ≤ 992                → wide-mask path (⌈v/62⌉ BIGINT words,
+      codegen popcount Jaccard; same g gate, banded fallback);
+    - docs ≤ 20k             → exact token-join (the oracle's own
+      co-keyed plan over distinct sets);
+    - else                   → doc-level banded LSH (the 100 TB
+      regime: approximate only on corpora dense enough that pair
+      enumeration is itself the wrong query — see j16/j36)."""
     v = tok.select("tok").distinct().limit(WIDE_MAX_VOCAB + 1).count()
     if v <= MASK_MAX_VOCAB:
-        return _lsh_pairs_masked(tok, scan(spark, sf_dir, "documents").count())
-    n_docs = scan(spark, sf_dir, "documents").count()
+        return _lsh_pairs_masked(tok, n_docs)
     if v <= WIDE_MAX_VOCAB:
         n_words = -(-v // MASK_WORD_BITS)  # ceil
         return _wide_brute_pairs(tok, n_words, n_docs)
     if n_docs <= BRUTE_MAX_GROUPS:
-        # big vocab but the corpus is within exact-pair-enumeration
-        # reach: run the oracle's own co-keyed token join over
-        # distinct sets — exact in every regime the driver's oracle
-        # itself can compute.
         return _exact_pairs_token_join(tok)
     return _lsh_pairs_general(tok)
 
