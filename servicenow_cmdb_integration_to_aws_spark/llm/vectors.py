@@ -251,7 +251,8 @@ def j6_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     best AS (
         SELECT label FROM csim, q
-        ORDER BY cdot / (cn * {_SQL_NORM.format(a='qv')}) DESC, label LIMIT 2
+        ORDER BY round(cdot / (cn * {_SQL_NORM.format(a='qv')}), 6) DESC,
+                 label LIMIT 2
     ),
     scored AS (
         SELECT vec_id,
@@ -290,9 +291,17 @@ def j3b_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     csim = cq.groupBy("label").agg(
         F.sum("prod").alias("cdot"), F.sqrt(F.sum("c2")).alias("cn")
     )
+    # cell score ROUNDED before ordering: with bit-identical duplicate
+    # centroids (clone cells) the unrounded score ties only up to
+    # engine-specific summation order, so the "best 2 cells" pick could
+    # diverge across engines at the tie; 6dp quantization makes the
+    # (score, label) order key deterministic on both sides.
     best = (
         csim.crossJoin(F.broadcast(q))
-        .select("label", (F.col("cdot") / (F.col("cn") * l2norm("qv"))).alias("s"))
+        .select(
+            "label",
+            F.round(F.col("cdot") / (F.col("cn") * l2norm("qv")), 6).alias("s"),
+        )
         .orderBy(F.col("s").desc(), "label")
         .limit(2)
         .select("label")

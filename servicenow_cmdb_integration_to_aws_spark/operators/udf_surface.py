@@ -134,10 +134,17 @@ def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "k4_pandas_udaf",
     oracle="""
-    WITH b AS (SELECT event_type,
-                      quantile_cont(value, 0.1) AS lo,
-                      quantile_cont(value, 0.9) AS hi
-               FROM events GROUP BY event_type)
+    WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value) - 1 AS rk,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM events),
+    b AS (SELECT event_type,
+                 MAX(CASE WHEN rk = CAST(floor((n-1)*0.1) AS BIGINT)
+                          THEN value END) AS lo,
+                 MAX(CASE WHEN rk = CAST(ceil((n-1)*0.9) AS BIGINT)
+                          THEN value END) AS hi
+          FROM r GROUP BY event_type)
     SELECT e.event_type, ROUND(AVG(e.value), 6) AS trimmed_mean_value
     FROM events e JOIN b USING (event_type)
     WHERE e.value >= b.lo AND e.value <= b.hi
@@ -149,11 +156,15 @@ def k4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (drop top/bottom 10%) — a UDAF Spark has no builtin for.
 
     Oracle-parity notes: values sort before the mean (fixes float
-    accumulation order under nondeterministic shuffle arrival), the
-    result rounds to 6dp on both sides, and pandas' linear-interpolated
-    quantile is the same estimator as DuckDB's quantile_cont — both
-    interpolate between the order statistics at (n-1)*q, so the
-    trim-boundary row set is identical.
+    accumulation order under nondeterministic shuffle arrival) and the
+    result rounds to 6dp on both sides. The trim bounds are exact ORDER
+    STATISTICS — v[floor((n−1)·0.1)] and v[ceil((n−1)·0.9)] — NOT
+    interpolated quantiles: two engines interpolating the same quantile
+    evaluate different floating expressions (v[f]+(v[c]−v[f])·t vs a
+    fused lerp), and on a tie-heavy corpus the last-ulp difference in
+    the bound flips a whole duplicate cluster in or out of the trim
+    window (caught by the 4x duplicated-corpus differential sweep, r7).
+    An exact data element is bit-identical in any engine.
 
     100 TB notes: a grouped-AGGREGATE pandas UDF ships each group's
     full value series to one Python worker — with a handful of
@@ -167,7 +178,10 @@ def k4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
         v = v.sort_values()
-        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        # exact order statistics ('lower'/'higher' = v[floor((n-1)q)] /
+        # v[ceil((n-1)q)]) — see the docstring's oracle-parity note
+        lo = v.quantile(0.1, interpolation="lower")
+        hi = v.quantile(0.9, interpolation="higher")
         inner = v[(v >= lo) & (v <= hi)]
         return round(float(inner.mean()), 6) if len(inner) else float("nan")
 
