@@ -1,0 +1,92 @@
+"""Build a tie-amplifier corpus for differential fuzzing.
+
+Copies an sf dir with value columns QUANTIZED to force mass ordering
+ties (prices to 1000s/100s, event timestamps to hours, values to
+integers, account balances to 100s) while keeping schemas, key
+uniqueness, and referential integrity intact. Ties are the inputs the
+real sf corpora never exercise: every top-k boundary, rank
+assignment, window frame, and as-of tie rule must be deterministic in
+BOTH engines or the driver's value-hash comparison diverges — the
+class the r7 4x duplicate-amplifier sweep caught twice (j3b unrounded
+IVF cell score, k4 interpolated trim bounds).
+
+Usage:
+    python tools/make_tie_corpus.py [--src /root/testdata/sf0.001] \
+        [--out /tmp/ties]
+    python tools/check_parity.py --sf /tmp/ties          # the sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+TRANSFORMS = {
+    "orders": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus,"
+        " CAST(round(o_totalprice, -3) AS DOUBLE) AS o_totalprice,"
+        " o_orderdate, o_orderpriority FROM t"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " l_quantity, CAST(round(l_extendedprice, -2) AS DOUBLE) AS"
+        " l_extendedprice, l_discount, l_tax, l_returnflag,"
+        " l_linestatus, l_shipdate FROM t"
+    ),
+    "events": (
+        "SELECT event_id, date_trunc('hour', ts) AS ts, user_id,"
+        " event_type, CAST(round(value, 0) AS DOUBLE) AS value, props"
+        " FROM t"
+    ),
+    "customer": (
+        "SELECT c_custkey, c_name, c_nationkey,"
+        " CAST(round(c_acctbal, -2) AS DOUBLE) AS c_acctbal,"
+        " c_mktsegment FROM t"
+    ),
+    "supplier": (
+        "SELECT s_suppkey, s_name, s_nationkey,"
+        " CAST(round(s_acctbal, -2) AS DOUBLE) AS s_acctbal FROM t"
+    ),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/ties")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = f"{args.src}/{t}.parquet"
+        q = TRANSFORMS.get(t)
+        if q is None:
+            shutil.copy(p, f"{args.out}/{t}.parquet")
+            continue
+        cols_src = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{p}')"
+            ).fetchall()
+        ]
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{p}')"
+        )
+        cols_out = [r[0] for r in con.execute(f"DESCRIBE {q}").fetchall()]
+        assert cols_src == cols_out, (t, cols_src, cols_out)
+        con.execute(f"COPY ({q}) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"{t}: tied")
+    print(f"tie corpus at {args.out}")
+
+
+if __name__ == "__main__":
+    main()
