@@ -58,17 +58,52 @@ TRANSFORMS = {
 }
 
 
+#: --nulls mode: deterministic 10% NULLs in non-key value columns —
+#: the null-placement / null-arithmetic amplifier (Spark orders NULLS
+#: FIRST asc, DuckDB NULLS LAST; UDFs see None; ANSI division traps).
+#: r7 diagnostic sweep: 258/266 green, 8 triaged in SCALING.md.
+NULL_TRANSFORMS = {
+    "orders": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus,"
+        " CASE WHEN o_orderkey % 10 = 3 THEN NULL ELSE o_totalprice END"
+        " AS o_totalprice, o_orderdate, o_orderpriority FROM t"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " l_quantity, CASE WHEN (l_orderkey + l_linenumber) % 10 = 3"
+        " THEN NULL ELSE l_extendedprice END AS l_extendedprice,"
+        " l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+        " FROM t"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id, event_type,"
+        " CASE WHEN event_id % 10 = 3 THEN NULL ELSE value END AS value,"
+        " props FROM t"
+    ),
+    "customer": (
+        "SELECT c_custkey, c_name, c_nationkey,"
+        " CASE WHEN c_custkey % 10 = 3 THEN NULL ELSE c_acctbal END"
+        " AS c_acctbal, c_mktsegment FROM t"
+    ),
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="/tmp/ties")
+    ap.add_argument(
+        "--nulls", action="store_true",
+        help="inject NULLs instead of quantizing (null-amplifier mode)",
+    )
     args = ap.parse_args()
+    transforms = NULL_TRANSFORMS if args.nulls else TRANSFORMS
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{args.src}/{t}.parquet"
-        q = TRANSFORMS.get(t)
+        q = transforms.get(t)
         if q is None:
             shutil.copy(p, f"{args.out}/{t}.parquet")
             continue
