@@ -28,7 +28,8 @@ from ..sources.tables import scan
     "k1_udf_scalar",
     oracle="""
     SELECT c_custkey,
-           CASE WHEN c_acctbal < 0 THEN 'neg'
+           CASE WHEN c_acctbal IS NULL THEN NULL
+                WHEN c_acctbal < 0 THEN 'neg'
                 WHEN c_acctbal < 5000 THEN 'mid'
                 ELSE 'high' END AS tier
     FROM customer
@@ -36,10 +37,14 @@ from ..sources.tables import scan
 )
 def k1_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-wise Python UDF (k1) — discouraged escape hatch; the oracle
-    checks the re-expressed SQL (SURVEY §2 K note)."""
+    checks the re-expressed SQL (SURVEY §2 K note). NULL in → NULL out
+    on both sides (a bare CASE would silently tier NULL as 'high', and
+    `None < 0` raises in Python — the r7 null-amplifier finding)."""
 
     @udf("string")
     def tier(bal: float) -> str:
+        if bal is None:
+            return None
         if bal < 0:
             return "neg"
         if bal < 5000:

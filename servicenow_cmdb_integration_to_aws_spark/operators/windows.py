@@ -548,7 +548,12 @@ def e13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
-            F.round(num / den, 6).alias("ewma_value"),
+            # try_divide: den can be 0 only when the row AND all 7
+            # predecessors have NULL value — then the EWMA is honestly
+            # NULL instead of an ANSI DIVIDE_BY_ZERO task failure
+            # (caught by the r7 null-amplifier sweep; null-free
+            # corpora: den >= w0 > 0, bit-identical to plain division)
+            F.round(F.try_divide(num, den), 6).alias("ewma_value"),
         )
     )
 
