@@ -278,8 +278,8 @@ def i6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US}
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
-             AS total_cents
+           CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents
     FROM e GROUP BY user_id
     """,
 )
@@ -302,7 +302,12 @@ def i7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            cents += int(np.floor(pdf["value"].to_numpy() * 100.0).sum())
+            # nansum: NULL values arrive as NaN and must be skipped
+            # like SQL SUM does (plain .sum() poisons the total and
+            # int(NaN) kills the task — the r7 null-amplifier
+            # finding); the counter contract is 0 for all-null keys
+            # (COALESCE(...,0) on the oracle side)
+            cents += int(np.nansum(np.floor(pdf["value"].to_numpy() * 100.0)))
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
