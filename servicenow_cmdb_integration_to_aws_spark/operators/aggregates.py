@@ -938,7 +938,9 @@ def d25_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(l_quantity AS BIGINT)) OVER (
                    PARTITION BY l_returnflag
                ) AS total
-        FROM lineitem
+        -- a NULL value carries no weight: weighted_median() filters
+        -- null v (r6 advisory hardening), mirrored here (r7 null sweep)
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     q AS (
         SELECT l_returnflag, v,

@@ -205,7 +205,7 @@ def t4_golden_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTILE(4) OVER w AS quartile,
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cume
-    FROM customer
+    FROM customer WHERE c_acctbal IS NOT NULL
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
 )
@@ -215,7 +215,10 @@ def e9_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality-score quantiles per language is the [NS] use). One
     shuffle on the partition key; ties broken by c_custkey so
     percent_rank/cume_dist are deterministic cross-engine."""
-    c = scan(spark, sf_dir, "customer")
+    # a NULL score carries no rank: filtered on BOTH sides, else the
+    # engines' opposite null placement (Spark NULLS FIRST asc, DuckDB
+    # NULLS LAST) shifts every rank denominator (r7 null sweep)
+    c = scan(spark, sf_dir, "customer").where(F.col("c_acctbal").isNotNull())
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",

@@ -143,7 +143,10 @@ def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                       row_number() OVER (PARTITION BY event_type
                                          ORDER BY value) - 1 AS rk,
                       COUNT(*) OVER (PARTITION BY event_type) AS n
-               FROM events),
+               -- NULLs carry no order statistic: pandas quantile skips
+               -- NaN, so the bound indices count non-null values only
+               -- (r7 null sweep)
+               FROM events WHERE value IS NOT NULL),
     b AS (SELECT event_type,
                  MAX(CASE WHEN rk = CAST(floor((n-1)*0.1) AS BIGINT)
                           THEN value END) AS lo,

@@ -160,7 +160,7 @@ def e5_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER w AS BIGINT) AS n_in_band,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
              AS band_sum
-    FROM orders
+    FROM orders WHERE o_totalprice IS NOT NULL
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
                  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
     """,
@@ -183,9 +183,12 @@ def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH data AS (
+            -- a NULL price has no band: filtered on BOTH sides (the
+            -- engines' opposite null placement would also poison the
+            -- prefix counts in this decomposition; r7 null sweep)
             SELECT o_orderkey, o_orderpriority, o_totalprice,
                    CAST(o_totalprice AS DECIMAL(18,2)) AS p_dec
-            FROM e6_orders
+            FROM e6_orders WHERE o_totalprice IS NOT NULL
         ),
         cum AS (  -- inclusive prefix: count/sum of rows with price <= p
             SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -565,7 +568,7 @@ def e13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type,
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cume
-    FROM e
+    FROM e WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
 )
@@ -588,10 +591,17 @@ def e15_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning is the skew warning case — the production form
     partitions by (type, time-bucket) and recombines, same as d19's
     hierarchy."""
+    # a NULL value carries no rank: filtered on BOTH sides, else the
+    # engines' opposite null placement (Spark NULLS FIRST asc, DuckDB
+    # NULLS LAST) shifts every rank denominator (r7 null sweep)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return scan(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+    return (
+        scan(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
     )
