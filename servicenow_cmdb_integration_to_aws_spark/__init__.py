@@ -156,6 +156,26 @@ _DRIVER_GREEN = frozenset(
         "m1_binary_features", "m2_binary_meta_join", "m6_binary_dedup",
         "m7_modality_router", "p8_encoded_stream", "t10_cohort",
         "t9_funnel",
+        # r7 pass (50/50 green in CORRECTNESS_r07.json — the driver
+        # fronted the never-checked backlog; 22 ids remain with no
+        # driver row and lead the r8 order, ~70 s of sf0.01 work total)
+        "a21_observed_metrics", "a23_corrupt_tolerant_scan",
+        "a24_permissive_json", "a6_sink_csv_json", "b15_dynamic_pruning",
+        "b18_lateral_topk", "b19_scalar_subquery", "c14_range_join",
+        "c15_join_asof_fwd", "c20_join_hints", "d17_approx_percentile",
+        "d18_hll_merge", "d21_zscore_outliers", "d22_corr_moments",
+        "d23_histogram", "d24_argmax_mode", "d25_bitmap_distinct",
+        "d26_weighted_median", "f6_keyset_page", "f7_exact_k_sample",
+        "f8_stratified_exact_k", "g7_delta_detect", "g8_orphan_audit",
+        "k10_sql_udf", "k8_arrow_grouped", "m3_frame_sample",
+        "p10_text_search", "p11_parameterized_sql", "p1_encoded_filter",
+        "p2_encoded_nq", "p3_encoded_ops", "p4_encoded_dotwalk",
+        "p5_dotwalk_select", "p6_encoded_agg", "p7_sql_passthrough",
+        "p9_sql_recursive", "t11_golden_q2", "t12_golden_q21",
+        "t13_golden_q4", "t14_golden_q7", "t15_golden_q17",
+        "t16_golden_q22", "t17_golden_q11", "t1_golden_q3",
+        "t2_golden_q5", "t3_golden_q10", "t5_golden_q12",
+        "t6_golden_q14", "t7_golden_q19", "t8_pipeline_curate",
     }
 )
 
