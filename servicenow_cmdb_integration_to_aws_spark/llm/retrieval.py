@@ -326,6 +326,13 @@ def j38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LEV_PREFIX = 48  # chars compared
 _LEV_BUCKET = 16  # n_chars blocking width
+#: printable-ASCII projection applied to the compared prefix on BOTH
+#: engine and oracle sides. DuckDB's levenshtein counts UTF-8 BYTES,
+#: Spark's (and the Myers kernel's) counts CODEPOINTS — they agree
+#: only when the compared strings are pure ASCII, so a unicode-bearing
+#: corpus would silently diverge. Restricting both sides to the same
+#: ASCII subsequence makes byte==codepoint by construction.
+_LEV_ASCII_RE = r"[^\x20-\x7E]"
 
 
 @query(
@@ -333,7 +340,8 @@ _LEV_BUCKET = 16  # n_chars blocking width
     oracle=f"""
     WITH d AS (
         SELECT doc_id, lang, n_chars // {_LEV_BUCKET} AS bucket,
-               substr(text, 1, {_LEV_PREFIX}) AS prefix
+               substr(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'),
+                      1, {_LEV_PREFIX}) AS prefix
         FROM documents
     ),
     pairs AS (
@@ -354,10 +362,19 @@ _LEV_BUCKET = 16  # n_chars blocking width
 def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance nearest neighbour (j39): per document, the
     closest other document by Levenshtein distance on a 48-char
-    prefix, candidates blocked by (lang, length-bucket) — the typo-
-    tolerant near-match primitive (OCR-noise dedup, template
-    detection) that hash families like j2/j2b structurally miss
-    (one character edit changes every shingle).
+    prefix of the text's printable-ASCII projection, candidates
+    blocked by (lang, length-bucket) — the typo-tolerant near-match
+    primitive (OCR-noise dedup, template detection) that hash
+    families like j2/j2b structurally miss (one character edit
+    changes every shingle).
+
+    UNICODE CONTRACT: the prefix is taken AFTER stripping non-ASCII
+    (``_LEV_ASCII_RE``, applied identically in the oracle) because the
+    two engines count different units — DuckDB levenshtein is UTF-8
+    bytes, Spark/Myers is codepoints. On the ASCII subsequence the
+    units coincide, so the comparison is engine-independent for ANY
+    corpus, not just an ASCII-only one (pinned by the unicode parity
+    unit test).
 
     Determinism: argmin tie-breaks on the neighbour id; Levenshtein
     is integer-exact in both engines (and in the kernel below).
@@ -385,7 +402,9 @@ def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.col("n_chars") / _LEV_BUCKET).cast("int").alias("bucket"),
-        F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
+        F.substring(
+            F.regexp_replace("text", _LEV_ASCII_RE, ""), 1, _LEV_PREFIX
+        ).alias("prefix"),
     )
 
     def nn(pdf):

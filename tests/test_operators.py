@@ -1042,6 +1042,50 @@ def test_edit_distance_nn_finds_planted_pair(spark):
     assert out[4][1] > 1
 
 
+def test_edit_distance_nn_unicode_parity(spark):
+    """j39: on a unicode-bearing corpus the Spark result and the
+    DuckDB oracle agree EXACTLY. This is the cross-engine trap the
+    ASCII projection exists for: DuckDB levenshtein counts UTF-8
+    bytes ('é' = 2), Spark counts codepoints ('é' = 1) — without the
+    identical non-ASCII strip on both sides, doc 1 vs doc 2 below
+    scores 2 in DuckDB and 1 in Spark and parity reds overnight on
+    any testdata regen that introduces unicode text."""
+    import duckdb
+
+    from servicenow_cmdb_integration_to_aws_spark.registry import ORACLE, QUERIES
+
+    d = _docs_fixture(
+        spark,
+        [
+            # é (2 UTF-8 bytes) inside the compared prefix
+            (1, "héllo wörld the quick brown fox jumps over", "en", "s", 100),
+            (2, "hello world the quick brown fox jumps over", "en", "s", 100),
+            # CJK + emoji: 3- and 4-byte sequences
+            (3, "日本語テキスト the quick brown fox jumps 🚀 over", "en", "s", 100),
+            (4, "the quick brown fox jumps over dogs today!", "en", "s", 100),
+        ],
+    )
+    got = sorted(
+        (r["doc_id"], r["other_id"], r["dist"])
+        for r in QUERIES["j39_edit_distance_nn"](spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.execute(ORACLE["j39_edit_distance_nn"]).fetchall()
+    )
+    con.close()
+    assert got == want
+    # the planted near-pair survives the strip: both reduce to the
+    # same ASCII subsequence shape, distance counted identically
+    by_doc = {a: (b, c) for a, b, c in got}
+    assert by_doc[1][0] == 2
+
+
 def test_pagerank_sums_to_one_and_ranks_suppliers(spark, sf_dir):
     """c16: final ranks are positive; suppliers (many inbound edges)
     outrank customers in the top-20 of the bipartite shipment graph."""
