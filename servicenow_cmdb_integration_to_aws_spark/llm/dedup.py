@@ -470,7 +470,13 @@ def _wide_brute_pairs(
         if not g_small:
             # beyond exact-enumeration reach: banded scale path (the
             # probe's materialized masks are abandoned — one extra
-            # corpus pass in the crossover regime, paid once)
+            # corpus pass in the crossover regime, paid once). Free
+            # the dead cached blocks NOW: leaving them to the
+            # ContextCleaner means repeated invocations in a long
+            # driver session accumulate MEMORY_AND_DISK blocks
+            # nondeterministically.
+            masks.unpersist(blocking=False)
+            groups.unpersist(blocking=False)
             return _lsh_pairs_general(tok)
     ga = groups.select(
         *[F.col(c).alias(a_of(c)) for c in mcols], F.col("n").alias("na")

@@ -109,10 +109,23 @@ def bucketed_table_names(sf_dir: str) -> tuple[str, str]:
     from ..sources.tables import path_of
 
     def _fp(name: str) -> str:
-        st = os.stat(path_of(sf_dir, name))
-        return hashlib.md5(
-            f"{st.st_size}:{st.st_mtime_ns}".encode()
-        ).hexdigest()[:10]
+        # Directory-layout tables: a directory inode's size/mtime does
+        # NOT change when part files are rewritten in place, so the
+        # fingerprint walks the part files themselves (sorted
+        # name:size:mtime triples) — a regen of any part mints a new
+        # table name either way.
+        p = path_of(sf_dir, name)
+        if os.path.isdir(p):
+            parts = []
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(p, f))
+                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            key = "|".join(parts) or "empty"
+        else:
+            st = os.stat(p)
+            key = f"{st.st_size}:{st.st_mtime_ns}"
+        return hashlib.md5(key.encode()).hexdigest()[:10]
 
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     return (

@@ -74,17 +74,27 @@ def _footer_max(path: str, col: str):
         if _os.path.isdir(path)
         else [path]
     )
+    if not files:
+        raise FileNotFoundError(f"no parquet part files under {path}")
     mk = None
     for f in files:
         md = pq.ParquetFile(f).metadata
         ci = next(
             i for i in range(len(md.schema)) if md.schema.column(i).name == col
         )
-        m = max(
-            md.row_group(g).column(ci).statistics.max
-            for g in range(md.num_row_groups)
+        for g in range(md.num_row_groups):
+            # a writer may omit column statistics per row group; a
+            # stats-less chunk is skipped, never dereferenced
+            st = md.row_group(g).column(ci).statistics
+            if st is None or st.max is None:
+                continue
+            mk = st.max if mk is None else max(mk, st.max)
+    if mk is None:
+        raise ValueError(
+            f"no row-group statistics for column {col!r} in any part "
+            f"file under {path}; the footer-only planner needs stats "
+            "(rewrite the table with statistics enabled)"
         )
-        mk = m if mk is None else max(mk, m)
     return mk
 
 
