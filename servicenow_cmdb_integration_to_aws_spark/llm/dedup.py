@@ -29,7 +29,7 @@ near-duplicate detection, built entirely from native Spark expressions
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -974,4 +974,158 @@ def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .select("doc_a", "doc_b", cont.alias("containment"))
         .filter(F.col("containment") >= _J52_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# j53 — exact repeated-substring dedup (suffix-array family)
+
+#: minimum repeat length in WORDS. Lee et al. 2022 ("Deduplicating
+#: Training Data Makes Language Models Better" [NS]) use 50 BPE
+#: tokens; the synthetic corpus averages ~54 words/doc, so 8 words
+#: exercises both the removal and the keep path (~9% of gram
+#: occurrences are duplicated at sf0.01).
+SUB_K = 8
+
+
+@query(
+    "j53_substring_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS word, w
+        FROM d
+    ),
+    flagged AS (
+        SELECT doc_id, n_tokens, pos, word,
+               CASE WHEN pos <= n_tokens - {SUB_K} + 1 THEN
+                   md5(array_to_string(w[pos:pos + {SUB_K} - 1], ' '))
+               END AS gh
+        FROM tok
+    ),
+    freq AS (
+        SELECT gh, COUNT(*) AS c FROM flagged WHERE gh IS NOT NULL
+        GROUP BY gh
+    ),
+    starts AS (
+        SELECT f.doc_id, f.n_tokens, f.pos, f.word,
+               CASE WHEN fr.c >= 2 THEN 1 ELSE 0 END AS dup_start
+        FROM flagged f LEFT JOIN freq fr ON f.gh = fr.gh
+    ),
+    cov AS (
+        SELECT doc_id, n_tokens, pos, word,
+               MAX(dup_start) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {SUB_K - 1} PRECEDING AND CURRENT ROW
+               ) AS covered
+        FROM starts
+    ),
+    runs AS (
+        SELECT doc_id, n_tokens, pos, word, covered,
+               CASE WHEN covered = 1 AND COALESCE(LAG(covered) OVER (
+                   PARTITION BY doc_id ORDER BY pos), 0) = 0
+               THEN 1 ELSE 0 END AS span_start
+        FROM cov
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(covered) AS BIGINT) AS n_dup_tokens,
+           CAST(SUM(span_start) AS BIGINT) AS n_dup_spans,
+           COALESCE(string_agg(CASE WHEN covered = 0 THEN word END,
+                               ' ' ORDER BY pos), '') AS cleaned_text
+    FROM runs
+    GROUP BY doc_id
+    """,
+)
+def j53_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (j53, [NS]): remove every token
+    covered by a substring of ≥ SUB_K words that occurs ≥2 times
+    ANYWHERE in the corpus (including within the same document) — the
+    Lee-et-al-2022 suffix-array dedup standard, at word granularity.
+    j27's fixed-width chunks miss arbitrary-offset repeats and j32
+    only fingerprints them; this id removes them exactly.
+
+    EQUIVALENCE (why no suffix array is needed for detection): a
+    repeated substring of length L ≥ K contains L−K+1 duplicated
+    K-grams, and every duplicated K-gram IS a repeated K-substring —
+    so the token set covered by repeats of length ≥ K equals the
+    union of duplicated-K-gram spans. That union is computable as:
+    gram-frequency agg → per-position coverage via a K-wide running
+    MAX window → island merge via LAG, all native expressions in both
+    engines. (A suffix array adds the maximal-match LENGTH, which the
+    removal decision never needs.)
+
+    Emits per doc: token count, covered-token count, merged span
+    count, and the document with covered tokens removed.
+
+    100 TB notes: the gram explode is map-side over bounded K-word
+    slices; ONE shuffle keys gram digests for the frequency agg
+    (partial-agg friendly, hot-gram skew is absorbed by the count
+    combiner); the coverage/island windows ride a single doc_id
+    shuffle bounded by document length. Raw text crosses the wire
+    once, token-wise. The corpus-scale version keys the frequency agg
+    on 16-byte digests exactly as written here — a digest collision
+    merging two distinct grams is the standard accepted risk (md5:
+    ~2⁻⁶⁴ at petabyte gram counts)."""
+    d = spread(
+        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    tok = d.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.posexplode("w").alias("pos0", "word"),
+        "w",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.when(
+            F.col("pos0") + 1 <= F.col("n_tokens") - SUB_K + 1,
+            F.md5(F.array_join(F.slice("w", F.col("pos0") + 1, SUB_K), " ")),
+        ).alias("gh"),
+    )
+    freq = (
+        tok.filter(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    starts = tok.join(freq, "gh", "left").select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        "word",
+        F.when(F.col("c") >= 2, 1).otherwise(0).alias("dup_start"),
+    )
+    wcov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(SUB_K - 1), Window.currentRow)
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        starts.withColumn("covered", F.max("dup_start").over(wcov))
+        .withColumn(
+            "span_start",
+            F.when(
+                (F.col("covered") == 1)
+                & (F.coalesce(F.lag("covered").over(wlag), F.lit(0)) == 0),
+                1,
+            ).otherwise(0),
+        )
+    )
+    kept = F.when(F.col("covered") == 0, F.struct("pos", "word"))
+    return runs.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("covered").cast("long").alias("n_dup_tokens"),
+        F.sum("span_start").cast("long").alias("n_dup_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s.word
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )

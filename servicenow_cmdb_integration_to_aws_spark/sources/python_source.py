@@ -33,27 +33,76 @@ from ..sources.tables import path_of, scan
 
 PAGE_KEYS = 2_000  # orderkey span per page/partition
 
-#: per-worker-process memo of the paged table (path, mtime) → pyarrow
-#: Table — the stand-in for a real page server's response cache; keyed
-#: on mtime so a rewritten file invalidates.
+#: per-worker-process memo of the paged table → (pyarrow Table, sorted
+#: key ndarray | None) — the stand-in for a real page server's response
+#: cache; keyed on part-file size+mtime so a rewritten file (or an
+#: in-place part rewrite inside a directory table, whose directory
+#: inode does NOT change) invalidates.
 _PAGE_TABLES: dict = {}
 
 
-def _page_table(path: str):
+def _page_cache_key(path: str):
     import os as _os
 
+    if _os.path.isdir(path):
+        parts = tuple(
+            (f, st.st_size, st.st_mtime_ns)
+            for f in sorted(_os.listdir(path))
+            if f.endswith(".parquet")
+            for st in (_os.stat(_os.path.join(path, f)),)
+        )
+        return (path, parts)
+    st = _os.stat(path)
+    return (path, st.st_size, st.st_mtime_ns)
+
+
+def _page_table(path: str):
     import pyarrow.parquet as pq
 
-    key = (path, _os.stat(path).st_mtime_ns)
-    t = _PAGE_TABLES.get(key)
-    if t is None:
+    key = _page_cache_key(path)
+    hit = _PAGE_TABLES.get(key)
+    if hit is None:
+        import numpy as np
+
         while len(_PAGE_TABLES) >= 4:  # bound worker memory
             _PAGE_TABLES.pop(next(iter(_PAGE_TABLES)))
         t = pq.read_table(
             path, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
         )
-        _PAGE_TABLES[key] = t
-    return t
+        keys = t["o_orderkey"].to_numpy()
+        # keep the key vector only when it admits the O(log n) slice
+        sorted_keys = keys if np.all(np.diff(keys) >= 0) else None
+        hit = (t, sorted_keys)
+        _PAGE_TABLES[key] = hit
+    return hit
+
+
+def _page_slice(path: str, lo: int, hi: int):
+    """Arrow batches for key range [lo, hi) — the per-page read.
+
+    The r7 sweep excluded a18 because every page read re-filtered the
+    WHOLE cached table: O(pages × table) comparisons per micro-batch,
+    quadratic in table size at fixed page width. Export keys are
+    monotone in any keyset-paged export (that is what makes keyset
+    paging work), so the page is a binary-search SLICE of the one
+    cached decode — O(log n + page_rows) per page, O(table) total per
+    drain. The mask scan survives only as the fallback for an
+    unsorted key column. On the multi-row-group production layout the
+    same bound comes from footer row-group pruning before decode."""
+    import pyarrow.compute as pc
+
+    t, sorted_keys = _page_table(path)
+    if sorted_keys is not None:
+        import numpy as np
+
+        i0 = int(np.searchsorted(sorted_keys, lo, side="left"))
+        i1 = int(np.searchsorted(sorted_keys, hi, side="left"))
+        yield from t.slice(i0, i1 - i0).to_batches()
+        return
+    mask = pc.and_(
+        pc.greater_equal(t["o_orderkey"], lo), pc.less(t["o_orderkey"], hi)
+    )
+    yield from t.filter(mask).to_batches()
 
 
 def _footer_max(path: str, col: str):
@@ -133,15 +182,9 @@ class OrdersPageReader(DataSourceReader):
         # PROCESS (workers are reused) so N page tasks cost ~|workers|
         # file reads, not N — without the cache each task re-read and
         # re-decoded the whole file (measured 3.9 s for a 300-page
-        # read at sf0.1; ~1 s with it).
-        import pyarrow.compute as pc
-
-        t = _page_table(partition.path)
-        mask = pc.and_(
-            pc.greater_equal(t["o_orderkey"], partition.lo),
-            pc.less(t["o_orderkey"], partition.hi),
-        )
-        yield from t.filter(mask).to_batches()
+        # read at sf0.1; ~1 s with it). The page itself is a
+        # binary-search slice of the cached decode (_page_slice).
+        yield from _page_slice(partition.path, partition.lo, partition.hi)
 
 
 class OrdersPageSource(DataSource):
@@ -196,22 +239,21 @@ class OrdersPageStreamReader(DataSourceStreamReader):
     restart resumes from the last committed page (the REST
     `sysparm_offset` cursor, checkpoint-persisted by Spark)."""
 
-    PAGES_PER_BATCH = 4
-
     def __init__(self, options):
         self.path = options["path"]
-        self.max_key = int(options["max_key"])
-        self.n_pages = self.max_key // PAGE_KEYS + 1
 
     def initialOffset(self) -> dict:
         return {"page": 0}
 
     def latestOffset(self) -> dict:
         # a real endpoint reports its current export cursor here; the
-        # static fixture exposes every page immediately. Rate limiting
-        # to PAGES_PER_BATCH pages/micro-batch happens in partitions()
-        # planning via the start offset Spark hands back.
-        return {"page": self.n_pages}
+        # parquet stand-in's cursor is the footer max key, RE-PROBED
+        # per micro-batch from row-group statistics only (no data
+        # pages) — a growing table is planned from the footer
+        # max-key DELTA vs the committed offset Spark hands back to
+        # partitions(); the table itself is never walked to plan.
+        mk = _footer_max(self.path, "o_orderkey")
+        return {"page": mk // PAGE_KEYS + 1}
 
     def partitions(self, start: dict, end: dict):
         return [
@@ -220,14 +262,11 @@ class OrdersPageStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition):
-        import pyarrow.compute as pc
-
-        t = _page_table(partition.path)  # per-worker page cache (a17)
-        mask = pc.and_(
-            pc.greater_equal(t["o_orderkey"], partition.lo),
-            pc.less(t["o_orderkey"], partition.hi),
-        )
-        yield from t.filter(mask).to_batches()
+        # per-worker page cache + sorted-key slice (a17's _page_slice):
+        # a micro-batch of k pages costs one amortized decode plus k
+        # binary searches, not k full-table filter scans — the cost
+        # that kept a18 out of the r7 4x differential sweep.
+        yield from _page_slice(partition.path, partition.lo, partition.hi)
 
     def commit(self, end: dict) -> None:
         pass  # the fixture needs no ack; a REST cursor would ack here
@@ -278,11 +317,9 @@ def a18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_stream(spark)
     path = path_of(sf_dir, "orders")
-    mk = _footer_max(path, "o_orderkey")
     s = (
         spark.readStream.format("cmdb_pages_stream")
         .option("path", path)
-        .option("max_key", mk)
         .load()
     )
     return _run_to_memory(s)

@@ -854,6 +854,65 @@ def test_chunk_dedup_removes_shared_keeps_unique(spark):
     assert out[3]["cleaned_text"] == "seven eight nine ten eleven twelve"
 
 
+def test_substring_dedup_removes_arbitrary_offset_repeat(spark):
+    """j53: a SUB_K-word run repeated at DIFFERENT offsets in two docs
+    (the case j27's fixed-width chunk grid structurally misses) is
+    removed from both; a doc shorter than SUB_K words and a doc with
+    no repeats pass through untouched."""
+    from servicenow_cmdb_integration_to_aws_spark.llm.dedup import SUB_K
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    assert SUB_K == 8  # the planted fixtures below encode K=8 offsets
+    rep = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    d = _docs_fixture(
+        spark,
+        [
+            # repeat starts at offset 0 in doc 1, offset 2 in doc 2
+            (1, f"{rep} uniq1a uniq1b uniq1c", "en", "s", 1),
+            (2, f"pre2a pre2b {rep} tail2a", "en", "s", 1),
+            (3, "nine distinct words never repeated anywhere else ok", "en", "s", 1),
+            (4, "short doc", "en", "s", 1),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["j53_substring_dedup"](spark, d).collect()
+    }
+    assert out[1]["n_dup_tokens"] == 8 and out[1]["n_dup_spans"] == 1
+    assert out[1]["cleaned_text"] == "uniq1a uniq1b uniq1c"
+    assert out[2]["n_dup_tokens"] == 8 and out[2]["n_dup_spans"] == 1
+    assert out[2]["cleaned_text"] == "pre2a pre2b tail2a"
+    assert out[3]["n_dup_tokens"] == 0
+    assert out[3]["cleaned_text"].startswith("nine distinct")
+    assert out[4]["n_dup_tokens"] == 0 and out[4]["cleaned_text"] == "short doc"
+
+
+def test_substring_dedup_merges_overlapping_spans(spark):
+    """j53: a 10-word repeated run is covered by 3 overlapping dup
+    8-grams that must merge into ONE span of 10 tokens, and a
+    within-doc repeat counts (corpus-wide ≥2 occurrences includes the
+    same document)."""
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    run10 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    d = _docs_fixture(
+        spark,
+        [
+            (1, f"{run10} mid1a mid1b {run10}", "en", "s", 1),
+            (2, "totally different filler words occupy this document here", "en", "s", 1),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["j53_substring_dedup"](spark, d).collect()
+    }
+    # both copies of the run are removed (within-doc repeat); the two
+    # middle words survive as the only kept tokens
+    assert out[1]["n_dup_tokens"] == 20 and out[1]["n_dup_spans"] == 2
+    assert out[1]["cleaned_text"] == "mid1a mid1b"
+    assert out[2]["n_dup_tokens"] == 0
+
+
 def test_quality_classifier_orders_docs_sanely(spark):
     """j28: a diverse-vocab doc outscores a stopword-soup doc of the
     same length; the keep flag follows the 0.5 threshold."""
