@@ -256,9 +256,22 @@ class OrdersPageStreamReader(DataSourceStreamReader):
         return {"page": mk // PAGE_KEYS + 1}
 
     def partitions(self, start: dict, end: dict):
+        # Same task-count cap as the batch reader (a17): a fixed page
+        # width over a SPARSE key space must not make task count track
+        # the key SPAN — the r8 4x probe (keys shifted per copy, span
+        # 300M over 600k rows) planned ~150k near-empty tasks here and
+        # wedged the executor pool. Beyond the cap each task fetches k
+        # CONSECUTIVE pages with one cursor, exactly like a17.
+        n_pages = end["page"] - start["page"]
+        if n_pages <= 0:
+            return []
+        pages_per_part = -(-n_pages // OrdersPageReader.MAX_PARTITIONS)
+        span = PAGE_KEYS * pages_per_part
+        lo0 = start["page"] * PAGE_KEYS
+        hi0 = end["page"] * PAGE_KEYS
         return [
-            _PagePartition(p * PAGE_KEYS, (p + 1) * PAGE_KEYS, self.path)
-            for p in range(start["page"], end["page"])
+            _PagePartition(lo, min(lo + span, hi0), self.path)
+            for lo in range(lo0, hi0, span)
         ]
 
     def read(self, partition):
