@@ -845,3 +845,127 @@ def j50_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# j54 — incremental ANN index refresh (IVF stats from a change feed)
+
+#: deterministic change-feed simulation over `embeddings`:
+#: base = vec_id % 5 != 0; inserts = vec_id % 5 == 0; deletes = base
+#: vectors with vec_id % 7 == 3. Final corpus = base − deletes +
+#: inserts = everything except the deletes.
+_IVF_BASE_MOD, _IVF_INS_MOD, _IVF_DEL_MOD = 5, 5, 7
+
+
+@query(
+    "j54_incremental_ivf",
+    oracle="""
+    WITH fin AS (
+        SELECT * FROM embeddings
+        WHERE NOT (vec_id % 5 <> 0 AND vec_id % 7 = 3)
+    ),
+    cent AS (
+        SELECT label, pos,
+               SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*) AS c,
+               COUNT(*) AS n
+        FROM fin,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
+        GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           round(SUM(c), 6) AS centroid_sum,
+           round(sqrt(SUM(c * c)), 6) AS centroid_l2
+    FROM cent GROUP BY label ORDER BY label
+    """,
+)
+def j54_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index refresh (j54): maintain the j3b IVF index
+    from a CHANGE FEED without recomputing over the base corpus — the
+    streaming-index-maintenance gap named in the r7 verdict. The IVF
+    cell statistics (per-cell count + per-dimension value sums) form
+    an additive group, so a refresh is pure delta algebra:
+
+        refreshed(cell) = persisted(cell) + Σ inserts − Σ deletes
+
+    and the ORACLE proves the headline contract — the refreshed index
+    is EXACTLY the index a full batch rebuild over the post-change
+    corpus produces (the oracle computes the batch rebuild; the engine
+    runs base-build → persist → delta-merge and must hash-match it).
+
+    The change feed here is a deterministic simulation (base / insert
+    / delete split on vec_id residues); in production the delta rows
+    are a16's `SnapshotStore.changes()` output and the persisted stats
+    live beside the snapshot — the algebra is identical, and the
+    refresh job reads ONLY (persisted index stats, delta rows): this
+    query materializes the base index to parquet and builds the
+    refreshed index from that file, never re-touching base vectors.
+
+    100 TB notes: refresh cost is O(delta × dims) map-side explode +
+    one (label, pos)-keyed partial agg, merged against an index of
+    size cells × dims (tiny — it is the thing that fits in memory by
+    design); the corpus itself is scanned zero times. Cells emptied
+    by deletes drop out (n'=0 filter). Query-side j3b is unchanged:
+    it reads whatever stats table is current — index refresh and
+    index serving decouple exactly like a15 compaction vs readers."""
+    import tempfile
+
+    e = scan(spark, sf_dir, "embeddings")
+    elem = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        _D(F.col("val")).alias("val"),
+    )
+    is_base = F.col("vec_id") % _IVF_BASE_MOD != 0
+    is_del = is_base & (F.col("vec_id") % _IVF_DEL_MOD == 3)
+
+    # 1. base index build → persisted stats (the offline artifact)
+    idx_dir = tempfile.mkdtemp(prefix="j54_ivf_")
+    elem.filter(is_base).groupBy("label", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").parquet(idx_dir)
+
+    # 2. signed delta stats from the change feed (inserts +1, deletes −1)
+    delta = (
+        elem.filter(~is_base | is_del)
+        .withColumn("sign", F.when(is_del, F.lit(-1.0)).otherwise(F.lit(1.0)))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val") * F.col("sign")).alias("ds"),
+            F.sum("sign").cast("long").alias("dn"),
+        )
+    )
+
+    # 3. merge: persisted stats ⊕ delta — base vectors never re-read
+    merged = (
+        spark.read.parquet(idx_dir)
+        .join(delta, ["label", "pos"], "full_outer")
+        .select(
+            "label",
+            "pos",
+            (
+                F.coalesce(F.col("s"), F.lit(0.0))
+                + F.coalesce(F.col("ds"), F.lit(0.0))
+            ).alias("s2"),
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n2"),
+        )
+        .filter(F.col("n2") > 0)
+    )
+    c = F.col("s2") / F.col("n2")
+    return (
+        merged.groupBy("label")
+        .agg(
+            F.max("n2").cast("long").alias("n_vectors"),
+            F.round(F.sum(c), 6).alias("centroid_sum"),
+            F.round(F.sqrt(F.sum(c * c)), 6).alias("centroid_l2"),
+        )
+        .orderBy("label")
+    )

@@ -1145,6 +1145,49 @@ def test_edit_distance_nn_unicode_parity(spark):
     assert by_doc[1][0] == 2
 
 
+def test_incremental_ivf_equals_batch_rebuild(spark):
+    """j54: the delta-merged index equals a batch rebuild over the
+    post-change corpus — including the edge a naive refresh misses: a
+    cell whose every vector is deleted must DROP OUT of the index.
+    Fixture residues: base = id%5!=0, insert = id%5==0, delete = base
+    with id%7==3."""
+    import math
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.registry import QUERIES
+
+    rows = [
+        # label 7: only deleted base vectors (3, 38) → cell vanishes
+        (3, [1.0, 2.0], 7),
+        (38, [5.0, 6.0], 7),
+        # label 1: kept base (1), insert (10), deleted base (17)
+        (1, [2.0, 0.0], 1),
+        (10, [4.0, 2.0], 1),
+        (17, [100.0, 100.0], 1),
+        # label 2: kept base only (2, 4)
+        (2, [1.0, 1.0], 2),
+        (4, [3.0, 5.0], 2),
+    ]
+    d = tempfile.mkdtemp(prefix="ivffix_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = {
+        r["label"]: r for r in QUERIES["j54_incremental_ivf"](spark, d).collect()
+    }
+    assert 7 not in out  # emptied cell dropped
+    assert set(out) == {1, 2}
+    # label 1 batch rebuild: mean of (2,0) and (4,2) = (3,1)
+    assert out[1]["n_vectors"] == 2
+    assert out[1]["centroid_sum"] == 4.0
+    assert out[1]["centroid_l2"] == round(math.sqrt(10.0), 6)
+    # label 2: mean of (1,1) and (3,5) = (2,3)
+    assert out[2]["n_vectors"] == 2
+    assert out[2]["centroid_sum"] == 5.0
+    assert out[2]["centroid_l2"] == round(math.sqrt(13.0), 6)
+
+
 def test_pagerank_sums_to_one_and_ranks_suppliers(spark, sf_dir):
     """c16: final ranks are positive; suppliers (many inbound edges)
     outrank customers in the top-20 of the bipartite shipment graph."""
