@@ -88,6 +88,47 @@ NULL_TRANSFORMS = {
 }
 
 
+#: --unicode mode: deterministic multibyte text in the string columns
+#: the sf corpora keep pure-ASCII — the byte-length vs codepoint-length
+#: amplifier (DuckDB levenshtein counts UTF-8 bytes where Spark counts
+#:  codepoints — the j39 class; regex word classes, lower/upper
+#: mappings, substr offsets and LIKE all have the same latent split).
+#: Injections are common-case unicode a real testdata regen could
+#: plausibly contain: accented Latin (2-byte), Greek (2-byte), CJK
+#: (3-byte), one emoji (4-byte). Deliberately EXCLUDED: Turkish dotted
+#: İ and German ß whose case mappings genuinely differ between Java
+#: and ICU simple case folding — those are engine-divergent by spec,
+#: not latent bugs. n_chars is recomputed post-transform (the corpus
+#: invariant n_chars = length(text) holds for all rows in every sf).
+UNICODE_TRANSFORMS = {
+    "documents": (
+        "SELECT doc_id, text, lang, source,"
+        " CAST(length(text) AS BIGINT) AS n_chars FROM ("
+        "SELECT doc_id,"
+        " CASE doc_id % 4"
+        "   WHEN 1 THEN replace(replace(text, 'fast', 'fàst'),"
+        "                       'table', 'tâble')"
+        "   WHEN 2 THEN 'café δοκιμή ' || text || ' 東京 naïve'"
+        "   WHEN 3 THEN replace(text, 'data', '数据') || ' Über-résumé 🚀'"
+        "   ELSE text END AS text,"
+        " lang, source FROM t)"
+    ),
+    "part": (
+        "SELECT p_partkey,"
+        " CASE WHEN p_partkey % 5 = 2 THEN p_name || ' ñoño'"
+        " ELSE p_name END AS p_name,"
+        " p_brand, p_type, p_size, p_retailprice FROM t"
+    ),
+    "customer": (
+        "SELECT c_custkey,"
+        " CASE WHEN c_custkey % 7 = 2"
+        " THEN replace(c_name, 'Customer', 'Cüstömer')"
+        " ELSE c_name END AS c_name,"
+        " c_nationkey, c_acctbal, c_mktsegment FROM t"
+    ),
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
@@ -96,8 +137,15 @@ def main() -> None:
         "--nulls", action="store_true",
         help="inject NULLs instead of quantizing (null-amplifier mode)",
     )
+    ap.add_argument(
+        "--unicode", action="store_true",
+        help="inject multibyte text (byte-vs-codepoint amplifier mode)",
+    )
     args = ap.parse_args()
-    transforms = NULL_TRANSFORMS if args.nulls else TRANSFORMS
+    if args.unicode:
+        transforms = UNICODE_TRANSFORMS
+    else:
+        transforms = NULL_TRANSFORMS if args.nulls else TRANSFORMS
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
