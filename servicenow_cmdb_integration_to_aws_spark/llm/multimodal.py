@@ -139,8 +139,13 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
-           CAST(ascii(substring(text, length(text), 1)) AS BIGINT) AS last_byte,
+           CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS BIGINT)
+           END AS first_byte,
+           CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                ELSE CAST(('0x' || substr(hex(encode(text)),
+                                          octet_length(encode(text)) * 2 - 1, 2)) AS BIGINT)
+           END AS last_byte,
            md5(text) AS md5_hex
     FROM documents
     """,
@@ -149,7 +154,11 @@ def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline (m1): text → binary payload column →
     mapInPandas feature extraction. The payload column is genuine
     `binary`; the oracle recomputes the deterministic features from the
-    source text (ASCII corpus ⇒ first/last byte = first/last char)."""
+    source text BYTE-exactly for any unicode content: first/last byte
+    via hex(encode(text)) string arithmetic (DuckDB has no blob
+    slicing; ascii(substring(...)) would return the CODEPOINT of the
+    first/last char, which diverges from the payload byte on any
+    multibyte text — caught by the r8 unicode-amplifier sweep)."""
     d = scan(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -206,8 +215,15 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             kept = frames[::FRAME_STRIDE]
             n_frames.append(len(frames))
             n_sampled.append(len(kept))
+            # Fingerprint the frame via md5 of its UPPERCASE HEX (not the
+            # raw bytes): a frame boundary can split a multibyte UTF-8
+            # char, and DuckDB SQL cannot md5 an arbitrary byte slice
+            # (no blob slicing, md5(BLOB) unsupported) — hashing the hex
+            # keeps the oracle byte-exact on any unicode payload.
             first_md5.append(
-                hashlib.md5(kept[0]).hexdigest() if kept else ""
+                hashlib.md5(kept[0].hex().upper().encode()).hexdigest()
+                if kept
+                else ""
             )
         yield pd.DataFrame(
             {
@@ -223,19 +239,27 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "m3_frame_sample",
     oracle=f"""
     SELECT doc_id,
-           CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
-           CAST(ceil(ceil(length(text) / {FRAME_BYTES}.0)
+           CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT)
+               AS n_frames,
+           CAST(ceil(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)
                      / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
-           md5(substr(text, 1, {FRAME_BYTES})) AS first_frame_md5
+           CASE WHEN octet_length(encode(text)) = 0 THEN ''
+                ELSE md5(substr(hex(encode(text)), 1, {FRAME_BYTES * 2}))
+           END AS first_frame_md5
     FROM documents
     """,
 )
 def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling (m3): binary payload → fixed-size
     frame split → stride sampling, via Arrow-batched mapInPandas (the
-    video frame-sample plumbing; the oracle recomputes counts/hash from
-    the ASCII source arithmetically). Payload bytes never shuffle —
-    only the tiny per-doc feature row flows downstream."""
+    video frame-sample plumbing). BYTE-exact for any unicode source:
+    frame counts come from octet_length (length(text) counts
+    CODEPOINTS and undercounts frames on multibyte text), and the
+    first-frame fingerprint hashes the frame's uppercase hex on both
+    sides because a 32-byte frame boundary can split a UTF-8 char —
+    the invalid-UTF-8 slice is un-hashable in DuckDB SQL directly.
+    Payload bytes never shuffle — only the tiny per-doc feature row
+    flows downstream."""
     d = scan(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )

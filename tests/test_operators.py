@@ -1145,6 +1145,45 @@ def test_edit_distance_nn_unicode_parity(spark):
     assert by_doc[1][0] == 2
 
 
+def test_multimodal_byte_exact_on_unicode(spark):
+    """m1/m3: payload features are BYTE-exact against the oracle on
+    unicode text. The traps these fixtures spring: (a) last_byte of a
+    multibyte char is a UTF-8 continuation byte (0x80–0xBF), not the
+    codepoint ascii() would report; (b) a 32-byte frame boundary that
+    splits a 4-byte emoji mid-sequence — frame counts must come from
+    octet_length, and the frame fingerprint must hash a byte slice
+    that is not valid UTF-8."""
+    import duckdb
+
+    from servicenow_cmdb_integration_to_aws_spark.registry import ORACLE, QUERIES
+
+    rows = [
+        (1, "a\U0001f680", "en", "s", 2),  # last byte 0x80 ≠ codepoint 128640
+        (2, "x" * 31 + "\U0001f680" + " tail text after the frame split", "en", "s", 36),
+        (3, "plain ascii document body with enough words here", "en", "s", 48),
+        (4, "héllo wörld 日本語", "de", "s", 15),
+    ]
+    d = _docs_fixture(spark, rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for qid in ("m1_binary_features", "m3_frame_sample"):
+        got = sorted(
+            tuple(r) for r in QUERIES[qid](spark, d).toPandas().itertuples(index=False)
+        )
+        want = sorted(tuple(r) for r in con.execute(ORACLE[qid]).fetchall())
+        assert got == want, f"{qid}: {got} != {want}"
+    con.close()
+    m1 = {r["doc_id"]: r for r in QUERIES["m1_binary_features"](spark, d).collect()}
+    assert m1[1]["last_byte"] == 0x80 and m1[1]["byte_len"] == 5
+    m3 = {r["doc_id"]: r for r in QUERIES["m3_frame_sample"](spark, d).collect()}
+    # doc 2: 31 + 4 + 33 = 68 bytes → 3 frames (codepoint length 65 → would
+    # still ceil to 3, but the frame-1 hash differs unless byte-sliced)
+    assert m3[2]["n_frames"] == 3
+
+
 def test_incremental_ivf_equals_batch_rebuild(spark):
     """j54: the delta-merged index equals a batch rebuild over the
     post-change corpus — including the edge a naive refresh misses: a
