@@ -189,6 +189,7 @@ def d5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
     FROM customer
     GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+    HAVING COUNT(*) > 0
     """,
 )
 def d6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,6 +214,7 @@ def d6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def d7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +236,7 @@ def d7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n, SUM(l_quantity) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def d8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,12 +334,15 @@ def d11_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(F.col("l_quantity") * F.col("l_quantity"))
     sy = F.sum(dec("l_extendedprice")).cast("double")
     sxy = F.sum(dec("l_quantity", 12, 2) * dec("l_extendedprice")).cast("double")
-    var_qty = (sxx - sx * sx / n) / (n - F.lit(1))
+    # try_divide: a single-row group has n-1 = 0 — sample variance is
+    # undefined there and BOTH engines must yield NULL (DuckDB x/0 is
+    # NULL; bare ANSI `/` would kill the whole job on one tiny group).
+    var_qty = F.try_divide(sxx - sx * sx / n, n - F.lit(1))
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
         var_qty.alias("var_qty"),
         F.sqrt(var_qty).alias("std_qty"),
-        ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_qty_price"),
+        F.try_divide(sxy - sx * sy / n, n - F.lit(1)).alias("covar_qty_price"),
     )
 
 
@@ -498,6 +504,7 @@ def d18_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS sum_cents
     FROM e
     GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+    HAVING COUNT(*) > 0
     ORDER BY y NULLS FIRST, m NULLS FIRST, d NULLS FIRST
     """,
 )
@@ -739,9 +746,11 @@ def d22_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
     dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # try_divide: dx*dy = 0 when a group has one row (or zero variance)
+    # — correlation is undefined; DuckDB's x/0 → NULL, ANSI `/` throws.
     return m.select(
         "l_returnflag",
-        F.round(num / (dx * dy), 6).alias("corr_qty_price"),
+        F.round(F.try_divide(num, dx * dy), 6).alias("corr_qty_price"),
     )
 
 
@@ -791,11 +800,15 @@ def d23_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    # try_divide: hi = lo (all values equal / single row) makes width 0;
+    # 0/0 must yield NULL like DuckDB, and then least() — which SKIPS
+    # NULLs in both engines — degrades every row to the top bin
+    # identically instead of ANSI-failing the job.
     binned = li.crossJoin(F.broadcast(mm)).select(
         F.least(
-            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
-                "bigint"
-            ),
+            F.floor(
+                F.try_divide(F.col("l_extendedprice") - F.col("lo"), width)
+            ).cast("bigint"),
             F.lit(_HIST_BINS - 1).cast("bigint"),
         ).alias("bin"),
         "lo",

@@ -34,7 +34,11 @@ def a5_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = scan(spark, sf_dir, "orders")
     out = tempfile.mkdtemp(prefix="sink_a5_")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    back = spark.read.parquet(out)
+    # Explicit schema on the read-back: schema inference needs ≥1 data
+    # file, so an empty source (legitimate for a status partition that
+    # matched nothing) would fail UNABLE_TO_INFER_SCHEMA. The declared
+    # schema also covers the partition column (parsed from dir names).
+    back = spark.read.schema(SCHEMAS["orders"]).parquet(out)
     # partitionBy moves the column to the directory key; restore order/types
     return back.select(*[f.name for f in SCHEMAS["orders"].fields])
 
@@ -77,7 +81,8 @@ def b15_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = scan(spark, sf_dir, "orders")
     out = tempfile.mkdtemp(prefix="sink_b15_")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    fact = spark.read.parquet(out)
+    # explicit schema: empty-write read-back must not fail inference (a5 note)
+    fact = spark.read.schema(SCHEMAS["orders"]).parquet(out)
     from pyspark.sql import functions as F
 
     dim = (

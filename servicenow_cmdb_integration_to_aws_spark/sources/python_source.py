@@ -126,8 +126,10 @@ def _footer_max(path: str, col: str):
     if not files:
         raise FileNotFoundError(f"no parquet part files under {path}")
     mk = None
+    total_rows = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
+        total_rows += md.num_rows
         ci = next(
             i for i in range(len(md.schema)) if md.schema.column(i).name == col
         )
@@ -139,6 +141,12 @@ def _footer_max(path: str, col: str):
                 continue
             mk = st.max if mk is None else max(mk, st.max)
     if mk is None:
+        # distinguish the two no-stats cases: a ZERO-ROW table is a
+        # legitimate export state (a filter that matched nothing) and
+        # must plan as an empty read, not kill the job (r8 empty-corpus
+        # sweep); rows WITHOUT stats are a broken layout worth failing.
+        if total_rows == 0:
+            return None
         raise ValueError(
             f"no row-group statistics for column {col!r} in any part "
             f"file under {path}; the footer-only planner needs stats "
@@ -166,6 +174,8 @@ class OrdersPageReader(DataSourceReader):
     MAX_PARTITIONS = 256
 
     def partitions(self):
+        if self.max_key < 0:  # empty export: one no-op partition
+            return [_PagePartition(0, 0, self.path)]
         n_pages = self.max_key // PAGE_KEYS + 1
         pages_per_part = -(-n_pages // self.MAX_PARTITIONS)  # ceil
         span = PAGE_KEYS * pages_per_part
@@ -224,11 +234,11 @@ def a17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the source must be a faithful, complete export)."""
     register(spark)
     path = path_of(sf_dir, "orders")
-    mk = _footer_max(path, "o_orderkey")
+    mk = _footer_max(path, "o_orderkey")  # None ⇒ empty export
     return (
         spark.read.format("cmdb_pages")
         .option("path", path)
-        .option("max_key", mk)
+        .option("max_key", -1 if mk is None else mk)
         .load()
     )
 
@@ -253,7 +263,7 @@ class OrdersPageStreamReader(DataSourceStreamReader):
         # max-key DELTA vs the committed offset Spark hands back to
         # partitions(); the table itself is never walked to plan.
         mk = _footer_max(self.path, "o_orderkey")
-        return {"page": mk // PAGE_KEYS + 1}
+        return {"page": 0 if mk is None else mk // PAGE_KEYS + 1}
 
     def partitions(self, start: dict, end: dict):
         # Same task-count cap as the batch reader (a17): a fixed page
@@ -461,7 +471,7 @@ def a20_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.format("cmdb_upsert").option("path", out).mode("append").save()
     with open(os.path.join(out, "_MANIFEST")) as f:
         manifest = json.load(f)
-    assert manifest["n_rows"] > 0
+    assert manifest["n_rows"] >= 0  # manifest written even for an empty export
     return spark.read.schema(
         "o_orderkey long, o_orderstatus string, o_totalprice double"
     ).csv(os.path.join(out, "committed"))

@@ -118,6 +118,11 @@ class TableApiServer:
     @staticmethod
     def _term_mask(pdf, t):
         col = pdf[t.field]
+        if not len(col):
+            # empty table: no row matches any term; comparing an empty
+            # numeric series against the un-typed string value would
+            # still TypeError in pandas (dtype check precedes length)
+            return col.notna() & False
         v = type(col.iloc[0])(t.value) if len(col) and t.op not in (
             "IN", "ISNOTEMPTY", "STARTSWITH", "ENDSWITH", "LIKE",
         ) else t.value

@@ -416,3 +416,50 @@ def test_weighted_median_equals_naive_across_bucket_widths(spark):
             for r in weighted_median(df, "g", "v", "wt", "id", bucket_width=width).collect()
         }
         assert got == expected, (width, got, expected)
+
+
+def test_degenerate_cardinality_stats_yield_null_not_crash(spark, sf_dir, tmp_path):
+    """d11/d22/d23 on a SINGLE-ROW corpus: sample variance, Pearson
+    correlation and histogram width all divide by a quantity that is
+    zero when a group has one row (n-1, dx*dy, hi-lo). The contract —
+    pinned by the r8 /tmp/tiny1 sweep that found all three as ANSI
+    DIVIDE_BY_ZERO job-killers — is NULL like DuckDB's x/0, never a
+    task failure: at 100 TB one degenerate group must not abort the
+    job. The histogram additionally degrades every row to the top bin
+    via least()'s NULL-skipping, identically in both engines."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as m
+    from servicenow_cmdb_integration_to_aws_spark.registry import ORACLE
+
+    d = str(tmp_path / "tiny1")
+    import os
+
+    os.makedirs(d)
+    for t in ("lineitem",):
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), f"{d}/{t}.parquet")
+
+    q = m.queries()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    def _norm(rows):
+        # toPandas() surfaces NULL doubles as NaN; the oracle returns None
+        return sorted(
+            tuple(None if isinstance(v, float) and v != v else v for v in r)
+            for r in rows
+        )
+
+    for qid in ("d11_stats", "d22_corr_moments", "d23_histogram"):
+        got = _norm(
+            tuple(r) for r in q[qid](spark, d).toPandas().itertuples(index=False)
+        )
+        want = _norm(tuple(r) for r in con.execute(ORACLE[qid]).fetchall())
+        assert len(got) == 1 and got == want, f"{qid}: {got} != {want}"
+    con.close()
+    row = q["d11_stats"](spark, d).collect()[0]
+    assert row["n"] == 1 and row["var_qty"] is None and row["std_qty"] is None
+    assert q["d23_histogram"](spark, d).collect()[0]["bin"] == 19

@@ -129,6 +129,24 @@ UNICODE_TRANSFORMS = {
 }
 
 
+def _limit_corpus(src: str, out: str, n: int) -> None:
+    """--limit mode: keep only the first n rows of every table (n=1 →
+    single-row corpus, n=0 → empty corpus with intact schemas). The
+    degenerate-cardinality amplifier: flushes out .first()-on-empty,
+    index-0, empty-aggregate and schema-inference-on-empty-dir crashes
+    that no populated corpus can reach. pyarrow slice (not a SQL COPY)
+    so physical types survive byte-exact — events.ts must stay
+    TIMESTAMP(NANOS) for scan()'s nanosAsLong path to engage."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, n), f"{out}/{t}.parquet")
+        print(f"{t}: {min(n, tbl.num_rows)} rows")
+    print(f"limit corpus at {out}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.001")
@@ -141,7 +159,15 @@ def main() -> None:
         "--unicode", action="store_true",
         help="inject multibyte text (byte-vs-codepoint amplifier mode)",
     )
+    ap.add_argument(
+        "--limit", type=int, default=None, metavar="N",
+        help="keep only the first N rows per table (degenerate-"
+             "cardinality amplifier; 0 = empty corpus)",
+    )
     args = ap.parse_args()
+    if args.limit is not None:
+        _limit_corpus(args.src, args.out, args.limit)
+        return
     if args.unicode:
         transforms = UNICODE_TRANSFORMS
     else:
