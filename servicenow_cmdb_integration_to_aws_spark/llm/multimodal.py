@@ -108,9 +108,14 @@ def decode_image(payload: bytes) -> tuple[str, int, int, float, float, float]:
     )
 
 
-def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+def fake_decode(payload: bytes | None) -> tuple:
     """Deterministic stand-in for decode/feature-extract: byte length,
-    first/last byte, md5 — stable across runs and engines."""
+    first/last byte, md5 — stable across runs and engines. A NULL
+    payload (failed fetch / deleted source — a daily state in a real
+    corpus) yields all-NULL features, matching SQL NULL propagation
+    (encode(NULL) → NULL); it must never kill the task."""
+    if payload is None:
+        return (None, None, None, None)
     return (
         len(payload),
         payload[0] if payload else -1,
@@ -209,6 +214,11 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         n_frames, n_sampled, first_md5 = [], [], []
         for b in pdf["payload"]:
+            if b is None:  # NULL payload → NULL features (SQL propagation)
+                n_frames.append(None)
+                n_sampled.append(None)
+                first_md5.append(None)
+                continue
             frames = [
                 b[i : i + FRAME_BYTES] for i in range(0, len(b), FRAME_BYTES)
             ]

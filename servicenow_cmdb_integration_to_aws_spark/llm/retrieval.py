@@ -105,6 +105,7 @@ def _kmeans_oracle() -> str:
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     cent0 AS (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
@@ -163,8 +164,12 @@ def j37_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan static (no driver-side convergence loop over actions); at
     petabyte scale seeds come from a hash-ranked SAMPLE instead of a
     global sort — same determinism, no full-corpus ordering."""
-    e = scan(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
+    # NULL embeddings can neither seed nor be assigned: filter them
+    # symmetrically (the oracle's WHERE) before hashing/seeding.
+    e = (
+        scan(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _dvec("embedding").alias("v"))
     )
     # top-K by hash via orderBy+limit = TakeOrderedAndProject (per-
     # partition heaps + driver merge, never a full corpus sort); the
@@ -343,6 +348,7 @@ _LEV_ASCII_RE = r"[^\x20-\x7E]"
                substr(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'),
                       1, {_LEV_PREFIX}) AS prefix
         FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
     ),
     pairs AS (
         SELECT a.doc_id AS doc_id, b.doc_id AS other_id,
@@ -398,13 +404,21 @@ def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-block candidate cap before pairing, exactly as before. The
     per-block argmin leaves one row per doc; raw full text never
     moves."""
-    d = scan(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / _LEV_BUCKET).cast("int").alias("bucket"),
-        F.substring(
-            F.regexp_replace("text", _LEV_ASCII_RE, ""), 1, _LEV_PREFIX
-        ).alias("prefix"),
+    # NULL text/n_chars rows carry no comparable prefix: filter them
+    # SYMMETRICALLY (the oracle's WHERE) — without this, Spark's
+    # groupBy treats the NULL bucket as a real group (SQL equi-join
+    # drops it) and the kernel sees None prefixes (task death).
+    d = (
+        scan(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / _LEV_BUCKET).cast("int").alias("bucket"),
+            F.substring(
+                F.regexp_replace("text", _LEV_ASCII_RE, ""), 1, _LEV_PREFIX
+            ).alias("prefix"),
+        )
     )
 
     def nn(pdf):
@@ -624,6 +638,7 @@ def _semdedup_oracle() -> str:
                CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
                     AS BIGINT) AS hv
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     e AS (SELECT vec_id, embedding, v FROM e0),
     fine AS (
@@ -741,8 +756,12 @@ def semdedup(
         raise ValueError("pass exactly one of k= or per=")
     from .vectors import dot, l2norm, neardup_blocked
 
-    e = scan(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _dvec("embedding").alias("v")
+    # symmetric null-vector filter (oracle WHERE): a NULL embedding
+    # has no norm, no cell, no pair — and must not become a seed.
+    e = (
+        scan(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding", _dvec("embedding").alias("v"))
     )
     seed_hash = F.md5(F.col("vec_id").cast("string").cast("binary"))
 

@@ -331,10 +331,16 @@ def j11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest)."""
     d = scan(spark, sf_dir, "documents")
     words = F.split(F.lower("text"), " ")
+    # concat_ws SWALLOWS a NULL array argument (yields ''), so a NULL
+    # text would fingerprint as md5('') instead of NULL — gate the
+    # prefix hash on text like SQL's list_aggregate(NULL) → NULL does.
+    prefix_fp = F.when(
+        F.col("text").isNotNull(), F.md5(F.concat_ws(" ", F.slice(words, 1, 8)))
+    )
     return d.select(
         "doc_id",
         F.md5(F.lower(F.trim("text"))).alias("content_fp"),
-        F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("prefix_fp"),
+        prefix_fp.alias("prefix_fp"),
     )
 
 
@@ -849,11 +855,11 @@ def j24_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hist AS (
         SELECT DISTINCT md5(lower(text)) AS dg
-        FROM documents WHERE doc_id % 10 <> 7
+        FROM documents WHERE doc_id % 10 <> 7 AND text IS NOT NULL
     ),
     newb AS (
         SELECT doc_id, md5(lower(text)) AS dg
-        FROM documents WHERE doc_id % 10 = 7
+        FROM documents WHERE doc_id % 10 = 7 AND text IS NOT NULL
     )
     SELECT doc_id, dg
     FROM newb WHERE dg NOT IN (SELECT dg FROM hist)
@@ -871,8 +877,15 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-only index table (exactly what a15's snapshot would store),
     and Spark's bloom-filter join pushdown prunes most of the delta
     before the shuffle."""
-    d = scan(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.lower("text")).alias("dg")
+    # NULL text carries no digest: filter it on BOTH sides (oracle WHERE
+    # mirrors this). Left in, the engines diverge catastrophically — a
+    # NULL digest never equi-joins, so Spark's anti-join ADMITS every
+    # null-text delta row, while one NULL in the history turns SQL's
+    # NOT IN into the empty set.
+    d = (
+        scan(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5(F.lower("text")).alias("dg"))
     )
     hist = d.filter(F.col("doc_id") % 10 != 7).select("dg").distinct()
     newb = d.filter(F.col("doc_id") % 10 == 7)

@@ -614,6 +614,7 @@ _SQL_SQ_L2 = (
                  AS sub
         FROM embeddings
         CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s)
+        WHERE embedding IS NOT NULL
     ),
     ranked AS (
         SELECT s, sub,
@@ -672,7 +673,9 @@ def j35_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no full-vector reads at query time at all.
     Per-subspace d2 folds are in-order doubles; the final ADC sum
     rounds to 6dp (vectors.py parity note)."""
-    e = scan(spark, sf_dir, "embeddings")
+    # symmetric null-vector filter: a NULL embedding has no subvectors
+    # to quantize (and would crash the codebook argmin downstream)
+    e = scan(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     subs = e.select(
         "vec_id",
         F.explode(

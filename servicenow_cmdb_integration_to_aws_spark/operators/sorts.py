@@ -147,7 +147,8 @@ _F7_K = 100
     "f7_exact_k_sample",
     oracle=f"""
     SELECT doc_id, lang,
-           md5('ks:' || CAST(doc_id AS VARCHAR) || ':' || text) AS h
+           md5('ks:' || CAST(doc_id AS VARCHAR) || ':'
+               || coalesce(text, '')) AS h
     FROM documents
     ORDER BY h LIMIT {_F7_K}
     """,
@@ -166,8 +167,17 @@ def f7_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort is the whole trick; the naive ORDER BY of the corpus
     the oracle runs would be a terabyte shuffle)."""
     d = scan(spark, sf_dir, "documents")
+    # coalesce: a NULL-text doc still gets a DEFINED hash draw — bare
+    # concat would null the key and the two engines then PLACE the null
+    # draws on opposite ends of the order (Spark NULLS FIRST asc,
+    # DuckDB NULLS LAST), shifting the whole sample.
     h = F.md5(
-        F.concat(F.lit("ks:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        F.concat(
+            F.lit("ks:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
     )
     return (
         d.select("doc_id", "lang", h.alias("h"))
@@ -187,7 +197,7 @@ _F8_K = 30  # per-stratum sample size
                row_number() OVER (
                    PARTITION BY lang
                    ORDER BY md5('sk:' || CAST(doc_id AS VARCHAR)
-                                || ':' || text)
+                                || ':' || coalesce(text, ''))
                ) AS rn
         FROM documents
     )
@@ -210,8 +220,13 @@ def f8_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound = docs per language, the partition key a corpus naturally
     balances."""
     d = scan(spark, sf_dir, "documents")
-    h = F.md5(
-        F.concat(F.lit("sk:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    h = F.md5(  # coalesce: defined draw for NULL text (see f7)
+        F.concat(
+            F.lit("sk:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
     )
     w = Window.partitionBy("lang").orderBy(h)
     return (

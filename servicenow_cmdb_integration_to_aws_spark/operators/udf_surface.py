@@ -215,6 +215,8 @@ def k5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token: string")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # NULL text → no tokens (unnest(NULL) ≡ 0 rows)
+                return
             for tok in text.split(" "):
                 yield (tok,)
 

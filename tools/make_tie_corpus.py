@@ -88,6 +88,29 @@ NULL_TRANSFORMS = {
 }
 
 
+#: --nulls-doc mode: NULL the PAYLOAD columns the --nulls mode leaves
+#: alone — documents.text (with n_chars NULLed to keep the
+#: n_chars = length(text) invariant) and embeddings.embedding. A null
+#: document/vector is a daily occurrence in a real 100 TB corpus
+#: (failed fetch, deleted source) and must flow through tokenizers,
+#: dedup, UDF workers (None in a pandas batch!) and ANN scoring
+#: without crashing a task or diverging from the oracle.
+NULL_DOC_TRANSFORMS = {
+    "documents": (
+        "SELECT doc_id,"
+        " CASE WHEN doc_id % 11 = 3 THEN NULL ELSE text END AS text,"
+        " lang, source,"
+        " CASE WHEN doc_id % 11 = 3 THEN NULL ELSE n_chars END AS n_chars"
+        " FROM t"
+    ),
+    "embeddings": (
+        "SELECT vec_id,"
+        " CASE WHEN vec_id % 11 = 4 THEN NULL ELSE embedding END"
+        " AS embedding, label FROM t"
+    ),
+}
+
+
 #: --unicode mode: deterministic multibyte text in the string columns
 #: the sf corpora keep pure-ASCII — the byte-length vs codepoint-length
 #: amplifier (DuckDB levenshtein counts UTF-8 bytes where Spark counts
@@ -164,11 +187,18 @@ def main() -> None:
         help="keep only the first N rows per table (degenerate-"
              "cardinality amplifier; 0 = empty corpus)",
     )
+    ap.add_argument(
+        "--nulls-doc", action="store_true",
+        help="NULL documents.text / embeddings.embedding (payload-"
+             "null amplifier: UDF None inputs, null-vector scoring)",
+    )
     args = ap.parse_args()
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.unicode:
+    if args.nulls_doc:
+        transforms = NULL_DOC_TRANSFORMS
+    elif args.unicode:
         transforms = UNICODE_TRANSFORMS
     else:
         transforms = NULL_TRANSFORMS if args.nulls else TRANSFORMS
