@@ -441,7 +441,13 @@ def h15_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT event_id, event_type, props,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               -- duckdb 1.0 bug: TRY_CAST(NaN AS DECIMAL) still errors
+               -- (Inf correctly yields NULL) — NaN needs its own guard
+               -- widen before *100: duckdb does not grow the product type
+               -- and a legit 1e15 value overflows DECIMAL(18)
+               CAST(CAST(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                                  AS DECIMAL(18,2)) AS DECIMAL(24,2))
+                    * 100 AS BIGINT) AS cents
         FROM events
     )
     SELECT event_id,
@@ -468,7 +474,9 @@ def h16_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "props",
-        (F.col("value").cast("decimal(18,2)") * 100)
+        # try_cast (the id's own theme): a NaN/Inf metric is exactly the
+        # poison row the try_ family exists for — NULL cents, job lives
+        (F.col("value").try_cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents"),
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
-from .numeric import dec, dsum  # shared helpers (re-exported for compat)
+from .numeric import dec, dsum, finite_metric  # shared helpers (re-exported for compat)
 
 __all__ = ["dec", "dsum"]
 
@@ -500,7 +500,7 @@ def d18_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(ts) AS INT) AS m,
            CAST(day(ts) AS INT) AS d,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(floor((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT)
              AS sum_cents
     FROM e
     GROUP BY ROLLUP (year(ts), month(ts), day(ts))
@@ -528,7 +528,10 @@ def d19_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("ts").alias("y_"),
         F.month("ts").alias("m_"),
         F.dayofmonth("ts").alias("d_"),
-        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        # finite gate (numeric.finite_metric): NaN/Inf/garbage values
+        # carry no cents — ungated, floor(NaN*100)→bigint is an ANSI
+        # cast kill and 1e12-scale garbage overflows the long sum
+        F.floor(finite_metric("value") * 100).cast("bigint").alias("cents"),
     )
     return (
         ev.rollup("y_", "m_", "d_")
@@ -634,7 +637,8 @@ def profile(df: DataFrame, cols) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT event_id, event_type,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(CAST((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END)
+                         AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
     ),
     s AS (
@@ -665,7 +669,10 @@ def d21_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and broadcasts back into the probe scan (a type-partitioned
     window would put each type on ONE task: skew by construction).
     The filter runs map-side in codegen; output is outlier-sized."""
-    cents = F.col("value").cast("decimal(18,2)") * 100
+    # finite gate: NaN/Inf/garbage magnitudes carry no cents (and an
+    # ungated 1e15 squared through the moment algebra overflows even
+    # DECIMAL(38,0)/HUGEINT — the r8 --extremes finding)
+    cents = finite_metric("value").cast("decimal(18,2)") * 100
     e = scan(spark, sf_dir, "events").select(
         "event_id", "event_type", cents.cast("bigint").alias("cents")
     )
@@ -1091,7 +1098,8 @@ _D27_SPLIT = "2024-10-01"
     WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
     SELECT CAST(ts AS DATE) AS day,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(SUM(CAST(CAST((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END)
+                         AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS sum_cents
     FROM e GROUP BY 1
     """,
@@ -1115,7 +1123,8 @@ def d27_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     real CAs is exactly this mergeability requirement — d25's bitmaps
     extend it to COUNT(DISTINCT)."""
     split = F.lit(_D27_SPLIT).cast("timestamp")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    # finite gate: glitch values carry no cents (numeric.finite_metric)
+    cents = (finite_metric("value").cast("decimal(18,2)") * 100).cast("bigint")
     ev = scan(spark, sf_dir, "events").select(
         "ts", cents.alias("cents"), F.col("ts").cast("date").alias("day")
     )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
-from .numeric import dec, dsum
+from .numeric import dec, dsum, fdec
 
 
 @query(
@@ -542,7 +542,7 @@ _RANGE_WIN_S = 2 * 3600
     )
     SELECT w.win_id, w.user_id,
            COUNT(ev.event_id) AS n_in_window,
-           CAST(COALESCE(SUM(CAST(ev.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+           CAST(COALESCE(SUM(CAST(CASE WHEN isnan(ev.value) OR isinf(ev.value) OR abs(ev.value) > 1e12 THEN NULL ELSE ev.value END AS DECIMAL(18,2))), 0) AS DOUBLE)
              AS sum_value
     FROM win w LEFT JOIN e ev
       ON ev.user_id = w.user_id
@@ -590,7 +590,9 @@ def c14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("p_event_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-            F.col("value").alias("p_value"),
+            # finite gate (numeric.finite_metric policy): a NaN/Inf/
+            # garbage-magnitude metric must not poison the window sum
+            fdec("value").alias("p_value"),
         )
         .withColumn("bucket", F.floor(F.unix_timestamp("p_ts") / _RANGE_WIN_S))
     )
@@ -604,7 +606,7 @@ def c14_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("win_id", "user_id").agg(
         F.count("p_event_id").alias("n_in_window"),
-        F.coalesce(F.sum(dec("p_value")), F.lit(0).cast("decimal(18,2)"))
+        F.coalesce(F.sum("p_value"), F.lit(0).cast("decimal(18,2)"))
         .cast("double")
         .alias("sum_value"),
     )

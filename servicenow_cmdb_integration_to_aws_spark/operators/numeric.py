@@ -22,3 +22,39 @@ def dec(c: str, p: int = 18, s: int = 2) -> Column:
 def dsum(col: Column) -> Column:
     """Exact decimal sum emitted as DOUBLE (bit-identical both engines)."""
     return F.sum(col).cast("double")
+
+
+#: Metric-domain bound for the generic events.value column: values with
+#: |v| above this are garbage (the column's real domain is O(1e3)), and
+#: admitting them would overflow the int64 integer-cents sum policy
+#: (Spark SUM(LONG) overflows where DuckDB's HUGEINT silently widens —
+#: an engine-asymmetric job-killer found by the r8 --extremes sweep).
+METRIC_BOUND = 1e12
+
+#: DuckDB fragment of :func:`finite_metric` — keep BOTH ENGINES' rule
+#: textually adjacent so they can only drift on purpose.
+SQL_FINITE = (
+    "CASE WHEN isnan({c}) OR isinf({c}) OR abs({c}) > 1e12 "
+    "THEN NULL ELSE {c} END"
+)
+
+
+def finite_metric(c: str) -> Column:
+    """events.value quality gate, identical in both engines: NaN, ±Inf
+    and out-of-domain magnitudes carry no metric — they become NULL
+    (excluded from sums/means like SQL NULLs everywhere) instead of
+    poisoning an aggregate with NaN, killing an ANSI cast, or
+    overflowing the integer-cents sum. At 100 TB a handful of sensor
+    glitches must never abort or corrupt a rollup."""
+    col = F.col(c)
+    return F.when(
+        ~F.isnan(col) & (F.abs(col) <= F.lit(METRIC_BOUND)), col
+    )
+
+
+#: finite-gated exact-decimal view of the metric column (SQL twin below)
+def fdec(c: str, p: int = 18, s: int = 2) -> Column:
+    return finite_metric(c).cast(f"decimal({p},{s})")
+
+
+SQL_FDEC = "CAST(" + SQL_FINITE + " AS DECIMAL(18,2))"

@@ -139,14 +139,22 @@ def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "k4_pandas_udaf",
     oracle="""
-    WITH r AS (SELECT event_type, value,
+    WITH ev AS (SELECT event_type,
+                       -- finite gate (numeric.finite_metric policy):
+                       -- NaN sorts ABOVE Inf in duckdb but pandas
+                       -- quantile skips it — gated, both engines see
+                       -- the same finite order statistics (r8
+                       -- --extremes sweep)
+                       CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS value
+                FROM events),
+    r AS (SELECT event_type, value,
                       row_number() OVER (PARTITION BY event_type
                                          ORDER BY value) - 1 AS rk,
                       COUNT(*) OVER (PARTITION BY event_type) AS n
                -- NULLs carry no order statistic: pandas quantile skips
                -- NaN, so the bound indices count non-null values only
                -- (r7 null sweep)
-               FROM events WHERE value IS NOT NULL),
+               FROM ev WHERE value IS NOT NULL),
     b AS (SELECT event_type,
                  MAX(CASE WHEN rk = CAST(floor((n-1)*0.1) AS BIGINT)
                           THEN value END) AS lo,
@@ -154,7 +162,7 @@ def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN value END) AS hi
           FROM r GROUP BY event_type)
     SELECT e.event_type, ROUND(AVG(e.value), 6) AS trimmed_mean_value
-    FROM events e JOIN b USING (event_type)
+    FROM ev e JOIN b USING (event_type)
     WHERE e.value >= b.lo AND e.value <= b.hi
     GROUP BY e.event_type
     """,
@@ -185,6 +193,11 @@ def k4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        # finite gate (oracle's ev CTE): NaN/±Inf/garbage magnitudes
+        # carry no order statistic and would poison the mean
+        v = v[np.isfinite(v) & (v.abs() <= 1e12)]
         v = v.sort_values()
         # exact order statistics ('lower'/'higher' = v[floor((n-1)q)] /
         # v[ceil((n-1)q)]) — see the docstring's oracle-parity note

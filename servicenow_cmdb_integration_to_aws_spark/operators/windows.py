@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
-from .numeric import dec
+from .numeric import dec, fdec, finite_metric
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +111,7 @@ def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EVENTS_US}
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS running_n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum
+           CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -124,7 +124,7 @@ def e4_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("running_n"),
-        F.sum(dec("value")).over(w).cast("double").alias("running_sum"),
+        F.sum(fdec("value")).over(w).cast("double").alias("running_sum"),
     )
 
 
@@ -133,8 +133,8 @@ def e4_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US}
     SELECT event_id, user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+           CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / count(*) OVER w AS mov_avg
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -144,7 +144,7 @@ def e4_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e5_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving aggregate, trailing-3 ROWS frame (e5)."""
     w = _w_user().rowsBetween(-2, 0)
-    mov_sum = F.sum(dec("value")).over(w).cast("double")
+    mov_sum = F.sum(fdec("value")).over(w).cast("double")
     return _events(spark, sf_dir).select(
         "event_id",
         "user_id",
@@ -419,7 +419,7 @@ SESSION_GAP_US = 12 * 3600 * 1_000_000
            CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(ts) AS sess_start, MAX(ts) AS sess_end,
            MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
-           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(floor((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT)
              AS sum_cents
     FROM s GROUP BY user_id, sess_no
     """,
@@ -476,7 +476,17 @@ def sessionize(
         F.min(ts).alias("sess_start"),
         F.max(ts).alias("sess_end"),
         (F.max("us") - F.min("us")).alias("duration_us"),
-        F.sum(F.floor(F.col(value) * 100).cast("bigint")).alias("sum_cents"),
+        # finite-gated cents (numeric.finite_metric policy, d19 note)
+        F.sum(
+            F.floor(
+                F.when(
+                    ~F.isnan(F.col(value))
+                    & (F.abs(F.col(value)) <= F.lit(1e12)),
+                    F.col(value),
+                )
+                * 100
+            ).cast("bigint")
+        ).alias("sum_cents"),
     )
 
 
@@ -501,10 +511,15 @@ def _ewma_oracle() -> str:
         for k, w in enumerate(_EWMA_W)
     )
     return f"""
-    {EVENTS_US}
+    {EVENTS_US},
+    ef AS (SELECT event_id, user_id, ts,
+                  CASE WHEN isnan(value) OR isinf(value)
+                            OR abs(value) > 1e12
+                       THEN NULL ELSE value END AS value
+           FROM e)
     SELECT event_id, user_id, ts,
            round(({num}) / ({den}), 6) AS ewma_value
-    FROM e
+    FROM ef
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 
@@ -546,7 +561,10 @@ def e13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scan(spark, sf_dir, "events")
-        .select("event_id", "user_id", "ts", "value")
+        # finite gate: a NaN tap would poison all 8 downstream EWMAs
+        # and glitch magnitudes cost bit-parity ulps; gated values are
+        # NULL taps, which the renormalization already handles
+        .select("event_id", "user_id", "ts", finite_metric("value").alias("value"))
         .select(
             "event_id",
             "user_id",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.numeric import dec
+from ..operators.numeric import dec, fdec
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
 
@@ -35,7 +35,7 @@ SESSION_GAP_US = 2 * 3600 * 1_000_000
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
            CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS wend,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM e
     GROUP BY 1, 2
@@ -49,7 +49,7 @@ def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.sum(fdec("value")).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
@@ -70,7 +70,7 @@ def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000)
              + INTERVAL 1 HOUR AS wend,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) offsets
     GROUP BY 1, 2
     """,
@@ -84,7 +84,7 @@ def i2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.sum(fdec("value")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("wstart"),
@@ -118,7 +118,7 @@ def i2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 2 HOUR AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM numbered
     GROUP BY user_id, sid
     """,
@@ -134,7 +134,7 @@ def i3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.sum(fdec("value")).cast("double").alias("total_value"),
         )
         .select(
             "user_id",

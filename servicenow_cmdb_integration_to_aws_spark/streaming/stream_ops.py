@@ -278,7 +278,7 @@ def i6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US}
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT)), 0)
+           CAST(COALESCE(SUM(CAST(FLOOR((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END) * 100) AS BIGINT)), 0)
                 AS BIGINT) AS total_cents
     FROM e GROUP BY user_id
     """,
@@ -307,7 +307,13 @@ def i7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             # int(NaN) kills the task — the r7 null-amplifier
             # finding); the counter contract is 0 for all-null keys
             # (COALESCE(...,0) on the oracle side)
-            cents += int(np.nansum(np.floor(pdf["value"].to_numpy() * 100.0)))
+            # finite gate (numeric.finite_metric policy): NULLs arrive
+            # as NaN and are skipped like SQL SUM; ±Inf/garbage
+            # magnitudes are gated too — ungated, int(inf) is a task
+            # death and a 1e15 glitch overflows the long total
+            v = pdf["value"].to_numpy()
+            ok = np.isfinite(v) & (np.abs(v) <= 1e12)
+            cents += int(np.floor(v[ok] * 100.0).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -558,7 +564,7 @@ def i11_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 10 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM numbered
     GROUP BY user_id, sid
     HAVING session_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM e)
@@ -578,14 +584,14 @@ def i12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final watermark (max ts - 30 min) has passed. The value sum
     goes through DECIMAL for cross-engine bit-parity (aggregates.py
     money-sum note)."""
-    from ..operators.numeric import dec
+    from ..operators.numeric import dec, fdec
 
     s = _stream_events(spark, sf_dir).withWatermark("ts", "30 minutes")
     agg = (
         s.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total"),
+            F.sum(fdec("value")).cast("double").alias("total"),
         )
         .select(
             "user_id",
@@ -657,7 +663,7 @@ def i14_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US}
     SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM e GROUP BY event_type
     """,
 )
@@ -679,12 +685,12 @@ def i15_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     types, not user ids); the per-batch re-emission cost is
     O(groups), not O(stream). High-cardinality keys belong in update
     mode (i7) or append windows (i4) instead."""
-    from ..operators.numeric import dec
+    from ..operators.numeric import dec, fdec
 
     s = _stream_events(spark, sf_dir)
     agg = s.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.sum(fdec("value")).cast("double").alias("total_value"),
     )
     return _run_to_memory(agg, output_mode="complete")
 

@@ -88,6 +88,29 @@ NULL_TRANSFORMS = {
 }
 
 
+#: --extremes mode: special floats (NaN, ±Inf) and huge magnitudes in
+#: events.value — the one value column whose domain (a raw metric) can
+#: legitimately carry sensor glitches. Deliberately NOT applied to the
+#: money columns: their exactly-2-decimal domain is a documented
+#: engine invariant (aggregates.py) and the DECIMAL-exact sum policy
+#: depends on it. The seams this axis springs: CAST(NaN/Inf AS BIGINT)
+#: is an ANSI job-killer in Spark, NaN ordering/equality is
+#: engine-defined, and Inf−Inf / 0·Inf arithmetic yields NaN mid-agg.
+EXTREME_TRANSFORMS = {
+    "events": (
+        "SELECT event_id, ts, user_id, event_type,"
+        " CASE event_id % 97"
+        "   WHEN 5 THEN 'nan'::DOUBLE"
+        "   WHEN 11 THEN 'inf'::DOUBLE"
+        "   WHEN 17 THEN '-inf'::DOUBLE"
+        "   WHEN 23 THEN 1e15"
+        "   WHEN 29 THEN -1e15"
+        "   ELSE value END AS value,"
+        " props FROM t"
+    ),
+}
+
+
 #: --nulls-doc mode: NULL the PAYLOAD columns the --nulls mode leaves
 #: alone — documents.text (with n_chars NULLed to keep the
 #: n_chars = length(text) invariant) and embeddings.embedding. A null
@@ -192,11 +215,18 @@ def main() -> None:
         help="NULL documents.text / embeddings.embedding (payload-"
              "null amplifier: UDF None inputs, null-vector scoring)",
     )
+    ap.add_argument(
+        "--extremes", action="store_true",
+        help="NaN/±Inf/huge magnitudes in events.value (special-float "
+             "amplifier: ANSI cast kills, NaN ordering, Inf arithmetic)",
+    )
     args = ap.parse_args()
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.nulls_doc:
+    if args.extremes:
+        transforms = EXTREME_TRANSFORMS
+    elif args.nulls_doc:
         transforms = NULL_DOC_TRANSFORMS
     elif args.unicode:
         transforms = UNICODE_TRANSFORMS
