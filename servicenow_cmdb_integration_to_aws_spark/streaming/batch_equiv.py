@@ -66,8 +66,17 @@ def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i2_sliding",
     oracle=f"""
     {EVENTS_US}
-    SELECT make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000) AS wstart,
-           make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000)
+    -- FLOOR window alignment, integer-exact for NEGATIVE epochs too:
+    -- duckdb's // TRUNCATES toward zero (-1 // 9e8 = 0), which shifts
+    -- every pre-1970 window one slide late vs Spark's floorDiv; the
+    -- ((x % P) + P) % P positive-mod form floors at any sign without
+    -- the double-precision loss floor(x/P) has beyond 2^53 µs
+    SELECT make_timestamp(epoch_us(ts)
+                          - ((epoch_us(ts) % 900000000) + 900000000) % 900000000
+                          - j * 900000000::BIGINT) AS wstart,
+           make_timestamp(epoch_us(ts)
+                          - ((epoch_us(ts) % 900000000) + 900000000) % 900000000
+                          - j * 900000000::BIGINT)
              + INTERVAL 1 HOUR AS wend,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value

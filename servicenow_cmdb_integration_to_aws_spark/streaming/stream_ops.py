@@ -192,7 +192,11 @@ def a7_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM e
     GROUP BY 1, 2
+    -- wend > epoch: Spark's watermark INITIALIZES AT 0, so a window
+    -- whose end is at/before 1970-01-01 is born sealed — its rows are
+    -- dropped as late in the very first batch (r8 --timewarp sweep)
     HAVING wend <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM e)
+       AND wend > TIMESTAMP '1970-01-01 00:00:00'
     """,
 )
 def i4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +230,11 @@ def i4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i5_stream_dedup",
     oracle=f"""
     {EVENTS_US}
+    -- ts > epoch: dropDuplicatesWithinWatermark expires rows with
+    -- ts <= watermark, and the initial watermark is 0 — pre/at-epoch
+    -- event times are permanently late in Spark streams (r8 timewarp)
     SELECT event_id, ts, user_id, event_type, value FROM e
+    WHERE ts > TIMESTAMP '1970-01-01 00:00:00'
     """,
 )
 def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +357,9 @@ def i7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p.event_type = 'purchase' AND c.event_type = 'click'
      AND p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    -- both inputs floored at the INITIAL watermark (0): pre/at-epoch
+    -- rows never enter join state (r8 --timewarp sweep)
+    WHERE p.ts > TIMESTAMP '1970-01-01 00:00:00' AND c.ts > TIMESTAMP '1970-01-01 00:00:00'
     """,
 )
 def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,10 +412,12 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i13_stream_outer_join",
     oracle=f"""
     {EVENTS_US},
+    -- ts > epoch on both inputs: the initial watermark is 0, so
+    -- pre/at-epoch rows never enter join state (r8 --timewarp sweep)
     p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
-          FROM e WHERE event_type = 'purchase'),
+          FROM e WHERE event_type = 'purchase' AND ts > TIMESTAMP '1970-01-01 00:00:00'),
     c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
-          FROM e WHERE event_type = 'click'),
+          FROM e WHERE event_type = 'click' AND ts > TIMESTAMP '1970-01-01 00:00:00'),
     w AS (SELECT LEAST((SELECT max(p_ts) FROM p),
                        (SELECT max(c_ts) FROM c))
                  - INTERVAL 2 HOUR AS wm)
@@ -551,7 +564,11 @@ def i11_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                             > {10 * 60 * 1_000_000}
                     THEN 1 ELSE 0 END AS new_session
-        FROM e
+        -- admission floor: a session row whose window end (ts + gap)
+        -- is at/before epoch is late against the INITIAL watermark 0
+        -- (r8 --timewarp sweep)
+        FROM (SELECT * FROM e
+              WHERE ts + INTERVAL 10 MINUTE > TIMESTAMP '1970-01-01 00:00:00') e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (

@@ -111,6 +111,29 @@ EXTREME_TRANSFORMS = {
 }
 
 
+#: --timewarp mode: edge timestamps in events.ts — epoch 0, the µs
+#: just BEFORE the epoch (negative integer epoch: `x div/%` semantics
+#: differ from floor/mod there), a 1955 odd-µs value, and the edges of
+#: pandas' datetime64[ns] range (1677/2262 — kept INSIDE it because
+#: the driver hashes pandas frames; beyond-ns dates would test the
+#: tooling, not the engines). Springs: negative-epoch date extraction,
+#: window()/date_trunc bucketing below 1970, epoch_us sign handling,
+#: watermark arithmetic across a 300-year spread.
+TIMEWARP_TRANSFORMS = {
+    "events": (
+        "SELECT event_id,"
+        " CASE event_id % 89"
+        "   WHEN 7 THEN TIMESTAMP '1970-01-01 00:00:00'"
+        "   WHEN 13 THEN TIMESTAMP '1955-05-05 05:05:05.123457'"
+        "   WHEN 19 THEN TIMESTAMP '2262-04-10 00:00:00.999999'"
+        "   WHEN 23 THEN TIMESTAMP '1969-12-31 23:59:59.999999'"
+        "   WHEN 29 THEN TIMESTAMP '1677-09-22 00:00:00.000001'"
+        "   ELSE ts END AS ts,"
+        " user_id, event_type, value, props FROM t"
+    ),
+}
+
+
 #: --nulls-doc mode: NULL the PAYLOAD columns the --nulls mode leaves
 #: alone — documents.text (with n_chars NULLed to keep the
 #: n_chars = length(text) invariant) and embeddings.embedding. A null
@@ -220,11 +243,18 @@ def main() -> None:
         help="NaN/±Inf/huge magnitudes in events.value (special-float "
              "amplifier: ANSI cast kills, NaN ordering, Inf arithmetic)",
     )
+    ap.add_argument(
+        "--timewarp", action="store_true",
+        help="edge timestamps in events.ts (epoch 0, negative epochs, "
+             "pandas-ns range edges: extraction/bucketing/watermarks)",
+    )
     args = ap.parse_args()
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.extremes:
+    if args.timewarp:
+        transforms = TIMEWARP_TRANSFORMS
+    elif args.extremes:
         transforms = EXTREME_TRANSFORMS
     elif args.nulls_doc:
         transforms = NULL_DOC_TRANSFORMS
