@@ -786,13 +786,30 @@ def j2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j2c_ngram_jaccard",
     oracle="""
-    WITH g AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, greatest(length(t) - 3, 1) + 1),
-                   i -> substr(t, CAST(i AS INT), 4))) AS ngs
+    WITH d0 AS (
+        SELECT doc_id, t, greatest(length(t) - 3, 1) AS p
         FROM (SELECT doc_id, lower(text) AS t FROM documents)
-    )
+    ),
+    -- TWO-LEVEL chunked gram build: substr(t, i, 4) straight off the
+    -- document is O(i) per call (UTF-8 codepoint scan from the string
+    -- start — true in BOTH engines), so per-position grams over a
+    -- giant document go quadratic (an 880KB doc wedged a core for
+    -- >10 min in the r8 --pathdocs sweep). Slicing 4096-char chunks
+    -- (+3 overlap) first costs O(n²/4096) in chunk extraction and
+    -- keeps every per-gram substr scan inside a 4KB string.
+    ch AS (
+        SELECT doc_id,
+               substr(t, CAST(c * 4096 + 1 AS BIGINT), 4099) AS s,
+               least(p - c * 4096, 4096) AS nl
+        FROM d0, LATERAL (SELECT unnest(range(0, (p + 4095) // 4096)) AS c) cc
+    ),
+    gr AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, nl + 1),
+                                     i -> substr(s, CAST(i AS INT), 4))) AS ng
+        FROM ch
+    ),
+    g AS (SELECT doc_id, list(DISTINCT ng) AS ngs FROM gr GROUP BY doc_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.ngs, b.ngs)) AS DOUBLE)
                  / (len(a.ngs) + len(b.ngs)
@@ -833,14 +850,36 @@ def j2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode positions FIRST, then substring — a plain codegen'd
     # expression per row. (A transform(..., i -> substring(...)) lambda
     # produces the same grams 17x slower: higher-order-function lambdas
-    # are interpreted per element.)
-    grams = d.select(
+    # are interpreted per element.) TWO-LEVEL: chunk the document into
+    # 4096-char slices (+3 overlap) BEFORE the per-position explode —
+    # substring(t, i, 4) is O(i) (UTF-8 codepoint scan from the start,
+    # in Spark and DuckDB alike), so grams straight off a giant
+    # document are O(n²) on one core (an 880KB doc wedged >10 min in
+    # the r8 --pathdocs sweep); chunked, extraction is O(n²/4096) and
+    # every gram substring scans a 4KB string.
+    chunks = d.select(
         "doc_id",
         "t",
+        F.greatest(F.length("t") - 3, F.lit(1)).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("t") - 3, F.lit(1)))
-        ).alias("i"),
-    ).select("doc_id", F.expr("substring(t, i, 4)").alias("ng"))
+            F.sequence(
+                F.lit(0), F.floor((F.col("p") - 1) / 4096).cast("int")
+            )
+        ).alias("c"),
+        "t",
+    ).select(
+        "doc_id",
+        F.expr("substring(t, c * 4096 + 1, 4099)").alias("s"),
+        F.least(F.col("p") - F.col("c") * 4096, F.lit(4096)).alias("nl"),
+    )
+    grams = chunks.select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(1), F.col("nl").cast("int"))).alias("i"),
+    ).select("doc_id", F.expr("substring(s, i, 4)").alias("ng"))
     tagged = grams.select(
         F.explode(
             F.array(
@@ -883,15 +922,21 @@ _J52_DF_CAP = 50  # drop grams appearing in more docs (stopword grams)
     WITH d AS (
         SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
-    g AS (
-        SELECT DISTINCT doc_id,
-               list_aggregate(w[i : i + {_J52_N} - 1], 'string_agg', ' ')
-                 AS gram
-        FROM d,
-             LATERAL (SELECT unnest(generate_series(1, len(w) - {_J52_N} + 1))
-                      AS i)
-        WHERE len(w) >= {_J52_N}
+    -- LINEAR gram build (lead-chain): per-position w[i:i+n] slices
+    -- copy the token list per gram in duckdb — quadratic on a giant
+    -- document (the j22/j53 --pathdocs class)
+    tok AS (
+        SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+               unnest(w) AS word
+        FROM d
     ),
+    g0 AS (
+        SELECT doc_id,
+               word || ' ' || lead(word, 1) OVER lw
+                    || ' ' || lead(word, 2) OVER lw AS gram
+        FROM tok WINDOW lw AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
     df AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram),
     gk AS (
         SELECT g.doc_id, g.gram FROM g
@@ -996,15 +1041,18 @@ SUB_K = 8
     ),
     tok AS (
         SELECT doc_id, len(w) AS n_tokens,
-               unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS word, w
+               unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS word
         FROM d
     ),
+    -- LINEAR gram hash (lead-chain), NOT w[pos:pos+K] slices: carrying
+    -- and slicing the full token list per row goes quadratic in duckdb
+    -- on a giant document (the j22 --pathdocs finding; same fix). The
+    -- NULL-propagating || chain reproduces the pos <= n-K+1 guard.
     flagged AS (
         SELECT doc_id, n_tokens, pos, word,
-               CASE WHEN pos <= n_tokens - {SUB_K} + 1 THEN
-                   md5(array_to_string(w[pos:pos + {SUB_K} - 1], ' '))
-               END AS gh
+               md5(word || ' ' || lead(word, 1) OVER lw || ' ' || lead(word, 2) OVER lw || ' ' || lead(word, 3) OVER lw || ' ' || lead(word, 4) OVER lw || ' ' || lead(word, 5) OVER lw || ' ' || lead(word, 6) OVER lw || ' ' || lead(word, 7) OVER lw) AS gh
         FROM tok
+        WINDOW lw AS (PARTITION BY doc_id ORDER BY pos)
     ),
     freq AS (
         SELECT gh, COUNT(*) AS c FROM flagged WHERE gh IS NOT NULL

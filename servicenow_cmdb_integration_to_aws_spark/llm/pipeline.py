@@ -39,15 +39,20 @@ NOVELTY_N = 3
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                FROM documents),
+    -- LINEAR chunk build: one row per token, grouped by its chunk
+    -- ordinal — NOT list_slice(w, cid*W+1, ...) per chunk, which
+    -- copies the full token list per chunk row in duckdb and ground
+    -- 545 s on one 180k-token document (r8 --pathdocs; the Spark
+    -- side of the same query runs 9 s)
+    tok AS (
+        SELECT doc_id, unnest(range(1, length(w) + 1)) AS pos,
+               unnest(w) AS word
+        FROM d
+    ),
     ch AS (
-        SELECT doc_id, cid,
-               array_to_string(
-                   list_slice(w, cid * {CHUNK_W} + 1,
-                              cid * {CHUNK_W} + {CHUNK_W}), ' ') AS chunk_txt
-        FROM (SELECT doc_id, w,
-                     unnest(range(0, CAST(ceil(length(w) / {CHUNK_W}.0)
-                                          AS BIGINT))) AS cid
-              FROM d)
+        SELECT doc_id, (pos - 1) // {CHUNK_W} AS cid,
+               string_agg(word, ' ' ORDER BY pos) AS chunk_txt
+        FROM tok GROUP BY doc_id, (pos - 1) // {CHUNK_W}
     ),
     freq AS (SELECT md5(chunk_txt) AS dig, COUNT(DISTINCT doc_id) AS ndocs
              FROM ch GROUP BY 1)
@@ -281,16 +286,19 @@ def j29_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                FROM documents),
-    grams AS (
-        SELECT DISTINCT doc_id,
-               array_to_string(list_slice(w, i + 1, i + {NOVELTY_N}), ' ')
-                   AS gram
-        FROM (SELECT doc_id, w,
-                     unnest(range(0, CASE WHEN length(w) >= {NOVELTY_N}
-                                          THEN length(w) - {NOVELTY_N} + 1
-                                          ELSE 0 END)) AS i
-              FROM d)
+    -- LINEAR gram build (lead-chain): list_slice(w, i, i+n) per
+    -- position copies the outer token list per gram in duckdb —
+    -- quadratic on a giant document (the j22/j53 --pathdocs class)
+    tok AS (
+        SELECT doc_id, unnest(range(1, length(w) + 1)) AS pos,
+               unnest(w) AS word
+        FROM d
     ),
+    g0 AS (
+        SELECT doc_id, word || ' ' || lead(word, 1) OVER lw || ' ' || lead(word, 2) OVER lw AS gram
+        FROM tok WINDOW lw AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grams AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
     first_seen AS (SELECT gram, MIN(doc_id) AS first_doc
                    FROM grams GROUP BY gram)
     SELECT g.doc_id,
@@ -356,7 +364,13 @@ def j31_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: ASCII-classed email pattern (Java regex ≡ RE2, j18 discipline) —
 #: shared by j23 (batch) and i16 (stream).
-EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+#: Bounded quantifiers, NOT +: the unbounded form is O(n²) under
+#: Java's backtracking engine on a long match-free [a-z]+ run (a 200KB
+#: unbroken token = ~4e10 steps = a wedged executor — r8 --pathdocs
+#: sweep). {1,64}/{1,255} are the RFC 5321 local/domain caps: same
+#: matches on real emails, bounded backtracking per position, and the
+#: pattern stays valid in both Java regex and RE2/DuckDB.
+EMAIL_PAT = "[a-z0-9._%+-]{1,64}@[a-z0-9.-]{1,255}\\.[a-z]{2,}"
 
 
 def redact_columns() -> list:

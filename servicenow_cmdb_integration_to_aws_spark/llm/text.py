@@ -700,14 +700,23 @@ SHINGLE_W = 5
         SELECT doc_id, string_split(lower(text), ' ') AS toks
         FROM documents
     ),
-    s AS (
-        SELECT doc_id,
-               unnest(list_transform(
-                   range(1, len(toks) - {SHINGLE_W} + 2),
-                   i -> array_to_string(toks[i:i + {SHINGLE_W} - 1], ' ')
-               )) AS sh
-        FROM t WHERE len(toks) >= {SHINGLE_W}
+    -- LINEAR shingle build (lead-chain over unnested tokens), NOT
+    -- per-position toks[i:i+W] slices: inside a list_transform lambda
+    -- duckdb copies the OUTER list per position, which goes quadratic
+    -- on a giant document (180k tokens ground >10 min / 10 GB in the
+    -- r8 --pathdocs sweep). The NULL-propagating || chain also
+    -- subsumes the len(toks) >= W filter (short docs yield NULL).
+    tok AS (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+               unnest(toks) AS word
+        FROM t
     ),
+    s0 AS (
+        SELECT doc_id, word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS sh
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (SELECT doc_id, sh FROM s0 WHERE sh IS NOT NULL),
     bench AS (
         SELECT DISTINCT sh FROM s WHERE doc_id % {BENCH_MOD} = 0
     )
@@ -951,15 +960,25 @@ WIN_W = 4  # winnowing: hashes per selection window
         SELECT doc_id, string_split(lower(text), ' ') AS toks
         FROM documents
     ),
-    g AS (
+    -- LINEAR gram hash (lead-chain over unnested tokens), NOT
+    -- toks[pos:pos+K] slices — per-position slicing copies the token
+    -- list per gram in duckdb, quadratic on a giant document (the
+    -- j22/j53 --pathdocs class). NULL-propagating || reproduces the
+    -- pos <= n-K+1 bound; n_grams joins back from a per-doc count.
+    tok AS (
         SELECT doc_id, len(toks) - {WIN_K} + 1 AS n_grams,
-               unnest(range(1, len(toks) - {WIN_K} + 2)) AS pos, toks
+               unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
         FROM t WHERE len(toks) >= {WIN_K}
     ),
-    h AS (
+    h0 AS (
         SELECT doc_id, n_grams, pos,
-               md5(array_to_string(toks[pos:pos + {WIN_K} - 1], ' ')) AS gh
-        FROM g
+               word || ' ' || lead(word, 1) OVER lw
+                    || ' ' || lead(word, 2) OVER lw AS gram
+        FROM tok WINDOW lw AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    h AS (
+        SELECT doc_id, n_grams, pos, md5(gram) AS gh
+        FROM h0 WHERE gram IS NOT NULL
     ),
     wmin AS (
         SELECT doc_id, pos, n_grams,
@@ -1386,7 +1405,11 @@ def j48_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(string_split(lower(text), '')) AS c
         FROM documents
     ),
-    g AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+    -- c <> '': string_split('', '') yields [''] — an EMPTY document
+    -- has no character distribution and must emit no row, exactly
+    -- like the engine's c != '' filter (r8 --pathdocs sweep)
+    g AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch
+          WHERE c <> '' GROUP BY doc_id, c),
     l AS (
         SELECT doc_id, list(cnt ORDER BY c) AS cnts,
                CAST(SUM(cnt) AS BIGINT) AS n

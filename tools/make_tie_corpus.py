@@ -111,6 +111,30 @@ EXTREME_TRANSFORMS = {
 }
 
 
+#: --pathdocs mode: pathological documents — the empty string (NOT
+#: NULL: different code paths), whitespace-only text, one ~200KB
+#: UNBROKEN token (no spaces: tokenizers produce a single giant
+#: term), and one ~880KB document (20k copies of one sentence — also
+#: a within-doc repeat torture for j53). Real corpora contain all
+#: four daily; the seams: split('')=[''] conventions, per-token
+#: payload sizes through Arrow batches, giant-doc window/agg bounds.
+PATHDOC_TRANSFORMS = {
+    "documents": (
+        "SELECT doc_id, text, lang, source,"
+        " CAST(length(text) AS BIGINT) AS n_chars FROM ("
+        "SELECT doc_id,"
+        " CASE"
+        "   WHEN doc_id % 101 = 3 THEN ''"
+        "   WHEN doc_id % 101 = 5 THEN '   '"
+        "   WHEN doc_id = 107 THEN repeat('za', 100000)"
+        "   WHEN doc_id = 211 THEN"
+        "     repeat('the quick brown fox jumps over the lazy dog ', 20000)"
+        "   ELSE text END AS text,"
+        " lang, source FROM t)"
+    ),
+}
+
+
 #: --timewarp mode: edge timestamps in events.ts — epoch 0, the µs
 #: just BEFORE the epoch (negative integer epoch: `x div/%` semantics
 #: differ from floor/mod there), a 1955 odd-µs value, and the edges of
@@ -248,11 +272,18 @@ def main() -> None:
         help="edge timestamps in events.ts (epoch 0, negative epochs, "
              "pandas-ns range edges: extraction/bucketing/watermarks)",
     )
+    ap.add_argument(
+        "--pathdocs", action="store_true",
+        help="pathological documents (empty/whitespace/giant-token/"
+             "giant-doc text: tokenizer and batch-shape edges)",
+    )
     args = ap.parse_args()
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.timewarp:
+    if args.pathdocs:
+        transforms = PATHDOC_TRANSFORMS
+    elif args.timewarp:
         transforms = TIMEWARP_TRANSFORMS
     elif args.extremes:
         transforms = EXTREME_TRANSFORMS
