@@ -463,3 +463,111 @@ def test_degenerate_cardinality_stats_yield_null_not_crash(spark, sf_dir, tmp_pa
     row = q["d11_stats"](spark, d).collect()[0]
     assert row["n"] == 1 and row["var_qty"] is None and row["std_qty"] is None
     assert q["d23_histogram"](spark, d).collect()[0]["bin"] == 19
+
+
+def test_email_redaction_linear_on_giant_token(spark):
+    """j23/i16's EMAIL_PAT must stay linear on a match-free giant
+    token: the unbounded `[a-z…]+@` form is O(n²) under Java's
+    backtracking engine (a 200KB all-lowercase token ≈ 4e10 steps —
+    one wedged executor per pathological doc at 100 TB). The RFC-5321
+    bounded quantifiers keep it linear; this test fails by TIMEOUT if
+    the bound ever regresses (the unbounded form runs for hours)."""
+    import time
+
+    from servicenow_cmdb_integration_to_aws_spark.llm.pipeline import EMAIL_PAT
+
+    giant = "za" * 100_000  # 200KB, no '@' anywhere
+    df = spark.createDataFrame(
+        [(1, giant + " contact user.name@example.com ok")], "doc_id long, t string"
+    )
+    t0 = time.time()
+    out = df.select(
+        F.regexp_replace("t", EMAIL_PAT, "<EMAIL>").alias("r")
+    ).collect()[0]["r"]
+    assert time.time() - t0 < 30, "EMAIL_PAT went quadratic again"
+    assert "<EMAIL>" in out and "user.name@example.com" not in out
+    assert out.startswith("zaza")  # the giant token survives unredacted
+
+
+def test_sliding_window_alignment_floors_on_negative_epoch(spark, tmp_path):
+    """i2: window alignment must FLOOR for pre-1970 event times in
+    both engines — DuckDB's `//` truncates toward zero (−1 // 9e8 =
+    0), which shifted every pre-epoch window one slide late until the
+    oracle moved to the positive-mod floor form (r8 --timewarp)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as m
+
+    d = str(tmp_path)
+    ts = pa.array(
+        [-1, 0, 1, -900_000_000, -900_000_001], type=pa.timestamp("us")
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1] * 5, type=pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+    got = sorted(
+        (str(r["wstart"]), int(r["n_events"]))
+        for r in m.queries()["i2_sliding"](spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = sorted(
+        (str(r[0]), int(r[2])) for r in con.execute(
+            m.oracle_sql()["i2_sliding"]
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # floored alignment: pre-epoch windows exist on :15 boundaries
+    # BELOW epoch (truncating division would shift them to 00:00)
+    assert any(w.startswith("1969-12-31 23:15") for w, _ in got)
+    assert any(w.startswith("1969-12-31 22:45") for w, _ in got)
+
+
+def test_char_entropy_empty_doc_emits_no_row(spark, tmp_path):
+    """j49: an empty document has no character distribution — no row,
+    in BOTH engines (duckdb string_split('','') yields [''] and would
+    otherwise count one empty char; r8 --pathdocs)."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    d = _mini_docs(spark, tmp_path)
+    got = {r["doc_id"] for r in m.queries()["j49_char_entropy"](spark, d).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {r[0] for r in con.execute(m.oracle_sql()["j49_char_entropy"]).fetchall()}
+    con.close()
+    assert got == want == {2, 3}  # empty doc 1 absent from both
+
+
+def _mini_docs(spark, tmp_path):
+    d = str(tmp_path / "docs")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "   ", "en", "s", 3),
+            (3, "real text here", "en", "s", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
