@@ -176,6 +176,26 @@ _DRIVER_GREEN = frozenset(
         "t16_golden_q22", "t17_golden_q11", "t1_golden_q3",
         "t2_golden_q5", "t3_golden_q10", "t5_golden_q12",
         "t6_golden_q14", "t7_golden_q19", "t8_pipeline_curate",
+        # r8 pass (50/50 green in CORRECTNESS_r08.json — retired the
+        # 22-id never-checked backlog to zero)
+        "a14_sink_clustered", "a17_python_datasource",
+        "a18_python_stream_source", "a19_small_file_compact",
+        "a20_python_datasource_writer", "a22_zorder_sink",
+        "a5_sink_partitioned", "a8_rest_pushdown", "b16_bloom_join",
+        "c12_rel_closure_unbounded", "c13_reconcile", "c16_pagerank",
+        "c17_triangle_count", "c19_cooccur_similarity", "c21_hits",
+        "c22_k_core", "c23_clustering_coefficient", "d13_pivot",
+        "d15_unpivot", "d20_column_profile", "i17_stream_file_sink",
+        "j12_embedding_neardup", "j16_neardup_components",
+        "j2_minhash_lsh", "j2c_ngram_jaccard", "j35_pq_adc",
+        "j37_kmeans_cluster", "j38_bm25", "j39_edit_distance_nn",
+        "j3_cosine_knn", "j3b_ivf_knn", "j3c_lsh_ann", "j40_vocab_oov",
+        "j41_semdedup", "j47_hard_negatives", "j4_knn_join",
+        "j50_tau_sweep", "j52_containment_dedup", "j53_substring_dedup",
+        "j54_incremental_ivf", "j5_centroids", "j6_l2norm",
+        "t18_golden_q1", "t19_golden_q6", "t20_golden_q9",
+        "t21_golden_q13", "t22_golden_q15", "t23_golden_q16",
+        "t24_golden_q20", "t25_golden_q8",
     }
 )
 
@@ -232,24 +252,60 @@ _CHECK_COST_S = {
 #: state-store maintenance threads slow every query that runs after
 #: them ~1.5× (r1 evidence), which would silently inflate the
 #: remaining checks' cost and shrink the driver's effective budget.
-_STREAMING_LAST = frozenset({"i17_stream_file_sink", "a18_python_stream_source"})
+_STREAMING_LAST = frozenset({
+    "i17_stream_file_sink", "a18_python_stream_source",
+    # true-streaming members of the r8/r9 recheck block (state-store
+    # threads inflate every later check ~1.5×, r1 evidence)
+    "i4_watermark_late", "i5_stream_dedup", "i7_stateful_counter",
+    "i10_stream_stream_join", "i12_stream_session_window",
+    "i13_stream_outer_join", "i15_stream_complete_agg",
+    "i16_stream_pii_redact",
+})
+
+#: ids whose ENGINE or ORACLE code changed in rounds 8–9 (r8 pathdocs/
+#: timewarp/byte-exact-oracle sweeps; r9 EMAIL_PAT_G boundary guard,
+#: METRIC_BOUND/SQL_FINITE interpolation, j54 index-dir reuse). All are
+#: driver-green at an OLDER check; fronting them spends the driver's
+#: 50-id budget re-proving exactly the code that moved (r8 verdict
+#: punch-list item 3) instead of re-checking untouched greens.
+_RECHECK_FIRST = frozenset({
+    # r8 pathdocs sweep
+    "j22_decontaminate", "j23_pii_redact", "j27_chunk_dedup",
+    "j31_novelty_score", "j32_winnowing", "j49_char_entropy",
+    "j2c_ngram_jaccard", "j52_containment_dedup", "j53_substring_dedup",
+    # r8 byte-exact multimodal oracles
+    "m1_binary_features", "m3_frame_sample",
+    # r8 timewarp terms
+    "i2_sliding", "i4_watermark_late", "i5_stream_dedup",
+    "i10_stream_stream_join", "i12_stream_session_window",
+    "i13_stream_outer_join",
+    # r8 finite-metric class + r9 METRIC_BOUND interpolation sites
+    "d19_time_rollup", "d21_zscore_outliers", "d27_incremental_rollup",
+    "e4_running", "e5_moving", "e12_sessionize", "e13_ewma",
+    "h16_try_functions", "i1_tumbling", "i3_session",
+    "i7_stateful_counter", "i15_stream_complete_agg", "c14_range_join",
+    "k4_pandas_udaf",
+    # r9 EMAIL_PAT_G / j54 dir reuse / fingerprint walk
+    "i16_stream_pii_redact", "j54_incremental_ivf", "a9_bucketed_join",
+})
 
 
 def _reorder_for_driver_budget() -> None:
-    """Rebuild registry dict order: (1) the never-driver-checked ids
-    (no green CORRECTNESS row in r1–r6 — 72 remain after the r6 pass
-    went 50/50 green) sorted shortest-job-first by measured sf0.01
-    cost (_CHECK_COST_S), true-streaming ids last within the block;
-    (2) the 194 ever-driver-green ids after. Any id NOT in
-    _DRIVER_GREEN and NOT in the cost table (a brand-new
-    registration) auto-fronts with cost −1: a new id must hard-signal
-    in its first round."""
+    """Rebuild registry dict order: (1) never-driver-checked ids (none
+    remain as of r8 — every id has a green row) plus the
+    _RECHECK_FIRST block (code moved in r8/r9, green row is stale),
+    sorted shortest-job-first by measured sf0.01 cost (_CHECK_COST_S),
+    true-streaming ids last within the block; (2) the remaining
+    ever-driver-green ids after. Any id NOT in _DRIVER_GREEN and NOT
+    in the cost table (a brand-new registration) auto-fronts with
+    cost −1: a new id must hard-signal in its first round."""
     ids = list(registry.QUERIES)
-    unchecked = sorted(
-        (q for q in ids if q not in _DRIVER_GREEN),
+    front = sorted(
+        (q for q in ids if q not in _DRIVER_GREEN or q in _RECHECK_FIRST),
         key=lambda q: (q in _STREAMING_LAST, _CHECK_COST_S.get(q, -1.0), q),
     )
-    order = unchecked + [q for q in ids if q in _DRIVER_GREEN]
+    seen = set(front)
+    order = front + [q for q in ids if q not in seen]
     for d in (registry.QUERIES, registry.ORACLE):
         snap = {k: d[k] for k in order if k in d}
         d.clear()

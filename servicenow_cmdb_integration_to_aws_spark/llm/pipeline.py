@@ -372,6 +372,17 @@ def j31_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pattern stays valid in both Java regex and RE2/DuckDB.
 EMAIL_PAT = "[a-z0-9._%+-]{1,64}@[a-z0-9.-]{1,255}\\.[a-z]{2,}"
 
+#: Boundary-guarded form (r9, ADVICE): the bare bounded pattern would
+#: match the TRAILING 64 chars of an over-RFC-length local part,
+#: leaving its head unredacted — a silent partial-PII leak. RE2 (the
+#: DuckDB oracle engine) has no lookbehind, so the guard is a capture
+#: group: a match must start at ^ or after a non-local-part char, and
+#: the replacement re-emits the guard char via backreference. An
+#: over-long token (>64 local chars) now has NO valid match start and
+#: fails to match ENTIRELY — all-or-nothing redaction, same result in
+#: Java regex and RE2. Group 2 is the email itself (for counting).
+EMAIL_PAT_G = "(^|[^a-z0-9._%+-])(" + EMAIL_PAT + ")"
+
 
 def redact_columns() -> list:
     """The j23 redaction column expressions — shared by the batch
@@ -386,10 +397,10 @@ def redact_columns() -> list:
         F.col("doc_id").cast("string"),
         F.lit("@example.com"),
     )
-    redacted = F.regexp_replace(combined, EMAIL_PAT, "<EMAIL>")
+    redacted = F.regexp_replace(combined, EMAIL_PAT_G, "$1<EMAIL>")
     return [
         F.col("doc_id"),
-        F.size(F.regexp_extract_all(combined, F.lit(EMAIL_PAT), F.lit(0)))
+        F.size(F.regexp_extract_all(combined, F.lit(EMAIL_PAT_G), F.lit(2)))
         .cast("bigint")
         .alias("n_redactions"),
         F.length(redacted).cast("bigint").alias("redacted_len"),

@@ -772,19 +772,19 @@ def j22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ASCII-classed (Java regex ≡ RE2, j18 discipline): local@domain.tld.
 #: The column expressions live in pipeline.redact_columns() — shared
 #: with the streaming redactor (i16) so batch and stream can't diverge.
-from .pipeline import EMAIL_PAT as _EMAIL_PAT  # noqa: E402
+from .pipeline import EMAIL_PAT_G as _EMAIL_PAT_G  # noqa: E402
 
 
 @query(
     "j23_pii_redact",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(combined, '{_EMAIL_PAT}'))
+           CAST(len(regexp_extract_all(combined, '{_EMAIL_PAT_G}', 2))
                 AS BIGINT) AS n_redactions,
-           CAST(length(regexp_replace(combined, '{_EMAIL_PAT}',
-                                      '<EMAIL>', 'g'))
+           CAST(length(regexp_replace(combined, '{_EMAIL_PAT_G}',
+                                      '\\1<EMAIL>', 'g'))
                 AS BIGINT) AS redacted_len,
-           md5(regexp_replace(combined, '{_EMAIL_PAT}', '<EMAIL>', 'g'))
+           md5(regexp_replace(combined, '{_EMAIL_PAT_G}', '\\1<EMAIL>', 'g'))
              AS redacted_md5
     FROM (SELECT doc_id,
                  text || ' contact: user' || CAST(doc_id AS VARCHAR)

@@ -911,6 +911,9 @@ def j54_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by deletes drop out (n'=0 filter). Query-side j3b is unchanged:
     it reads whatever stats table is current — index refresh and
     index serving decouple exactly like a15 compaction vs readers."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     e = scan(spark, sf_dir, "embeddings")
@@ -927,8 +930,23 @@ def j54_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_base = F.col("vec_id") % _IVF_BASE_MOD != 0
     is_del = is_base & (F.col("vec_id") % _IVF_DEL_MOD == 3)
 
-    # 1. base index build → persisted stats (the offline artifact)
-    idx_dir = tempfile.mkdtemp(prefix="j54_ivf_")
+    # 1. base index build → persisted stats (the offline artifact).
+    # Deterministic per-(pid, sf) path + overwrite mode: repeated runs
+    # in a long-lived driver REUSE the directory instead of leaking a
+    # fresh mkdtemp each call, and atexit reclaims it on shutdown (the
+    # read below is lazy — the driver collects after we return, so an
+    # eager rmtree here would pull the parquet out from under the
+    # plan). Parity note: the merge computes base + Σins − Σdel in
+    # floating point while the oracle sums the post-change corpus
+    # directly; the 6dp ROUND absorbs the ulp drift of that
+    # reassociation, with the theoretical caveat that a sum landing
+    # within an ulp of a .5e-6 rounding boundary could flip — accepted
+    # (documented) risk, same policy as the other rounded-double ids.
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"j54_ivf_{os.getpid()}_{sf_tag}"
+    )
+    atexit.register(shutil.rmtree, idx_dir, ignore_errors=True)
     elem.filter(is_base).groupBy("label", "pos").agg(
         F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
     ).write.mode("overwrite").parquet(idx_dir)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
-from .numeric import dec, dsum, finite_metric  # shared helpers (re-exported for compat)
+from .numeric import FIN, dec, dsum, finite_metric  # shared helpers (re-exported for compat)
 
 __all__ = ["dec", "dsum"]
 
@@ -494,13 +494,13 @@ def d18_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d19_time_rollup",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
     SELECT CAST(year(ts) AS INT) AS y,
            CAST(month(ts) AS INT) AS m,
            CAST(day(ts) AS INT) AS d,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(floor((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(floor(({FIN}) * 100) AS BIGINT)) AS BIGINT)
              AS sum_cents
     FROM e
     GROUP BY ROLLUP (year(ts), month(ts), day(ts))
@@ -634,10 +634,10 @@ def profile(df: DataFrame, cols) -> DataFrame:
 
 @query(
     "d21_zscore_outliers",
-    oracle="""
+    oracle=f"""
     WITH e AS (
         SELECT event_id, event_type,
-               CAST(CAST((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END)
+               CAST(CAST(({FIN})
                          AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
     ),
@@ -1094,11 +1094,11 @@ _D27_SPLIT = "2024-10-01"
 
 @query(
     "d27_incremental_rollup",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
     SELECT CAST(ts AS DATE) AS day,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CAST((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END)
+           CAST(SUM(CAST(CAST(({FIN})
                          AS DECIMAL(18,2)) * 100 AS BIGINT))
                 AS BIGINT) AS sum_cents
     FROM e GROUP BY 1

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
-from .numeric import dec, dsum, fdec
+from .numeric import dec, dsum, fdec, sql_finite
 
 
 @query(
@@ -542,7 +542,7 @@ _RANGE_WIN_S = 2 * 3600
     )
     SELECT w.win_id, w.user_id,
            COUNT(ev.event_id) AS n_in_window,
-           CAST(COALESCE(SUM(CAST(CASE WHEN isnan(ev.value) OR isinf(ev.value) OR abs(ev.value) > 1e12 THEN NULL ELSE ev.value END AS DECIMAL(18,2))), 0) AS DOUBLE)
+           CAST(COALESCE(SUM(CAST({sql_finite("ev.value")} AS DECIMAL(18,2))), 0) AS DOUBLE)
              AS sum_value
     FROM win w LEFT JOIN e ev
       ON ev.user_id = w.user_id

@@ -31,12 +31,26 @@ def dsum(col: Column) -> Column:
 #: an engine-asymmetric job-killer found by the r8 --extremes sweep).
 METRIC_BOUND = 1e12
 
-#: DuckDB fragment of :func:`finite_metric` — keep BOTH ENGINES' rule
-#: textually adjacent so they can only drift on purpose.
+#: DuckDB fragment of :func:`finite_metric` — BUILT from METRIC_BOUND
+#: (r9, ADVICE) so the two engines' rule cannot desynchronize: change
+#: the bound in one place and every oracle CASE string (interpolated
+#: via :func:`sql_finite` / ``FIN``) and the Spark gate move together.
 SQL_FINITE = (
-    "CASE WHEN isnan({c}) OR isinf({c}) OR abs({c}) > 1e12 "
-    "THEN NULL ELSE {c} END"
+    f"CASE WHEN isnan({{c}}) OR isinf({{c}}) OR abs({{c}}) > "
+    f"{METRIC_BOUND:.0f} THEN NULL ELSE {{c}} END"
 )
+
+
+def sql_finite(c: str = "value") -> str:
+    """The oracle twin of :func:`finite_metric`, for f-string
+    interpolation into @query oracle SQL (the CASE fragment used to be
+    duplicated as a literal in ~20 oracles — one bound edit would have
+    silently split the engines)."""
+    return SQL_FINITE.format(c=c)
+
+
+#: The common `events.value` form, ready to drop into an oracle.
+FIN = sql_finite()
 
 
 def finite_metric(c: str) -> Column:

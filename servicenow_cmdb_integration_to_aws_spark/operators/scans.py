@@ -116,11 +116,21 @@ def bucketed_table_names(sf_dir: str) -> tuple[str, str]:
         # table name either way.
         p = path_of(sf_dir, name)
         if os.path.isdir(p):
+            # Recursive walk (r9, ADVICE): a partitioned/nested layout
+            # keeps its part files under key=... subdirectories, so a
+            # top-level-only listing would fingerprint EVERY state of
+            # such a table as 'empty' and an in-place rewrite would
+            # keep serving a stale bucketed copy. Relative paths in the
+            # key so partition-dir renames also mint a new name.
             parts = []
-            for f in sorted(os.listdir(p)):
-                if f.endswith(".parquet"):
-                    st = os.stat(os.path.join(p, f))
-                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        fp = os.path.join(root, f)
+                        st = os.stat(fp)
+                        rel = os.path.relpath(fp, p)
+                        parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
             key = "|".join(parts) or "empty"
         else:
             st = os.stat(p)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf, udtf
 
+from .numeric import FIN, METRIC_BOUND
 from ..registry import query
 from ..sources.tables import scan
 
@@ -138,14 +139,14 @@ def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k4_pandas_udaf",
-    oracle="""
+    oracle=f"""
     WITH ev AS (SELECT event_type,
                        -- finite gate (numeric.finite_metric policy):
                        -- NaN sorts ABOVE Inf in duckdb but pandas
                        -- quantile skips it — gated, both engines see
                        -- the same finite order statistics (r8
                        -- --extremes sweep)
-                       CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS value
+                       {FIN} AS value
                 FROM events),
     r AS (SELECT event_type, value,
                       row_number() OVER (PARTITION BY event_type
@@ -197,7 +198,7 @@ def k4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # finite gate (oracle's ev CTE): NaN/±Inf/garbage magnitudes
         # carry no order statistic and would poison the mean
-        v = v[np.isfinite(v) & (v.abs() <= 1e12)]
+        v = v[np.isfinite(v) & (v.abs() <= METRIC_BOUND)]
         v = v.sort_values()
         # exact order statistics ('lower'/'higher' = v[floor((n-1)q)] /
         # v[ceil((n-1)q)]) — see the docstring's oracle-parity note

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
-from .numeric import dec, fdec, finite_metric
+from .numeric import FIN, dec, fdec, finite_metric
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +111,7 @@ def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EVENTS_US}
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS running_n,
-           CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum
+           CAST(sum(CAST({FIN} AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -133,8 +133,8 @@ def e4_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US}
     SELECT event_id, user_id,
-           CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
-           CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           CAST(sum(CAST({FIN} AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+           CAST(sum(CAST({FIN} AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / count(*) OVER w AS mov_avg
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -419,7 +419,7 @@ SESSION_GAP_US = 12 * 3600 * 1_000_000
            CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(ts) AS sess_start, MAX(ts) AS sess_end,
            MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
-           CAST(SUM(CAST(floor((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(floor(({FIN}) * 100) AS BIGINT)) AS BIGINT)
              AS sum_cents
     FROM s GROUP BY user_id, sess_no
     """,
@@ -479,11 +479,7 @@ def sessionize(
         # finite-gated cents (numeric.finite_metric policy, d19 note)
         F.sum(
             F.floor(
-                F.when(
-                    ~F.isnan(F.col(value))
-                    & (F.abs(F.col(value)) <= F.lit(1e12)),
-                    F.col(value),
-                )
+                finite_metric(value)
                 * 100
             ).cast("bigint")
         ).alias("sum_cents"),
@@ -513,9 +509,7 @@ def _ewma_oracle() -> str:
     return f"""
     {EVENTS_US},
     ef AS (SELECT event_id, user_id, ts,
-                  CASE WHEN isnan(value) OR isinf(value)
-                            OR abs(value) > 1e12
-                       THEN NULL ELSE value END AS value
+                  {FIN} AS value
            FROM e)
     SELECT event_id, user_id, ts,
            round(({num}) / ({den}), 6) AS ewma_value

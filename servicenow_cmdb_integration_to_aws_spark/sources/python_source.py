@@ -351,6 +351,29 @@ def a18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # a20 — Python Data Source WRITER (the upsert/export direction of a17)
 
+def read_committed(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Manifest-gated read-back of an a20 sink directory: resolve
+    `_MANIFEST` (atomically published by commit) and read ONLY the
+    files it lists. A crash at ANY commit step leaves either no
+    manifest (reader sees the previous complete state — here, empty)
+    or the complete new manifest; files renamed into `committed/`
+    before a mid-commit crash are orphans no reader ever lists —
+    the same reader discipline as i17's `_spark_metadata` log."""
+    import json
+
+    mpath = os.path.join(path, "_MANIFEST")
+    if not os.path.exists(mpath):
+        return spark.createDataFrame([], schema)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    files = [
+        os.path.join(path, "committed", name)
+        for name in manifest.get("files", [])
+    ]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).csv(files)
+
 
 class _UpsertCommit(WriterCommitMessage):
     """Per-task commit message: staged file + row count (picklable)."""
@@ -376,6 +399,21 @@ class OrdersUpsertWriter(DataSourceWriter):
 
     def __init__(self, options):
         self.path = options["path"]
+        # test-only crash injection (r9 kill-at-every-step harness,
+        # tests/test_streaming.py): .option("crash_at", <point>) makes
+        # commit() raise at exactly that step — option-carried because
+        # commit runs in its own Python worker process, where a test's
+        # module-global hook would never be visible. Production writes
+        # never set it; the cost is one string-compare per step.
+        self._crash_at = options.get("crash_at")
+        self._crash_nth = int(options.get("crash_nth", "1"))
+        self._crash_seen = 0
+
+    def _fault(self, point: str) -> None:
+        if self._crash_at == point:
+            self._crash_seen += 1
+            if self._crash_seen >= self._crash_nth:
+                raise RuntimeError(f"injected crash at {point}")
 
     def write(self, iterator):
         import os
@@ -392,17 +430,41 @@ class OrdersUpsertWriter(DataSourceWriter):
         return _UpsertCommit(fn, n)
 
     def commit(self, messages):
+        # Crash-safe at every step (r9 fault-injection hardening): the
+        # manifest is the COMMIT RECORD — it lists the committed file
+        # names and is published by atomic os.replace, and readers
+        # (read_committed) resolve it before touching any file. Die
+        # before the replace → orphaned renames that no reader lists;
+        # die after → the write is durable and complete. A full-job
+        # retry stages fresh uuid-named files and REPLACES the
+        # manifest, so the reader sees exactly one copy either way.
         import json
         import os
+        import tempfile
 
+        self._fault("commit_start")  # all tasks staged, nothing committed
         final = os.path.join(self.path, "committed")
         os.makedirs(final, exist_ok=True)
-        total = 0
+        total, names = 0, []
         for m in messages:
-            os.rename(m.staged, os.path.join(final, os.path.basename(m.staged)))
+            name = os.path.basename(m.staged)
+            os.rename(m.staged, os.path.join(final, name))
+            names.append(name)
             total += m.n_rows
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
-            json.dump({"n_rows": total, "n_files": len(messages)}, f)
+            self._fault("after_rename")  # mid-commit: some files moved
+        self._fault("before_manifest")  # all moved, commit record not yet out
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "n_rows": total,
+                    "n_files": len(names),
+                    "files": sorted(names),
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic
+        self._fault("after_manifest")  # durable; retry must stay exactly-once
 
     def abort(self, messages):
         import os
@@ -472,6 +534,7 @@ def a20_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(out, "_MANIFEST")) as f:
         manifest = json.load(f)
     assert manifest["n_rows"] >= 0  # manifest written even for an empty export
-    return spark.read.schema(
-        "o_orderkey long, o_orderstatus string, o_totalprice double"
-    ).csv(os.path.join(out, "committed"))
+    # manifest-gated read-back (r9): only files the commit record lists
+    return read_committed(
+        spark, out, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )

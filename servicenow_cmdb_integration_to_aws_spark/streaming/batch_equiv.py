@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.numeric import dec, fdec
+from ..operators.numeric import FIN, dec, fdec
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
 
@@ -35,7 +35,7 @@ SESSION_GAP_US = 2 * 3600 * 1_000_000
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
            CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS wend,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST({FIN} AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM e
     GROUP BY 1, 2
@@ -79,7 +79,7 @@ def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - j * 900000000::BIGINT)
              + INTERVAL 1 HOUR AS wend,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST({FIN} AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) offsets
     GROUP BY 1, 2
     """,
@@ -127,7 +127,7 @@ def i2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 2 HOUR AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST({FIN} AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM numbered
     GROUP BY user_id, sid
     """,

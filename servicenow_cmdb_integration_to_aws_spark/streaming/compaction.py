@@ -59,11 +59,22 @@ class SnapshotStore:
         with open(p) as f:
             return json.load(f)
 
+    #: test-only crash-point hook (r9 kill-at-every-step harness,
+    #: tests/test_streaming.py): called with a point name at each
+    #: commit step; raising simulates the compactor dying right there.
+    _fault = None
+
+    def _crash(self, point: str) -> None:
+        if self._fault is not None:
+            self._fault(point)
+
     def _commit(self, meta: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
+        self._crash("before_latest_replace")  # tmp written, not live
         os.replace(tmp, os.path.join(self.root, "_LATEST"))  # atomic
+        self._crash("after_latest_replace")  # commit durable
 
     # -- the fold -------------------------------------------------------
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
@@ -114,6 +125,7 @@ class SnapshotStore:
             self._latest_per_key(src).write.mode("overwrite").parquet(
                 os.path.join(self.root, f"v={new_v}")
             )
+            self._crash("after_fold_write")  # v-dir exists, not committed
             self._commit(
                 {"version": new_v, "compacted_through": new_batches[-1]}
             )

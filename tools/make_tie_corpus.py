@@ -158,6 +158,32 @@ TIMEWARP_TRANSFORMS = {
 }
 
 
+#: --vec-extremes mode: hostile embedding payloads (r8 verdict item 4
+#: — the last un-fuzzed payload type; events.value got --extremes,
+#: embeddings only the null-vector gate). Injected, ~9 rows each of
+#: 500: an all-NaN vector, single ±Inf and single-NaN components, the
+#: all-zero vector (norm 0 → cosine divides by zero), and exact
+#: DUPLICATE vectors (distance ties → top-k boundary tie-breaks).
+#: The seams: NaN scores order differently per engine unless gated,
+#: 0-norm normalization NaN-poisons every downstream similarity, and
+#: duplicated candidates make any non-deterministic k-th-place pick
+#: diverge. Dim stays 64 and element type FLOAT (schema-exact).
+VEC_EXTREME_TRANSFORMS = {
+    "embeddings": (
+        "SELECT vec_id,"
+        " CASE vec_id % 53"
+        "   WHEN 5 THEN list_transform(embedding, x -> 'nan'::FLOAT)"
+        "   WHEN 11 THEN list_concat(['inf'::FLOAT], embedding[2:])"
+        "   WHEN 17 THEN list_concat(['-inf'::FLOAT], embedding[2:])"
+        "   WHEN 23 THEN list_transform(embedding, x -> 0.0::FLOAT)"
+        "   WHEN 29 THEN (SELECT t2.embedding FROM t t2 WHERE t2.vec_id = 1)"
+        "   WHEN 31 THEN list_concat(['nan'::FLOAT], embedding[2:])"
+        "   ELSE embedding END AS embedding,"
+        " label FROM t"
+    ),
+}
+
+
 #: --nulls-doc mode: NULL the PAYLOAD columns the --nulls mode leaves
 #: alone — documents.text (with n_chars NULLed to keep the
 #: n_chars = length(text) invariant) and embeddings.embedding. A null
@@ -273,6 +299,11 @@ def main() -> None:
              "pandas-ns range edges: extraction/bucketing/watermarks)",
     )
     ap.add_argument(
+        "--vec-extremes", action="store_true",
+        help="NaN/±Inf components, zero vectors, duplicate vectors in "
+             "embeddings.embedding (vector-payload amplifier)",
+    )
+    ap.add_argument(
         "--pathdocs", action="store_true",
         help="pathological documents (empty/whitespace/giant-token/"
              "giant-doc text: tokenizer and batch-shape edges)",
@@ -281,7 +312,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.pathdocs:
+    if args.vec_extremes:
+        transforms = VEC_EXTREME_TRANSFORMS
+    elif args.pathdocs:
         transforms = PATHDOC_TRANSFORMS
     elif args.timewarp:
         transforms = TIMEWARP_TRANSFORMS
