@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
+from .vectors import VOK  # vector-quality gate, SQL twin (r9)
 
 #: lazy materialization for multi-consumer intermediates (persist, not
 #: localCheckpoint: under AQE eager=False checkpointing executes the
@@ -105,7 +106,7 @@ def _kmeans_oracle() -> str:
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE {VOK}
     ),
     cent0 AS (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
@@ -164,11 +165,13 @@ def j37_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan static (no driver-side convergence loop over actions); at
     petabyte scale seeds come from a hash-ranked SAMPLE instead of a
     global sort — same determinism, no full-corpus ordering."""
-    # NULL embeddings can neither seed nor be assigned: filter them
-    # symmetrically (the oracle's WHERE) before hashing/seeding.
+    # glitched vectors (NULL / non-finite / zero) can neither seed nor
+    # be assigned: vec_ok gate, symmetric with the oracle's WHERE (r9)
+    from .vectors import vec_ok
+
     e = (
         scan(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(vec_ok())
         .select("vec_id", _dvec("embedding").alias("v"))
     )
     # top-K by hash via orderBy+limit = TakeOrderedAndProject (per-
@@ -638,7 +641,7 @@ def _semdedup_oracle() -> str:
                CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
                     AS BIGINT) AS hv
         FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE {VOK}
     ),
     e AS (SELECT vec_id, embedding, v FROM e0),
     fine AS (
@@ -756,11 +759,14 @@ def semdedup(
         raise ValueError("pass exactly one of k= or per=")
     from .vectors import dot, l2norm, neardup_blocked
 
-    # symmetric null-vector filter (oracle WHERE): a NULL embedding
-    # has no norm, no cell, no pair — and must not become a seed.
+    # symmetric vector-quality gate (oracle WHERE, r9): a NULL/
+    # non-finite/zero vector has no norm, no cell, no pair — and must
+    # not become a seed (one NaN seed would NaN every sim in its cell).
+    from .vectors import vec_ok
+
     e = (
         scan(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(vec_ok())
         .select("vec_id", "embedding", _dvec("embedding").alias("v"))
     )
     seed_hash = F.md5(F.col("vec_id").cast("string").cast("binary"))

@@ -54,6 +54,44 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def vec_ok(c: str | Column = "embedding") -> Column:
+    """Vector-quality gate (r9 --vec-extremes sweep; the embedding twin
+    of numeric.finite_metric): a vector is similarity-usable iff it is
+    non-NULL, every component is finite, and at least one component is
+    non-zero. A NaN/±Inf component NaN-poisons every dot product it
+    touches (and NaN ordering is engine-defined), and the zero vector
+    has no direction — cosine against it divides by zero, an ANSI
+    job-kill in Spark. At 100 TB a handful of glitched embeddings
+    (failed encoder, truncated fetch) must never abort an index build
+    or corrupt a centroid: they carry no signal and are EXCLUDED,
+    identically in both engines (SQL twin: :data:`VOK`)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (
+        col.isNotNull()
+        & ~F.exists(
+            col, lambda x: F.isnan(_D(x)) | (F.abs(x) == F.lit(float("inf")))
+        )
+        & F.exists(col, lambda x: x != F.lit(0.0))
+    )
+
+
+#: DuckDB twin of :func:`vec_ok` — textually adjacent, same three legs.
+SQL_VEC_OK = (
+    "({c} IS NOT NULL"
+    " AND len(list_filter({c}, x -> isnan(x) OR isinf(x))) = 0"
+    " AND len(list_filter({c}, x -> x <> 0)) > 0)"
+)
+
+
+def sql_vec_ok(c: str = "embedding") -> str:
+    return SQL_VEC_OK.format(c=c)
+
+
+#: the common `embeddings.embedding` form + a ready-made gated CTE
+VOK = sql_vec_ok()
+EMB_OK = f"emb AS (SELECT * FROM embeddings WHERE {VOK})"
+
+
 #: shared DuckDB lambda fragments (mirror the Spark fold semantics)
 _SQL_DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
@@ -67,13 +105,14 @@ _SQL_NORM = (
 @query(
     "j3_cosine_knn",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    WITH {EMB_OK},
+    q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0),
     scored AS (
         SELECT vec_id,
                round({_SQL_DOT.format(a='embedding', b='qv')}
                      / ({_SQL_NORM.format(a='embedding')}
                         * {_SQL_NORM.format(a='qv')}), 6) AS cos_sim
-        FROM embeddings, q
+        FROM emb, q
         WHERE vec_id <> 0
     )
     SELECT vec_id, cos_sim FROM scored
@@ -83,7 +122,7 @@ _SQL_NORM = (
 def j3_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (j3): query = vec_id 0's embedding,
     broadcast; top-10 most similar."""
-    e = scan(spark, sf_dir, "embeddings")
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (
         e.filter(F.col("vec_id") != 0)
@@ -99,9 +138,10 @@ def j3_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j4_knn_join",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+    WITH {EMB_OK},
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM emb
                WHERE vec_id < 5),
-    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    c AS (SELECT vec_id, embedding FROM emb WHERE vec_id >= 5),
     scored AS (
         SELECT q.q_id, c.vec_id,
                round({_SQL_DOT.format(a='c.embedding', b='q.qv')}
@@ -120,7 +160,7 @@ def j4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join (j4): for each of 5 query vectors, top-3 neighbors in
     the rest of the corpus. Query side broadcast; corpus scanned once;
     windowed top-k per query."""
-    e = scan(spark, sf_dir, "embeddings")
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -140,17 +180,18 @@ def j4_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j5_centroids",
-    oracle="""
-    WITH elem AS (
+    oracle=f"""
+    WITH {EMB_OK},
+    elem AS (
         SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS val
-        FROM embeddings,
+        FROM emb,
              LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
     ),
     m AS (
         SELECT label, pos, round(SUM(val) / COUNT(*), 6) AS mean_val
         FROM elem GROUP BY label, pos
     ),
-    c AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY label)
+    c AS (SELECT label, COUNT(*) AS n_members FROM emb GROUP BY label)
     SELECT m.label, CAST(m.pos AS BIGINT) AS pos, m.mean_val, c.n_members
     FROM m JOIN c ON m.label = c.label
     """,
@@ -165,7 +206,7 @@ def j5_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (label, pos, mean_val) row per dimension — so the driver
     compare sees only scalar columns; ``assemble_centroids`` in this
     module re-packs the array form for downstream consumers (j3b)."""
-    e = scan(spark, sf_dir, "embeddings")
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     elem = e.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select("label", (F.col("pos") + 1).alias("pos"), _D(F.col("val")).alias("val"))
@@ -204,7 +245,7 @@ def assemble_centroids(exploded: DataFrame) -> DataFrame:
            round(CAST(embedding[pos] AS DOUBLE)
                  / {_SQL_NORM.format(a='embedding')}, 6) AS unit_val,
            round({_SQL_NORM.format(a='embedding')}, 6) AS norm
-    FROM embeddings,
+    FROM (SELECT * FROM embeddings WHERE {VOK}),
          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
     """,
 )
@@ -215,7 +256,11 @@ def j6_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is posexploded — (vec_id, pos, unit_val, norm) — so the
     driver compare sees only scalar columns; the array-producing
     transform itself is still the computed expression."""
-    e = scan(spark, sf_dir, "embeddings").withColumn("nrm", l2norm("embedding"))
+    e = (
+        scan(spark, sf_dir, "embeddings")
+        .filter(vec_ok())
+        .withColumn("nrm", l2norm("embedding"))
+    )
     ex = e.select(
         "vec_id",
         F.round("nrm", 6).alias("norm"),
@@ -234,11 +279,12 @@ def j6_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j3b_ivf_knn",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv, label AS q_label FROM embeddings
+    WITH {EMB_OK},
+    q AS (SELECT embedding AS qv, label AS q_label FROM emb
                WHERE vec_id = 0),
     cent AS (
         SELECT label, pos, SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*) AS c
-        FROM embeddings,
+        FROM emb,
              LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
         GROUP BY label, pos
     ),
@@ -259,7 +305,7 @@ def j6_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
                round({_SQL_DOT.format(a='embedding', b='qv')}
                      / ({_SQL_NORM.format(a='embedding')}
                         * {_SQL_NORM.format(a='qv')}), 6) AS cos_sim
-        FROM embeddings, q
+        FROM emb, q
         WHERE vec_id <> 0 AND label IN (SELECT label FROM best)
     )
     SELECT vec_id, cos_sim FROM scored
@@ -272,7 +318,7 @@ def j3b_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine inside the probed cells. At 100 TB the corpus is partitioned
     by cell on disk → partition pruning skips >90% of the scan; recall
     is tunable via n_probe. Centroids are deterministic (j5)."""
-    e = scan(spark, sf_dir, "embeddings")
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
     # centroids per label (reuse j5's exact shape, unrounded)
@@ -323,8 +369,9 @@ def j3b_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
                  / ({_SQL_NORM.format(a='a.embedding')}
                     * {_SQL_NORM.format(a='b.embedding')}), 6) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM (SELECT * FROM embeddings WHERE {VOK}) a
+    JOIN (SELECT * FROM embeddings WHERE {VOK}) b
+      ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
                 / ({_SQL_NORM.format(a='a.embedding')}
                    * {_SQL_NORM.format(a='b.embedding')}), 6) >= 0.3
@@ -368,6 +415,7 @@ def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
     # beats materializing an embedding-payload copy at 100 TB. The tiny
     # label->n_chunks agg, though, is persisted so the counting scan
     # runs once, not once per side (lineage-duplication class).
+    e = e.filter(vec_ok())  # glitched vectors carry no pair signal (r9)
     counts = e.groupBy("label").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("n_chunks")
     ).persist(_MAD)
@@ -417,10 +465,11 @@ def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
 @query(
     "j16_neardup_components",
     oracle=f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE {EMB_OK},
+    pairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM emb a
+        JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
                     / ({_SQL_NORM.format(a='a.embedding')}
                        * {_SQL_NORM.format(a='b.embedding')}), 6) >= 0.6
@@ -431,7 +480,7 @@ def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
         SELECT vb, va FROM pairs
     ),
     reach AS (
-        SELECT vec_id AS node, vec_id AS r FROM embeddings
+        SELECT vec_id AS node, vec_id AS r FROM emb
         UNION
         SELECT sym.s, reach.r FROM sym JOIN reach ON reach.node = sym.d
     ),
@@ -453,7 +502,7 @@ def j16_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pair predicate."""
     from ..operators.joins import connected_components
 
-    e = scan(spark, sf_dir, "embeddings")
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     pairs = neardup_blocked(e, tau=0.6, cap=128)
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
@@ -518,13 +567,14 @@ def hyperplane_buckets(e: DataFrame, planes: DataFrame) -> DataFrame:
 @query(
     "j3c_lsh_ann",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    WITH {EMB_OK},
+    q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0)
     SELECT vec_id,
            round({_SQL_DOT.format(a='embedding', b='qv')}
                  / ({_SQL_NORM.format(a='embedding')}
                     * {_SQL_NORM.format(a='qv')}), 6) AS cos_sim,
            TRUE AS lsh_recall_ok
-    FROM embeddings, q
+    FROM emb, q
     WHERE vec_id <> 0
     ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
@@ -550,7 +600,7 @@ def j3c_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall boolean is part of the contract. The PRODUCTION path is the
     probe alone — drop the audit branch and the query does ~26% of the
     brute-force scan."""
-    e = scan(spark, sf_dir, "embeddings")
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     planes = F.broadcast(
         spark.createDataFrame(_lsh_planes(), "plane INT, pos INT, sgn INT")
     )
@@ -608,13 +658,13 @@ _SQL_SQ_L2 = (
 @query(
     "j35_pq_adc",
     oracle=f"""
-    WITH subs AS (
+    WITH {EMB_OK},
+    subs AS (
         SELECT vec_id, s,
                embedding[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}]
                  AS sub
-        FROM embeddings
+        FROM emb
         CROSS JOIN (SELECT unnest(range(0, {PQ_S})) AS s)
-        WHERE embedding IS NOT NULL
     ),
     ranked AS (
         SELECT s, sub,
@@ -673,9 +723,10 @@ def j35_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no full-vector reads at query time at all.
     Per-subspace d2 folds are in-order doubles; the final ADC sum
     rounds to 6dp (vectors.py parity note)."""
-    # symmetric null-vector filter: a NULL embedding has no subvectors
-    # to quantize (and would crash the codebook argmin downstream)
-    e = scan(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    # vector-quality gate (subsumes the old null filter): a NULL/
+    # non-finite/zero vector has nothing to quantize, and one NaN
+    # subvector would NaN-poison every argmin it joins (r9 sweep)
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     subs = e.select(
         "vec_id",
         F.explode(
@@ -738,9 +789,10 @@ _J47_K = 3  # hard negatives per anchor
 @query(
     "j47_hard_negatives",
     oracle=f"""
-    WITH a AS (
+    WITH {EMB_OK},
+    a AS (
         SELECT vec_id AS anchor_id, embedding AS av, label AS alabel
-        FROM embeddings
+        FROM emb
         ORDER BY md5('hn:' || CAST(vec_id AS VARCHAR)) LIMIT {_J47_ANCHORS}
     ),
     scored AS (
@@ -755,7 +807,7 @@ _J47_K = 3  # hard negatives per anchor
                             * {_SQL_NORM.format(a='e.embedding')}), 6) DESC,
                             e.vec_id
                ) AS rn
-        FROM a JOIN embeddings e
+        FROM a JOIN emb e
           ON e.label <> a.alabel AND e.vec_id <> a.anchor_id
     )
     SELECT anchor_id, neg_id, cos_sim FROM scored WHERE rn <= {_J47_K}
@@ -779,7 +831,7 @@ def j47_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is anchor-keyed; at production scale the scan side
     pre-prunes with j3b's IVF cells or j3c's LSH buckets and this
     exact ranking runs over candidates only)."""
-    e = scan(spark, sf_dir, "embeddings")
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     a = (
         e.select(
             F.col("vec_id").alias("anchor_id"),
@@ -815,12 +867,13 @@ def j47_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j50_tau_sweep",
     oracle=f"""
-    WITH p AS (
+    WITH {EMB_OK},
+    p AS (
         SELECT round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
                      / ({_SQL_NORM.format(a='a.embedding')}
                         * {_SQL_NORM.format(a='b.embedding')}), 6) AS cos_sim
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM emb a
+        JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT CAST(floor(cos_sim * 10) AS BIGINT) AS sim_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -862,10 +915,10 @@ _IVF_BASE_MOD, _IVF_INS_MOD, _IVF_DEL_MOD = 5, 5, 7
 
 @query(
     "j54_incremental_ivf",
-    oracle="""
+    oracle=f"""
     WITH fin AS (
         SELECT * FROM embeddings
-        WHERE NOT (vec_id % 5 <> 0 AND vec_id % 7 = 3)
+        WHERE NOT (vec_id % 5 <> 0 AND vec_id % 7 = 3) AND {VOK}
     ),
     cent AS (
         SELECT label, pos,
@@ -916,7 +969,7 @@ def j54_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    e = scan(spark, sf_dir, "embeddings")
+    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
     elem = e.select(
         "vec_id",
         "label",

@@ -603,3 +603,54 @@ def _mini_docs(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
     return d
+
+
+def test_vec_ok_gate_agrees_across_engines(spark):
+    """r9 --vec-extremes sweep contract: the vector-quality gate
+    (non-NULL, all-finite, some-nonzero) must keep EXACTLY the same
+    vectors in Spark (vec_ok) and DuckDB (SQL_VEC_OK) — it is the
+    embedding twin of numeric.finite_metric and the reason a zero-norm
+    vector can no longer ANSI-kill a cosine scan."""
+    import duckdb
+
+    from servicenow_cmdb_integration_to_aws_spark.llm.vectors import (
+        SQL_VEC_OK,
+        vec_ok,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    vecs = {
+        1: [1.0, 2.0, 3.0],        # normal -> kept
+        2: None,                    # NULL -> dropped
+        3: [nan, nan, nan],         # all-NaN -> dropped
+        4: [inf, 1.0, 2.0],         # +Inf component -> dropped
+        5: [-inf, 1.0, 2.0],        # -Inf component -> dropped
+        6: [0.0, 0.0, 0.0],         # zero vector (no direction) -> dropped
+        7: [nan, 1.0, 2.0],         # single-NaN component -> dropped
+        8: [0.0, 0.0, 1e-30],       # tiny but nonzero -> kept
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    spark_kept = sorted(
+        r["vec_id"] for r in df.filter(vec_ok()).select("vec_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({k}, {'NULL' if v is None else '[' + ', '.join('{!r}'.format(x).replace('nan', chr(39) + 'nan' + chr(39) + '::DOUBLE').replace('inf', chr(39) + 'inf' + chr(39) + '::DOUBLE') for x in v) + ']'})"
+            for k, v in vecs.items()
+        )
+        + ") AS v(vec_id, embedding)"
+    )
+    duck_kept = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT vec_id FROM t WHERE "
+            + SQL_VEC_OK.format(c="embedding")
+        ).fetchall()
+    )
+    con.close()
+    assert spark_kept == duck_kept == [1, 8]
