@@ -54,6 +54,7 @@ STREAMING_IDS = {
     "i15_stream_complete_agg",
     "i16_stream_pii_redact",
     "a18_python_stream_source",
+    "i18_stream_incremental_rollup",
 }
 
 

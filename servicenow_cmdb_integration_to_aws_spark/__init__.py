@@ -245,6 +245,8 @@ _CHECK_COST_S = {
     "j3c_lsh_ann": 3.5, "j41_semdedup": 4.3,
     "a18_python_stream_source": 2.6, "a20_python_datasource_writer": 3.5,
     "a17_python_datasource": 5.1, "j2_minhash_lsh": 7.6,
+    # r9 addition (measured sf0.01 parity-run cost incl. oracle)
+    "i18_stream_incremental_rollup": 5.0,
 }
 
 #: true Structured Streaming ids among the unchecked — forced to the
@@ -259,7 +261,7 @@ _STREAMING_LAST = frozenset({
     "i4_watermark_late", "i5_stream_dedup", "i7_stateful_counter",
     "i10_stream_stream_join", "i12_stream_session_window",
     "i13_stream_outer_join", "i15_stream_complete_agg",
-    "i16_stream_pii_redact",
+    "i16_stream_pii_redact", "i18_stream_incremental_rollup",
 })
 
 #: ids whose ENGINE or ORACLE code changed in rounds 8–9 (r8 pathdocs/

@@ -835,3 +835,172 @@ def i17_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+def _sink_log_batches(out: str) -> dict:
+    """Parse a parquet streaming sink's `_spark_metadata` transaction
+    log into {batch_id: [committed file paths]} — the log IS the
+    change feed: a downstream incremental consumer discovers exactly
+    which files each committed batch added, without listing the data
+    directory (which may contain uncommitted orphans) and without any
+    side channel from the writing query. Compacted entries
+    (`N.compact`) are ignored here because availableNow short runs
+    never reach the compaction interval; a long-lived consumer would
+    read the latest compact as its base and plain entries after it."""
+    import json as _json
+    from urllib.parse import unquote, urlparse
+
+    meta = os.path.join(out, "_spark_metadata")
+    batches: dict = {}
+    if not os.path.isdir(meta):
+        return batches
+    for f in os.listdir(meta):
+        if not f.isdigit():
+            continue  # .compact / .crc / temp files
+        with open(os.path.join(meta, f)) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        paths = []
+        for line in lines[1:]:  # line 0 is the version header ("v1")
+            p = _json.loads(line)["path"]
+            if p.startswith("file:"):
+                p = unquote(urlparse(p).path)
+            paths.append(p)
+        batches[int(f)] = paths
+    return batches
+
+
+_I18_BRONZE_SCHEMA = "event_id long, ts timestamp, value double"
+
+
+@query(
+    "i18_stream_incremental_rollup",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(({FIN}) AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MAX(CAST(CAST(({FIN}) AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM e GROUP BY 1
+    """,
+)
+def i18_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → bronze → incremental silver (i18, r8 verdict item 7):
+    the end-to-end continuous-aggregate story the parts have been
+    building toward — events stream into an i17-style parquet FILE
+    SINK (bronze, exactly-once via `_spark_metadata`), and the
+    day-grain rollup (silver) is maintained INCREMENTALLY by reading
+    the sink's transaction log as a change feed: each refresh
+    aggregates ONLY the files its batch committed and merges them
+    into the stored silver aggregate with d27's base ⊎ delta algebra
+    (count/sum/max are associative-commutative). Bronze files are
+    each scanned exactly once across all refreshes; the ORACLE is the
+    full recompute over the source, so every green row re-proves
+    refreshed ≡ rebuilt (the j54 contract, now for the streaming
+    sink path).
+
+    100 TB notes: refresh cost tracks the DELTA (new files + |affected
+    days| stored rows), never history; the log parse is driver-side
+    metadata (one tiny JSON per batch — the same file the sink's own
+    readers resolve, so the consumer sees exactly the committed set,
+    uncommitted orphans invisible). The silver store here is a temp
+    parquet per version; production swaps in a15's SnapshotStore
+    without touching the fold. The source is staged as two files so
+    availableNow commits two batches — a real deployment's log just
+    has one entry per micro-batch."""
+    import atexit
+    import glob as _glob
+    import shutil as _shutil
+
+    from ..operators.numeric import finite_metric
+    from ..sources.tables import scan as _scan
+
+    # 1. stage the source as TWO files → two committed bronze batches
+    src = tempfile.mkdtemp(prefix="i18_src_")
+    out = tempfile.mkdtemp(prefix="i18_bronze_")
+    silver_root = tempfile.mkdtemp(prefix="i18_silver_")
+    for d in (src, out, silver_root):
+        atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    ev = _scan(spark, sf_dir, "events").select("event_id", "ts", "value")
+    for i in (0, 1):
+        half_tmp = tempfile.mkdtemp(prefix="i18_half_")
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(half_tmp)
+        parts = _glob.glob(os.path.join(half_tmp, "part-*.parquet"))
+        if parts:  # an all-empty half may produce no part file
+            _shutil.move(parts[0], os.path.join(src, f"h{i}.parquet"))
+        _shutil.rmtree(half_tmp, ignore_errors=True)
+
+    # 2. bronze: file stream → parquet sink, one file per micro-batch
+    raw = (
+        spark.readStream.schema(_I18_BRONZE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            raw.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i18_"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # 3. silver: fold the sink log batch-by-batch (base ⊎ delta)
+    cents = (finite_metric("value").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col("ts").cast("date").alias("day"), cents.alias("cents")
+            )
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+                F.max("cents").alias("max_cents"),
+            )
+        )
+
+    silver_dir = None
+    batches = _sink_log_batches(out)
+    for n, bid in enumerate(sorted(batches)):
+        if not batches[bid]:
+            continue  # an empty commit adds nothing to the rollup
+        delta = day_agg(
+            spark.read.schema(_I18_BRONZE_SCHEMA).parquet(*batches[bid])
+        )
+        if silver_dir is None:
+            cur = delta
+        else:
+            # the stored aggregate + this batch's delta — history files
+            # are NOT re-read (the whole point of the id)
+            base = spark.read.parquet(silver_dir)
+            cur = (
+                base.unionByName(delta)
+                .groupBy("day")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                    F.max("max_cents").alias("max_cents"),
+                )
+            )
+        new_dir = os.path.join(silver_root, f"v{n + 1}")
+        cur.write.mode("overwrite").parquet(new_dir)
+        silver_dir = new_dir
+    if silver_dir is None:  # zero committed rows (empty-corpus gate)
+        return spark.createDataFrame(
+            [], "day date, n_events bigint, sum_cents bigint, max_cents bigint"
+        )
+    return spark.read.parquet(silver_dir)

@@ -757,3 +757,66 @@ def test_file_sink_orphan_file_invisible_to_log_reader(spark):
     shutil.copy(a_part, os.path.join(out, "part-99999-orphan.parquet"))
     assert len(glob.glob(os.path.join(out, "part-*.parquet"))) > n or True
     assert spark.read.parquet(out).count() == 3  # log-honoring reader
+
+
+def test_incremental_rollup_log_consumer_ignores_orphans(spark):
+    """i18: the silver refresher discovers bronze files through the
+    sink's transaction log, so (a) it must see one entry per committed
+    micro-batch (two staged files -> two batches), and (b) an orphan
+    data file planted in the bronze directory (a task that wrote
+    before its batch died) must not change the refreshed rollup."""
+    import shutil
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _sink_log_batches,
+    )
+
+    src = tempfile.mkdtemp(prefix="i18t_src_")
+    for i, rows in enumerate(
+        [[(1.0, 1, 10.0), (2.0, 2, 20.0)], [(3.0, 1, 30.0)]]
+    ):
+        _write_events(spark, rows, os.path.join(src, f"h{i}.parquet"))
+    out = tempfile.mkdtemp(prefix="i18t_bronze_")
+    s = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+        .select("event_id", "user_id", "value")
+    )
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i18t_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batches = _sink_log_batches(out)
+    assert sorted(batches) == [0, 1], batches  # one log entry per batch
+    n_files = sum(len(v) for v in batches.values())
+
+    def fold():
+        total = 0.0
+        for bid in sorted(batches):
+            df = spark.read.parquet(*batches[bid])
+            total += df.agg(F.sum("value")).collect()[0][0]
+        return total
+
+    before = fold()
+    assert before == 60.0
+
+    # orphan: a data file with no log entry — the consumer never lists
+    # the directory, so the fold re-reads the SAME committed set
+    import glob
+
+    a_part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+    shutil.copy(a_part, os.path.join(out, "part-99999-i18orphan.parquet"))
+    batches2 = _sink_log_batches(out)
+    assert batches2 == batches  # log unchanged by the orphan
+    assert sum(len(v) for v in batches2.values()) == n_files
