@@ -158,6 +158,40 @@ TIMEWARP_TRANSFORMS = {
 }
 
 
+#: --hotkey mode: pathological KEY DISTRIBUTIONS — 90% of events land
+#: on one user, 90% of embeddings in one label block, 90% of documents
+#: in one lang, 90% of orders on one customer. The skew amplifier: at
+#: 100 TB a power-law key is the norm, and every per-key window,
+#: blocked pair join, groupBy and dim join must stay CORRECT (ties,
+#: per-key ordering, block chunking) when one key swallows the corpus
+#: — the axis also smokes out wedges (an unbounded per-key window or
+#: unchunked block join goes quadratic on the hot key). Residue-0 rows
+#: keep their original keys so secondary key paths stay populated.
+HOTKEY_TRANSFORMS = {
+    "events": (
+        "SELECT event_id, ts,"
+        " CASE WHEN event_id % 10 <> 0 THEN 7 ELSE user_id END AS user_id,"
+        " event_type, value, props FROM t"
+    ),
+    "embeddings": (
+        "SELECT vec_id, embedding,"
+        " CAST(CASE WHEN vec_id % 10 <> 0 THEN 3 ELSE label END AS INTEGER)"
+        " AS label FROM t"
+    ),
+    "documents": (
+        "SELECT doc_id, text,"
+        " CASE WHEN doc_id % 10 <> 0 THEN 'en' ELSE lang END AS lang,"
+        " source, n_chars FROM t"
+    ),
+    "orders": (
+        "SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE o_custkey END"
+        " AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM t"
+    ),
+}
+
+
 #: --vec-extremes mode: hostile embedding payloads (r8 verdict item 4
 #: — the last un-fuzzed payload type; events.value got --extremes,
 #: embeddings only the null-vector gate). Injected, ~9 rows each of
@@ -299,6 +333,11 @@ def main() -> None:
              "pandas-ns range edges: extraction/bucketing/watermarks)",
     )
     ap.add_argument(
+        "--hotkey", action="store_true",
+        help="90%% of events/embeddings/documents/orders on one key "
+             "(skew amplifier: hot-key windows, blocked joins, dims)",
+    )
+    ap.add_argument(
         "--vec-extremes", action="store_true",
         help="NaN/±Inf components, zero vectors, duplicate vectors in "
              "embeddings.embedding (vector-payload amplifier)",
@@ -312,7 +351,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.vec_extremes:
+    if args.hotkey:
+        transforms = HOTKEY_TRANSFORMS
+    elif args.vec_extremes:
         transforms = VEC_EXTREME_TRANSFORMS
     elif args.pathdocs:
         transforms = PATHDOC_TRANSFORMS
