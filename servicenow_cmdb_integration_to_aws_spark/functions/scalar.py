@@ -347,12 +347,19 @@ def h9_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "h10_json",
     oracle="""
+    -- json_valid gate + TRY_CAST (r9 --props sweep): duckdb's json
+    -- functions THROW on malformed input where get_json_object
+    -- returns NULL, and CAST throws on a wrong-typed field where the
+    -- engine's try_cast nulls — row-local permissiveness both sides
+    WITH e AS (SELECT event_id,
+                      CASE WHEN json_valid(props) THEN props END AS p
+               FROM events)
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-           json_extract_string(props, '$.k') IS NOT NULL AS has_k,
-           json_extract_string(props, '$.missing') AS missing_attr
-    FROM events
+           json_extract_string(p, '$.k') AS k_str,
+           TRY_CAST(json_extract_string(p, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(p, '$.k') IS NOT NULL AS has_k,
+           json_extract_string(p, '$.missing') AS missing_attr
+    FROM e
     """,
 )
 def h10_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,7 +371,10 @@ def h10_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         k.alias("k_str"),
-        k.cast("int").alias("k_int"),
+        # try_cast: a wrong-typed field ('{"k": "abc"}') is a NULL,
+        # not an ANSI job-kill — one bad payload row must never abort
+        # a 100 TB scan (r9 --props sweep)
+        k.try_cast("int").alias("k_int"),
         k.isNotNull().alias("has_k"),
         F.get_json_object("props", "$.missing").alias("missing_attr"),
     )
@@ -396,14 +406,19 @@ def h11_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "h15_variant",
     oracle="""
+    -- json_valid gate + TRY_CAST: the try_parse_json/try_variant_get
+    -- row-local null semantics, mirrored (r9 --props sweep)
+    WITH e AS (SELECT event_id,
+                      CASE WHEN json_valid(props) THEN props END AS p
+               FROM events)
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-           CAST(json_extract_string(props, '$.k') AS INTEGER)
-             * CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_sq,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 AS k_big,
-           CAST(json_extract_string(props, '$.missing') AS INTEGER)
+           TRY_CAST(json_extract_string(p, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(json_extract_string(p, '$.k') AS INTEGER)
+             * TRY_CAST(json_extract_string(p, '$.k') AS INTEGER) AS k_sq,
+           TRY_CAST(json_extract_string(p, '$.k') AS INTEGER) > 50 AS k_big,
+           TRY_CAST(json_extract_string(p, '$.missing') AS INTEGER)
              AS missing_attr
-    FROM events
+    FROM e
     """,
 )
 def h15_variant(spark: SparkSession, sf_dir: str) -> DataFrame:

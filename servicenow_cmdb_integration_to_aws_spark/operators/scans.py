@@ -44,8 +44,14 @@ def a2_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a3_ingest_jsonl",
     oracle="""
+    -- permissive twin of from_json (r9 --props sweep): malformed JSON
+    -- must yield NULL row-locally, not throw (duckdb json_extract
+    -- errors on invalid input; Spark from_json PERMISSIVE nulls it),
+    -- and a wrong-typed field nulls via TRY_CAST like the parser does
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS INTEGER) AS prop_k
     FROM events
     """,
 )

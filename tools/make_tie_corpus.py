@@ -158,6 +158,31 @@ TIMEWARP_TRANSFORMS = {
 }
 
 
+#: --props mode: hostile JSON payloads in events.props — the semi-
+#: structured column every real event feed eventually corrupts. The
+#: seams: Spark from_json is PERMISSIVE (malformed → NULL struct,
+#: wrong-typed field → NULL field) while DuckDB's json functions
+#: THROW on malformed input unless guarded (json_valid) and CAST
+#: throws on a non-numeric string unless TRY_CAST — an oracle that
+#: worked on clean props splits from the engine the day one bad line
+#: lands. Injected: truncated JSON, empty string, NULL, wrong-typed
+#: field, deep nesting + extra fields, valid non-object JSON.
+PROPS_TRANSFORMS = {
+    "events": (
+        "SELECT event_id, ts, user_id, event_type, value,"
+        " CASE event_id % 23"
+        "   WHEN 3 THEN '{\"k\": '"
+        "   WHEN 5 THEN ''"
+        "   WHEN 7 THEN NULL"
+        "   WHEN 11 THEN '{\"k\": \"abc\"}'"
+        "   WHEN 13 THEN"
+        "     '{\"k\": 7, \"nested\": {\"a\": [1, 2, 3], \"b\": {\"c\": \"d\"}}}'"
+        "   WHEN 17 THEN '[1, 2, 3]'"
+        "   ELSE props END AS props FROM t"
+    ),
+}
+
+
 #: --hotkey mode: pathological KEY DISTRIBUTIONS — 90% of events land
 #: on one user, 90% of embeddings in one label block, 90% of documents
 #: in one lang, 90% of orders on one customer. The skew amplifier: at
@@ -333,6 +358,11 @@ def main() -> None:
              "pandas-ns range edges: extraction/bucketing/watermarks)",
     )
     ap.add_argument(
+        "--props", action="store_true",
+        help="hostile JSON in events.props (malformed/empty/NULL/"
+             "wrong-typed/nested: permissive-parse asymmetries)",
+    )
+    ap.add_argument(
         "--hotkey", action="store_true",
         help="90%% of events/embeddings/documents/orders on one key "
              "(skew amplifier: hot-key windows, blocked joins, dims)",
@@ -351,7 +381,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.hotkey:
+    if args.props:
+        transforms = PROPS_TRANSFORMS
+    elif args.hotkey:
         transforms = HOTKEY_TRANSFORMS
     elif args.vec_extremes:
         transforms = VEC_EXTREME_TRANSFORMS
