@@ -101,7 +101,13 @@ def h2_regex_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
              AS days_since_epoch_start,
            last_day(CAST(o_orderdate AS DATE)) AS month_end,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+           -- FLOOR seconds-since-epoch, integer-exact (r9 --datewarp):
+           -- on a fractional PRE-1970 timestamp Spark's unix_timestamp
+           -- truncates toward zero while duckdb's epoch() rounds — the
+           -- positive-mod floor form agrees everywhere (r8 idiom)
+           CAST((epoch_us(o_orderdate)
+                 - ((epoch_us(o_orderdate) % 1000000) + 1000000) % 1000000)
+                // 1000000 AS BIGINT) AS epoch_s
     FROM orders
     """,
 )
@@ -119,7 +125,14 @@ def h3_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since_epoch_start"),
         F.last_day("o_orderdate").alias("month_end"),
-        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        # floor-of-seconds via positive-mod on exact integer micros —
+        # unix_timestamp truncates toward zero below 1970 (see oracle)
+        # NTZ→TIMESTAMP cast is exact under the pinned-UTC session
+        F.expr(
+            "(unix_micros(cast(o_orderdate as timestamp))"
+            " - pmod(unix_micros(cast(o_orderdate as timestamp)),"
+            " 1000000)) div 1000000"
+        ).alias("epoch_s"),
     )
 
 

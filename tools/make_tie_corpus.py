@@ -158,6 +158,41 @@ TIMEWARP_TRANSFORMS = {
 }
 
 
+#: --datewarp mode: edge timestamps in the BUSINESS date columns
+#: (o_orderdate / l_shipdate — --timewarp covers events.ts). The
+#: seams: the golden queries' date-range predicates, year/month
+#: extraction and INTERVAL arithmetic below 1970 and at the pandas
+#: datetime64[ns] range edges (kept inside 1677/2262 per the r8
+#: timewarp lesson — beyond-ns dates test the tooling, not the
+#: engines). Keyed on the row's own key so orders and their lineitems
+#: warp independently (join/date correlations break realistically).
+DATEWARP_TRANSFORMS = {
+    "orders": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        " CASE o_orderkey % 31"
+        "   WHEN 3 THEN TIMESTAMP '1969-12-31 23:59:59.999999'"
+        "   WHEN 7 THEN TIMESTAMP '1970-01-01 00:00:00'"
+        "   WHEN 11 THEN TIMESTAMP '1677-09-22 00:00:00.000001'"
+        "   WHEN 13 THEN TIMESTAMP '2262-04-10 00:00:00.999999'"
+        "   WHEN 17 THEN TIMESTAMP '1900-02-28 12:00:00'"
+        "   ELSE o_orderdate END AS o_orderdate,"
+        " o_orderpriority FROM t"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,"
+        " l_linestatus,"
+        " CASE (l_orderkey + l_linenumber) % 31"
+        "   WHEN 3 THEN TIMESTAMP '1969-12-31 23:59:59.999999'"
+        "   WHEN 7 THEN TIMESTAMP '1970-01-01 00:00:00'"
+        "   WHEN 11 THEN TIMESTAMP '1677-09-22 00:00:00.000001'"
+        "   WHEN 13 THEN TIMESTAMP '2262-04-10 00:00:00.999999'"
+        "   WHEN 17 THEN TIMESTAMP '1900-02-28 12:00:00'"
+        "   ELSE l_shipdate END AS l_shipdate FROM t"
+    ),
+}
+
+
 #: --props mode: hostile JSON payloads in events.props — the semi-
 #: structured column every real event feed eventually corrupts. The
 #: seams: Spark from_json is PERMISSIVE (malformed → NULL struct,
@@ -358,6 +393,11 @@ def main() -> None:
              "pandas-ns range edges: extraction/bucketing/watermarks)",
     )
     ap.add_argument(
+        "--datewarp", action="store_true",
+        help="edge timestamps in o_orderdate/l_shipdate (business-date "
+             "twin of --timewarp: range predicates, extraction, intervals)",
+    )
+    ap.add_argument(
         "--props", action="store_true",
         help="hostile JSON in events.props (malformed/empty/NULL/"
              "wrong-typed/nested: permissive-parse asymmetries)",
@@ -381,7 +421,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.props:
+    if args.datewarp:
+        transforms = DATEWARP_TRANSFORMS
+    elif args.props:
         transforms = PROPS_TRANSFORMS
     elif args.hotkey:
         transforms = HOTKEY_TRANSFORMS
