@@ -271,24 +271,30 @@ _STREAMING_LAST = frozenset({
 #: 50-id budget re-proving exactly the code that moved (r8 verdict
 #: punch-list item 3) instead of re-checking untouched greens.
 _RECHECK_FIRST = frozenset({
-    # r8 pathdocs sweep
-    "j22_decontaminate", "j23_pii_redact", "j27_chunk_dedup",
-    "j31_novelty_score", "j32_winnowing", "j49_char_entropy",
-    "j2c_ngram_jaccard", "j52_containment_dedup", "j53_substring_dedup",
-    # r8 byte-exact multimodal oracles
-    "m1_binary_features", "m3_frame_sample",
-    # r8 timewarp terms
-    "i2_sliding", "i4_watermark_late", "i5_stream_dedup",
-    "i10_stream_stream_join", "i12_stream_session_window",
-    "i13_stream_outer_join",
-    # r8 finite-metric class + r9 METRIC_BOUND interpolation sites
-    "d19_time_rollup", "d21_zscore_outliers", "d27_incremental_rollup",
-    "e4_running", "e5_moving", "e12_sessionize", "e13_ewma",
-    "h16_try_functions", "i1_tumbling", "i3_session",
-    "i7_stateful_counter", "i15_stream_complete_agg", "c14_range_join",
-    "k4_pandas_udaf",
-    # r9 EMAIL_PAT_G / j54 dir reuse / fingerprint walk
-    "i16_stream_pii_redact", "j54_incremental_ivf", "a9_bucketed_join",
+    # r8-touched ids with NO post-change driver row (their CORRECTNESS_r08
+    # check predates the r8 pathdocs/timewarp/finite-metric edits) plus
+    # every id whose engine or oracle moved in r9 (vec_ok gate across the
+    # vector family, EMAIL_PAT_G, METRIC_BOUND interpolation, a20
+    # manifest-gated commit, props-axis JSON permissiveness, datewarp
+    # epoch_s floor, a9 fingerprint walk, j54 index-dir reuse). 49 ids +
+    # the brand-new i18 (auto-fronts, not in _DRIVER_GREEN) = exactly the
+    # driver's 50-id budget re-proving exactly what moved.
+    "a20_python_datasource_writer", "a3_ingest_jsonl",
+    "a9_bucketed_join", "c14_range_join", "d19_time_rollup",
+    "d21_zscore_outliers", "d27_incremental_rollup", "e12_sessionize",
+    "e13_ewma", "e4_running", "e5_moving", "h10_json", "h15_variant",
+    "h16_try_functions", "h3_date", "i10_stream_stream_join",
+    "i12_stream_session_window", "i13_stream_outer_join",
+    "i15_stream_complete_agg", "i16_stream_pii_redact", "i1_tumbling",
+    "i2_sliding", "i3_session", "i4_watermark_late", "i5_stream_dedup",
+    "i7_stateful_counter", "j12_embedding_neardup",
+    "j16_neardup_components", "j22_decontaminate", "j23_pii_redact",
+    "j27_chunk_dedup", "j31_novelty_score", "j32_winnowing",
+    "j35_pq_adc", "j37_kmeans_cluster", "j3_cosine_knn", "j3b_ivf_knn",
+    "j3c_lsh_ann", "j41_semdedup", "j47_hard_negatives",
+    "j49_char_entropy", "j4_knn_join", "j50_tau_sweep",
+    "j54_incremental_ivf", "j5_centroids", "j6_l2norm", "k4_pandas_udaf",
+    "m1_binary_features", "m3_frame_sample"
 })
 
 
