@@ -843,29 +843,51 @@ def _sink_log_batches(out: str) -> dict:
     change feed: a downstream incremental consumer discovers exactly
     which files each committed batch added, without listing the data
     directory (which may contain uncommitted orphans) and without any
-    side channel from the writing query. Compacted entries
-    (`N.compact`) are ignored here because availableNow short runs
-    never reach the compaction interval; a long-lived consumer would
-    read the latest compact as its base and plain entries after it."""
+    side channel from the writing query. Compaction handling (the
+    sink rewrites every Nth entry as `N.compact` = the FULL committed
+    file list through batch N, then deletes/stops writing the plain
+    entries it absorbed): the latest compact becomes the consumer's
+    BASE batch — one entry carrying all files through N — and only
+    plain entries AFTER it count as deltas; plain entries ≤ N are
+    superseded and skipped (double-counting a file that also appears
+    in the compact would double its rows in the rollup)."""
     import json as _json
     from urllib.parse import unquote, urlparse
+
+    def _paths(fp: str) -> list:
+        with open(fp) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        out_paths = []
+        for line in lines[1:]:  # line 0 is the version header ("v1")
+            entry = _json.loads(line)
+            if entry.get("action") == "delete":
+                continue  # retention cleanup records, not data
+            p = entry["path"]
+            if p.startswith("file:"):
+                p = unquote(urlparse(p).path)
+            out_paths.append(p)
+        return out_paths
 
     meta = os.path.join(out, "_spark_metadata")
     batches: dict = {}
     if not os.path.isdir(meta):
         return batches
-    for f in os.listdir(meta):
+    names = os.listdir(meta)
+    compacts = sorted(
+        int(f.split(".", 1)[0])
+        for f in names
+        if f.endswith(".compact") and f.split(".", 1)[0].isdigit()
+    )
+    base = compacts[-1] if compacts else None
+    if base is not None:
+        batches[base] = _paths(os.path.join(meta, f"{base}.compact"))
+    for f in names:
         if not f.isdigit():
             continue  # .compact / .crc / temp files
-        with open(os.path.join(meta, f)) as fh:
-            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
-        paths = []
-        for line in lines[1:]:  # line 0 is the version header ("v1")
-            p = _json.loads(line)["path"]
-            if p.startswith("file:"):
-                p = unquote(urlparse(p).path)
-            paths.append(p)
-        batches[int(f)] = paths
+        bid = int(f)
+        if base is not None and bid <= base:
+            continue  # superseded by the compact
+        batches[bid] = _paths(os.path.join(meta, f))
     return batches
 
 

@@ -820,3 +820,51 @@ def test_incremental_rollup_log_consumer_ignores_orphans(spark):
     batches2 = _sink_log_batches(out)
     assert batches2 == batches  # log unchanged by the orphan
     assert sum(len(v) for v in batches2.values()) == n_files
+
+
+def test_sink_log_consumer_handles_compaction(tmp_path):
+    """i18's log consumer must treat the LATEST `N.compact` entry as
+    its base (all files through batch N in one entry), count only
+    plain entries after it as deltas, skip superseded plain entries
+    (double-counting a compacted file would double its rows in the
+    rollup), and ignore `delete` retention actions."""
+    import json
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _sink_log_batches,
+    )
+
+    meta = tmp_path / "_spark_metadata"
+    meta.mkdir()
+
+    def entry(path, action="add"):
+        return json.dumps({"path": f"file://{path}", "action": action})
+
+    (meta / "0").write_text("v1\n" + entry("/data/a.parquet"))
+    (meta / "1").write_text("v1\n" + entry("/data/b.parquet"))
+    (meta / "2.compact").write_text(
+        "v1\n"
+        + "\n".join(
+            [
+                entry("/data/a.parquet"),
+                entry("/data/b.parquet"),
+                entry("/data/c.parquet"),
+                entry("/data/gone.parquet", action="delete"),
+            ]
+        )
+    )
+    (meta / "3").write_text("v1\n" + entry("/data/d.parquet"))
+    (meta / "4.crc").write_text("junk")  # non-log file, ignored
+
+    batches = _sink_log_batches(str(tmp_path))
+    assert sorted(batches) == [2, 3]
+    assert sorted(batches[2]) == [
+        "/data/a.parquet",
+        "/data/b.parquet",
+        "/data/c.parquet",
+    ]
+    assert batches[3] == ["/data/d.parquet"]
+    # no compact present: plain entries all count
+    (meta / "2.compact").unlink()
+    batches = _sink_log_batches(str(tmp_path))
+    assert sorted(batches) == [0, 1, 3]
