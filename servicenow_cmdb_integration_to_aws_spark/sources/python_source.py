@@ -45,13 +45,22 @@ def _page_cache_key(path: str):
     import os as _os
 
     if _os.path.isdir(path):
-        parts = tuple(
-            (f, st.st_size, st.st_mtime_ns)
-            for f in sorted(_os.listdir(path))
-            if f.endswith(".parquet")
-            for st in (_os.stat(_os.path.join(path, f)),)
-        )
-        return (path, parts)
+        # recursive walk (r9, same class as the a9 fingerprint ADVICE):
+        # a nested/partitioned layout keeps part files under key=...
+        # subdirs — a top-level-only listing would key every state of
+        # such a table identically and serve a stale cached decode
+        # after an in-place rewrite
+        parts = []
+        for root, dirs, files in _os.walk(path):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    fp = _os.path.join(root, f)
+                    st = _os.stat(fp)
+                    parts.append(
+                        (_os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                    )
+        return (path, tuple(parts))
     st = _os.stat(path)
     return (path, st.st_size, st.st_mtime_ns)
 
