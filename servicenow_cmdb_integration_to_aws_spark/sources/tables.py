@@ -130,6 +130,30 @@ def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def content_stamp(path: str) -> tuple:
+    """Cheap content-identity stamp for a parquet table path (file or
+    directory of part files): (n_files, total_bytes, max_mtime_ns).
+    Keys every in-process cache that would otherwise serve stale state
+    after an IN-PLACE testdata regen (the r7 driver did exactly that):
+    a regen changes size/mtime, so stamped keys miss and re-derive.
+    One stat per part file — microseconds on any local layout, and a
+    real catalog gets the same identity from its snapshot id."""
+    import os as _os
+
+    if _os.path.isdir(path):
+        n, total, mt = 0, 0, 0
+        for root, dirs, files in _os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    st = _os.stat(_os.path.join(root, f))
+                    n += 1
+                    total += st.st_size
+                    mt = max(mt, st.st_mtime_ns)
+        return (n, total, mt)
+    st = _os.stat(path)
+    return (1, st.st_size, st.st_mtime_ns)
+
+
 #: footer-inferred schema cache, keyed (sf_dir, table). Schema
 #: inference launches 1-2 driver jobs per ``spark.read.parquet`` call;
 #: uncached, EVERY query construction paid that — measurable fixed
@@ -141,7 +165,9 @@ _INFERRED: dict[tuple[str, str], T.StructType] = {}
 
 
 def _read_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (sf_dir, name)
+    # content-stamped key: an in-place regen (same path, new bytes)
+    # must re-infer, not serve the dead generation's schema
+    key = (sf_dir, name, content_stamp(path_of(sf_dir, name)))
     cached = _INFERRED.get(key)
     if cached is not None:
         return spark.read.schema(cached).parquet(path_of(sf_dir, name))

@@ -77,22 +77,28 @@ def _stage_copy(src: str, dst_dir: str, name: str) -> None:
 def _stage_docs_dir(sf_dir: str) -> str:
     """Stage documents.parquet into a directory for FileStreamSource
     (same pattern as _stage_dir for events)."""
-    if sf_dir not in _STAGED_DOCS:
+    from ..sources.tables import content_stamp
+
+    key = (sf_dir, content_stamp(path_of(sf_dir, "documents")))
+    if key not in _STAGED_DOCS:
         d = tempfile.mkdtemp(prefix="stream_docs_")
         _stage_copy(path_of(sf_dir, "documents"), d, "documents")
-        _STAGED_DOCS[sf_dir] = d
-    return _STAGED_DOCS[sf_dir]
+        _STAGED_DOCS[key] = d
+    return _STAGED_DOCS[key]
 
 
 def _stage_dir(sf_dir: str) -> str:
     """FileStreamSource needs a *directory*; stage the events parquet
     into a tmp dir once per sf_dir (the production layout is a
     directory of arriving files — this recreates it)."""
-    if sf_dir not in _STAGED:
+    from ..sources.tables import content_stamp
+
+    key = (sf_dir, content_stamp(path_of(sf_dir, "events")))
+    if key not in _STAGED:
         d = tempfile.mkdtemp(prefix="stream_src_")
         _stage_copy(path_of(sf_dir, "events"), d, "events")
-        _STAGED[sf_dir] = d
-    return _STAGED[sf_dir]
+        _STAGED[key] = d
+    return _STAGED[key]
 
 
 def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
@@ -103,11 +109,14 @@ def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
     does — branch here on the same footer evidence instead of assuming
     a generation (the assumption is exactly what shipped 1970-era
     timestamps when the testdata regenerated as MICROS)."""
-    if sf_dir not in _TS_KIND:
+    from ..sources.tables import content_stamp
+
+    key = (sf_dir, content_stamp(path_of(sf_dir, "events")))
+    if key not in _TS_KIND:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_type = dict(spark.read.parquet(path_of(sf_dir, "events")).dtypes)["ts"]
-        _TS_KIND[sf_dir] = "nanos" if ts_type == "bigint" else "micros"
-    return _TS_KIND[sf_dir]
+        _TS_KIND[key] = "nanos" if ts_type == "bigint" else "micros"
+    return _TS_KIND[key]
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -654,3 +654,32 @@ def test_vec_ok_gate_agrees_across_engines(spark):
     )
     con.close()
     assert spark_kept == duck_kept == [1, 8]
+
+
+def test_scan_schema_cache_survives_inplace_regen(spark, tmp_path):
+    """r9: the footer-schema cache is CONTENT-stamped — an in-place
+    rewrite of a table file (the r7 driver regenerated /root/testdata
+    in place) must re-infer the schema, not serve the dead
+    generation's one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    sf = str(tmp_path)
+    p = f"{sf}/nation.parquet"
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([1], pa.int64())}), p
+    )
+    assert scan(spark, sf, "nation").columns == ["n_nationkey"]
+    # in-place regen: same path, different schema
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([1], pa.int64()),
+                "n_name": pa.array(["x"], pa.string()),
+            }
+        ),
+        p,
+    )
+    assert scan(spark, sf, "nation").columns == ["n_nationkey", "n_name"]
