@@ -64,12 +64,18 @@ def _stage_copy(src: str, dst_dir: str, name: str) -> None:
     file (the testdata layout) or a directory of part files (the
     Spark-written layout scale_probe and real pipelines produce)."""
     if os.path.isdir(src):
-        for i, f in enumerate(sorted(os.listdir(src))):
-            if f.endswith(".parquet"):
-                shutil.copy(
-                    os.path.join(src, f),
-                    os.path.join(dst_dir, f"{name}_{i:05d}.parquet"),
-                )
+        # recursive walk (r9): a partitioned layout keeps part files
+        # under key=... subdirs — a top-level listing would stage an
+        # empty stream source for such a table
+        parts = []
+        for root, dirs, files in os.walk(src):
+            dirs.sort()
+            parts.extend(
+                os.path.join(root, f) for f in sorted(files)
+                if f.endswith(".parquet")
+            )
+        for i, fp in enumerate(parts):
+            shutil.copy(fp, os.path.join(dst_dir, f"{name}_{i:05d}.parquet"))
     else:
         shutil.copy(src, os.path.join(dst_dir, f"{name}.parquet"))
 
