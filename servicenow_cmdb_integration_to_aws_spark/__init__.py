@@ -294,7 +294,9 @@ _RECHECK_FIRST = frozenset({
     "j3c_lsh_ann", "j41_semdedup", "j47_hard_negatives",
     "j49_char_entropy", "j4_knn_join", "j50_tau_sweep",
     "j54_incremental_ivf", "j5_centroids", "j6_l2norm", "k4_pandas_udaf",
-    "m1_binary_features", "m3_frame_sample"
+    "m1_binary_features", "m3_frame_sample",
+    # r9 --nullkeys fixes (null-key policies, engine+oracle moved)
+    "j29_seq_pack", "j39_edit_distance_nn", "t12_golden_q21", "t9_funnel"
 })
 
 

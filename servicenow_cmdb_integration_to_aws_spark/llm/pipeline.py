@@ -205,10 +205,14 @@ def j28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j29_seq_pack",
     oracle=f"""
+    -- a doc with NULL lang has no per-language stream to pack into:
+    -- excluded in BOTH engines (r9 --nullkeys; the engine side always
+    -- filtered for plan-canonicalization — now it is the documented
+    -- semantic, not a plan trick)
     WITH t AS (SELECT doc_id, lang,
                       CAST(length(string_split(text, ' ')) AS BIGINT)
                           AS n_tok
-               FROM documents),
+               FROM documents WHERE lang IS NOT NULL),
     c AS (SELECT doc_id, lang, n_tok,
                  SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) AS cum

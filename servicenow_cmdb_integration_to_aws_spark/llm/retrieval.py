@@ -361,7 +361,11 @@ _LEV_ASCII_RE = r"[^\x20-\x7E]"
                    ORDER BY levenshtein(a.prefix, b.prefix), b.doc_id
                ) AS rn
         FROM d a JOIN d b
-          ON a.lang = b.lang AND a.bucket = b.bucket
+          -- NULL-SAFE lang blocking (r9 --nullkeys): unknown-language
+          -- docs are mutually comparable — they form their own block,
+          -- exactly as the engine's groupBy treats the NULL group
+          ON a.lang IS NOT DISTINCT FROM b.lang
+         AND a.bucket = b.bucket
          AND a.doc_id <> b.doc_id
     )
     SELECT doc_id, other_id, dist FROM pairs WHERE rn = 1

@@ -1016,12 +1016,22 @@ def j54_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 3. merge: persisted stats ⊕ delta — base vectors never re-read
+    # NULL-SAFE merge on the cell key (r9 --nullkeys sweep): an
+    # unlabeled vector forms the NULL cell — a legitimate index cell
+    # the oracle's GROUP BY keeps as one group, but a plain full_outer
+    # equi-join would never match base-NULL with delta-NULL (SQL
+    # null ≠ null) and the merge would emit two split NULL rows.
+    base = spark.read.parquet(idx_dir).alias("b")
     merged = (
-        spark.read.parquet(idx_dir)
-        .join(delta, ["label", "pos"], "full_outer")
+        base.join(
+            delta.alias("d"),
+            F.col("b.label").eqNullSafe(F.col("d.label"))
+            & (F.col("b.pos") == F.col("d.pos")),
+            "full_outer",
+        )
         .select(
-            "label",
-            "pos",
+            F.coalesce(F.col("b.label"), F.col("d.label")).alias("label"),
+            F.coalesce(F.col("b.pos"), F.col("d.pos")).alias("pos"),
             (
                 F.coalesce(F.col("s"), F.lit(0.0))
                 + F.coalesce(F.col("ds"), F.lit(0.0))

@@ -24,8 +24,12 @@ FUNNEL_DAYS = 7
     "t9_funnel",
     oracle=f"""
     {EVENTS_US},
+    -- anonymous (NULL user_id) events carry no attributable journey:
+    -- excluded in BOTH engines (r9 --nullkeys sweep — the engine's
+    -- window would otherwise funnel all anonymous events as one user)
     v AS (SELECT user_id, MIN(ts) AS v_ts FROM e
-          WHERE event_type = 'view' GROUP BY user_id),
+          WHERE event_type = 'view' AND user_id IS NOT NULL
+          GROUP BY user_id),
     c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
           FROM e JOIN v ON e.user_id = v.user_id
           WHERE e.event_type = 'click' AND e.ts >= v.v_ts
@@ -55,7 +59,12 @@ def t9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     them into window passes over one shuffle — no self-joins, unlike
     the textbook three-join funnel the oracle runs)."""
     w = Window.partitionBy("user_id")
-    ev = scan(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # anonymous events: no user, no journey (oracle's v-CTE filter)
+    ev = (
+        scan(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("user_id").isNotNull())
+    )
     horizon = F.expr(f"INTERVAL {FUNNEL_DAYS} DAY")
     staged = (
         ev.withColumn(

@@ -398,9 +398,14 @@ def t12_golden_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full lineitem table three times; this shape shuffles the
     (order, supplier)-distinct rows once. Supplier stays a broadcast
     dim; the final top-20 is TakeOrderedAndProject."""
+    # NULL-suppkey lineitems mirror SQL exactly by EXCLUSION (r9
+    # --nullkeys sweep): in the oracle they can never witness the
+    # EXISTS/NOT-EXISTS (<> against NULL is NULL) nor join supplier,
+    # but the algebraic rewrite's groupBy would count the NULL group
+    # as a distinct supplier and mis-qualify single-supplier orders.
     li = scan(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
-    )
+    ).filter(F.col("l_suppkey").isNotNull())
     o = scan(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )

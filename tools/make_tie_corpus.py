@@ -158,6 +158,47 @@ TIMEWARP_TRANSFORMS = {
 }
 
 
+#: --nullkeys mode: NULL JOIN/GROUP/WINDOW KEYS — the last structural
+#: surface (--nulls nulls VALUE columns; this nulls the keys
+#: themselves: anonymous events, orphaned orders, unlabeled vectors,
+#: lang-less documents, supplier-less lineitems). The seams: SQL inner
+#: joins DROP null keys while GROUP BY/window partitions keep them as
+#: one group; Spark anti-join vs `NOT IN` split on null keys (the r8
+#: j25 trap, now sprung on every id at once); null-safe vs plain
+#: equality; ORDER BY null placement inside windows.
+NULLKEY_TRANSFORMS = {
+    "events": (
+        "SELECT event_id, ts,"
+        " CASE WHEN event_id % 13 = 4 THEN NULL ELSE user_id END"
+        " AS user_id,"
+        " event_type, value, props FROM t"
+    ),
+    "orders": (
+        "SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 13 = 4 THEN NULL ELSE o_custkey END"
+        " AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM t"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey,"
+        " CASE WHEN (l_orderkey + l_linenumber) % 17 = 5 THEN NULL"
+        " ELSE l_suppkey END AS l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM t"
+    ),
+    "embeddings": (
+        "SELECT vec_id, embedding,"
+        " CAST(CASE WHEN vec_id % 13 = 6 THEN NULL ELSE label END"
+        " AS INTEGER) AS label FROM t"
+    ),
+    "documents": (
+        "SELECT doc_id, text,"
+        " CASE WHEN doc_id % 13 = 4 THEN NULL ELSE lang END AS lang,"
+        " source, n_chars FROM t"
+    ),
+}
+
+
 #: --datewarp mode: edge timestamps in the BUSINESS date columns
 #: (o_orderdate / l_shipdate — --timewarp covers events.ts). The
 #: seams: the golden queries' date-range predicates, year/month
@@ -393,6 +434,11 @@ def main() -> None:
              "pandas-ns range edges: extraction/bucketing/watermarks)",
     )
     ap.add_argument(
+        "--nullkeys", action="store_true",
+        help="NULL join/group/window keys (anonymous events, orphaned "
+             "orders, unlabeled vectors: null-key join/group asymmetries)",
+    )
+    ap.add_argument(
         "--datewarp", action="store_true",
         help="edge timestamps in o_orderdate/l_shipdate (business-date "
              "twin of --timewarp: range predicates, extraction, intervals)",
@@ -421,7 +467,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.datewarp:
+    if args.nullkeys:
+        transforms = NULLKEY_TRANSFORMS
+    elif args.datewarp:
         transforms = DATEWARP_TRANSFORMS
     elif args.props:
         transforms = PROPS_TRANSFORMS
