@@ -66,10 +66,19 @@ def vec_ok(c: str | Column = "embedding") -> Column:
     or corrupt a centroid: they carry no signal and are EXCLUDED,
     identically in both engines (SQL twin: :data:`VOK`)."""
     col = F.col(c) if isinstance(c, str) else c
+    # the bad-component leg leads with x IS NULL so the predicate is
+    # never three-valued: without it, a NULL component makes exists()
+    # NULL in Spark (row silently dropped) while DuckDB's list_filter
+    # DROPS NULL predicate results (row silently kept) — a latent
+    # engine split the r10 ADVICE pinned. NULL component = glitched
+    # vector = EXCLUDED, deterministically, in both engines.
     return (
         col.isNotNull()
         & ~F.exists(
-            col, lambda x: F.isnan(_D(x)) | (F.abs(x) == F.lit(float("inf")))
+            col,
+            lambda x: x.isNull()
+            | F.isnan(_D(x))
+            | (F.abs(x) == F.lit(float("inf"))),
         )
         & F.exists(col, lambda x: x != F.lit(0.0))
     )
@@ -78,7 +87,7 @@ def vec_ok(c: str | Column = "embedding") -> Column:
 #: DuckDB twin of :func:`vec_ok` — textually adjacent, same three legs.
 SQL_VEC_OK = (
     "({c} IS NOT NULL"
-    " AND len(list_filter({c}, x -> isnan(x) OR isinf(x))) = 0"
+    " AND len(list_filter({c}, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
     " AND len(list_filter({c}, x -> x <> 0)) > 0)"
 )
 

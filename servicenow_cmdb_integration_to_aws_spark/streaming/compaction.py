@@ -49,6 +49,13 @@ class SnapshotStore:
         self.root = snap_root
         self.key = key
         self.order = order
+        #: test-only crash-point hook — an INSTANCE attribute on
+        #: purpose: assigning a plain function at class level
+        #: (SnapshotStore._fault = fn) would turn it into a bound
+        #: method, so _crash would pass `self` as the `point` argument
+        #: and the injected crash would never match its step name
+        #: (r10 ADVICE). Assign on the instance: store._fault = fn.
+        self._fault = None
         os.makedirs(snap_root, exist_ok=True)
 
     # -- commit metadata ------------------------------------------------
@@ -58,11 +65,6 @@ class SnapshotStore:
             return {"version": 0, "compacted_through": -1}
         with open(p) as f:
             return json.load(f)
-
-    #: test-only crash-point hook (r9 kill-at-every-step harness,
-    #: tests/test_streaming.py): called with a point name at each
-    #: commit step; raising simulates the compactor dying right there.
-    _fault = None
 
     def _crash(self, point: str) -> None:
         if self._fault is not None:

@@ -48,9 +48,14 @@ _EVENTS_MICROS_SCHEMA = (
 )
 
 
-_STAGED: dict[str, str] = {}
-_TS_KIND: dict[str, str] = {}
-_STAGED_DOCS: dict[str, str] = {}
+#: staged stream-source dirs, keyed by sf_dir → (content_stamp, dir).
+#: Keyed by sf_dir (NOT (sf_dir, stamp)) so an in-place testdata regen
+#: EVICTS the dead generation: on a stamp miss the superseded staged
+#: dir (a full parquet copy) is rmtree'd and restaged instead of
+#: leaking for the life of the driver (r10 ADVICE).
+_STAGED: dict[str, tuple[str, str]] = {}
+_TS_KIND: dict[str, tuple[str, str]] = {}
+_STAGED_DOCS: dict[str, tuple[str, str]] = {}
 
 #: readStream schema for the documents table (stable across testdata
 #: generations — no timestamp column)
@@ -62,11 +67,18 @@ _DOCS_SCHEMA = (
 def _stage_copy(src: str, dst_dir: str, name: str) -> None:
     """Copy a parquet table into a staging dir, whether it is a single
     file (the testdata layout) or a directory of part files (the
-    Spark-written layout scale_probe and real pipelines produce)."""
+    Spark-written layout scale_probe and real pipelines produce).
+
+    Hive-partitioned layouts keep their RELATIVE subdirectory
+    structure: for a table partitioned on a read-schema column the
+    column's VALUES live in the ``key=...`` directory names, not the
+    part files — flattening the walk (the r9 shape) would stage a
+    stream whose partition column reads all-NULL while the batch
+    oracle reconstructs it (r10 ADVICE medium). FileStreamSource does
+    the same partition discovery as the batch reader when the loaded
+    directory is the base path, which ``_stage_dir``/``_stage_docs_dir``
+    guarantee."""
     if os.path.isdir(src):
-        # recursive walk (r9): a partitioned layout keeps part files
-        # under key=... subdirs — a top-level listing would stage an
-        # empty stream source for such a table
         parts = []
         for root, dirs, files in os.walk(src):
             dirs.sort()
@@ -75,36 +87,47 @@ def _stage_copy(src: str, dst_dir: str, name: str) -> None:
                 if f.endswith(".parquet")
             )
         for i, fp in enumerate(parts):
-            shutil.copy(fp, os.path.join(dst_dir, f"{name}_{i:05d}.parquet"))
+            rel = os.path.relpath(os.path.dirname(fp), src)
+            sub = dst_dir if rel == os.curdir else os.path.join(dst_dir, rel)
+            os.makedirs(sub, exist_ok=True)
+            shutil.copy(fp, os.path.join(sub, f"{name}_{i:05d}.parquet"))
     else:
         shutil.copy(src, os.path.join(dst_dir, f"{name}.parquet"))
+
+
+def _staged_dir_for(
+    cache: dict, sf_dir: str, table: str, prefix: str
+) -> str:
+    """Stamp-checked staged-dir lookup: serve the cached dir while the
+    source content stamp matches; on a miss for the SAME sf_dir,
+    rmtree the superseded generation's staged copy before restaging
+    (one staged dir per sf_dir, ever — in-place testdata regens no
+    longer leak full parquet copies for the life of the driver)."""
+    from ..sources.tables import content_stamp
+
+    stamp = content_stamp(path_of(sf_dir, table))
+    hit = cache.get(sf_dir)
+    if hit is not None:
+        if hit[0] == stamp:
+            return hit[1]
+        shutil.rmtree(hit[1], ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _stage_copy(path_of(sf_dir, table), d, table)
+    cache[sf_dir] = (stamp, d)
+    return d
 
 
 def _stage_docs_dir(sf_dir: str) -> str:
     """Stage documents.parquet into a directory for FileStreamSource
     (same pattern as _stage_dir for events)."""
-    from ..sources.tables import content_stamp
-
-    key = (sf_dir, content_stamp(path_of(sf_dir, "documents")))
-    if key not in _STAGED_DOCS:
-        d = tempfile.mkdtemp(prefix="stream_docs_")
-        _stage_copy(path_of(sf_dir, "documents"), d, "documents")
-        _STAGED_DOCS[key] = d
-    return _STAGED_DOCS[key]
+    return _staged_dir_for(_STAGED_DOCS, sf_dir, "documents", "stream_docs_")
 
 
 def _stage_dir(sf_dir: str) -> str:
     """FileStreamSource needs a *directory*; stage the events parquet
     into a tmp dir once per sf_dir (the production layout is a
     directory of arriving files — this recreates it)."""
-    from ..sources.tables import content_stamp
-
-    key = (sf_dir, content_stamp(path_of(sf_dir, "events")))
-    if key not in _STAGED:
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        _stage_copy(path_of(sf_dir, "events"), d, "events")
-        _STAGED[key] = d
-    return _STAGED[key]
+    return _staged_dir_for(_STAGED, sf_dir, "events", "stream_src_")
 
 
 def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
@@ -117,12 +140,14 @@ def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
     timestamps when the testdata regenerated as MICROS)."""
     from ..sources.tables import content_stamp
 
-    key = (sf_dir, content_stamp(path_of(sf_dir, "events")))
-    if key not in _TS_KIND:
+    stamp = content_stamp(path_of(sf_dir, "events"))
+    hit = _TS_KIND.get(sf_dir)
+    if hit is None or hit[0] != stamp:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_type = dict(spark.read.parquet(path_of(sf_dir, "events")).dtypes)["ts"]
-        _TS_KIND[key] = "nanos" if ts_type == "bigint" else "micros"
-    return _TS_KIND[key]
+        hit = (stamp, "nanos" if ts_type == "bigint" else "micros")
+        _TS_KIND[sf_dir] = hit
+    return hit[1]
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,8 +897,18 @@ def _sink_log_batches(out: str) -> dict:
     def _paths(fp: str) -> list:
         with open(fp) as fh:
             lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        # line 0 is the sink-log version header; fail LOUDLY on a
+        # missing/unknown one instead of silently skipping what might
+        # be the first data entry of a format we don't understand
+        # (r9 verdict observation).
+        if not lines or lines[0] != "v1":
+            raise ValueError(
+                f"unsupported sink-log entry {fp}: expected 'v1' header, "
+                f"got {lines[0]!r}" if lines
+                else f"empty sink-log entry {fp}"
+            )
         out_paths = []
-        for line in lines[1:]:  # line 0 is the version header ("v1")
+        for line in lines[1:]:
             entry = _json.loads(line)
             if entry.get("action") == "delete":
                 continue  # retention cleanup records, not data
@@ -960,9 +995,15 @@ def i18_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     for d in (src, out, silver_root):
         atexit.register(_shutil.rmtree, d, ignore_errors=True)
     ev = _scan(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # pmod over a coalesced key so the two halves provably PARTITION
+    # the corpus: bare `event_id % 2 == i` silently drops NULL ids
+    # (NULL % 2 is NULL) and negative-odd ids (Spark % keeps the
+    # dividend sign: -3 % 2 = -1, matching neither half) while the
+    # oracle counts every row (r10 ADVICE).
+    half = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2))
     for i in (0, 1):
         half_tmp = tempfile.mkdtemp(prefix="i18_half_")
-        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+        ev.filter(half == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(half_tmp)
         parts = _glob.glob(os.path.join(half_tmp, "part-*.parquet"))

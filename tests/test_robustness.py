@@ -628,6 +628,10 @@ def test_vec_ok_gate_agrees_across_engines(spark):
         6: [0.0, 0.0, 0.0],         # zero vector (no direction) -> dropped
         7: [nan, 1.0, 2.0],         # single-NaN component -> dropped
         8: [0.0, 0.0, 1e-30],       # tiny but nonzero -> kept
+        9: [None, 1.0, 2.0],        # NULL component -> dropped (r10:
+        # without the explicit IS NULL leg Spark's 3VL exists dropped
+        # it while DuckDB's list_filter kept it — engine split)
+        10: [None, 0.0, 0.0],       # NULL among zeros -> dropped
     }
     df = spark.createDataFrame(
         [(k, v) for k, v in vecs.items()],
@@ -636,11 +640,20 @@ def test_vec_ok_gate_agrees_across_engines(spark):
     spark_kept = sorted(
         r["vec_id"] for r in df.filter(vec_ok()).select("vec_id").collect()
     )
+    def _lit(x):
+        if x is None:
+            return "NULL::DOUBLE"
+        return (
+            "{!r}".format(x)
+            .replace("nan", "'nan'::DOUBLE")
+            .replace("inf", "'inf'::DOUBLE")
+        )
+
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t AS SELECT * FROM (VALUES "
         + ", ".join(
-            f"({k}, {'NULL' if v is None else '[' + ', '.join('{!r}'.format(x).replace('nan', chr(39) + 'nan' + chr(39) + '::DOUBLE').replace('inf', chr(39) + 'inf' + chr(39) + '::DOUBLE') for x in v) + ']'})"
+            f"({k}, {'NULL' if v is None else '[' + ', '.join(_lit(x) for x in v) + ']'})"
             for k, v in vecs.items()
         )
         + ") AS v(vec_id, embedding)"

@@ -868,3 +868,116 @@ def test_sink_log_consumer_handles_compaction(tmp_path):
     (meta / "2.compact").unlink()
     batches = _sink_log_batches(str(tmp_path))
     assert sorted(batches) == [0, 1, 3]
+
+
+def test_sink_log_rejects_missing_header(tmp_path):
+    """r10 (r9 verdict observation): a sink-log entry without the 'v1'
+    version header must fail LOUDLY, not silently skip line 0 — a
+    headerless file would otherwise drop its first data entry; an
+    unknown version is a format we don't understand."""
+    import json
+
+    import pytest
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _sink_log_batches,
+    )
+
+    meta = tmp_path / "_spark_metadata"
+    meta.mkdir()
+    entry = json.dumps({"path": "file:///data/a.parquet", "action": "add"})
+
+    (meta / "0").write_text(entry)  # headerless: data on line 0
+    with pytest.raises(ValueError, match="expected 'v1' header"):
+        _sink_log_batches(str(tmp_path))
+
+    (meta / "0").write_text("v2\n" + entry)  # unknown version
+    with pytest.raises(ValueError, match="expected 'v1' header"):
+        _sink_log_batches(str(tmp_path))
+
+    (meta / "0").write_text("")  # zero-length file
+    with pytest.raises(ValueError, match="empty sink-log"):
+        _sink_log_batches(str(tmp_path))
+
+    (meta / "0").write_text("v1\n" + entry)  # well-formed: parses
+    assert _sink_log_batches(str(tmp_path)) == {0: ["/data/a.parquet"]}
+
+
+def test_stage_copy_preserves_hive_partition_values(spark, tmp_path):
+    """r10 ADVICE (medium): staging a hive-partitioned table must keep
+    the key=... directory structure — the partition column's VALUES
+    live in the dir names, so the r9 flat copy made a read-schema
+    partition column silently all-NULL in the staged stream while the
+    batch oracle reconstructed it."""
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _DOCS_SCHEMA,
+        _stage_docs_dir,
+    )
+
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    rows = [
+        (1, "hello world", "en", "s", 11),
+        (2, "bonjour monde", "fr", "s", 13),
+        (3, "hallo welt", "de", "s", 10),
+    ]
+    spark.createDataFrame(rows, _DOCS_SCHEMA).write.partitionBy(
+        "lang"
+    ).mode("overwrite").parquet(str(sfd / "documents.parquet"))
+
+    staged = _stage_docs_dir(str(sfd))
+    # the staged dir must still carry the lang=... structure
+    assert any(d.startswith("lang=") for d in os.listdir(staged))
+
+    sdf = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .load(staged)
+        .select("doc_id", "lang")
+    )
+    got = sorted(map(tuple, _run(sdf, "append").collect()))
+    assert got == [(1, "en"), (2, "fr"), (3, "de")]
+
+
+def test_staged_dir_evicted_on_inplace_regen(spark, tmp_path):
+    """r10 ADVICE: an in-place testdata regen must EVICT the superseded
+    generation's staged stream dir (rmtree + single cache entry per
+    sf_dir), not leak a full parquet copy per regen for the life of
+    the driver."""
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _DOCS_SCHEMA,
+        _STAGED_DOCS,
+        _stage_docs_dir,
+    )
+
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+
+    def write_docs(rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "source": pa.array(["s"] * len(rows), pa.string()),
+                    "n_chars": pa.array(
+                        [len(r[1]) for r in rows], pa.int64()
+                    ),
+                }
+            ),
+            str(sfd / "documents.parquet"),
+        )
+
+    write_docs([(1, "generation one")])
+    d1 = _stage_docs_dir(str(sfd))
+    assert _stage_docs_dir(str(sfd)) == d1  # stamp hit: cached
+
+    write_docs([(1, "generation two, regenerated in place!")])
+    d2 = _stage_docs_dir(str(sfd))
+    assert d2 != d1
+    assert not os.path.exists(d1)  # superseded copy reclaimed
+    assert [k for k in _STAGED_DOCS if k == str(sfd)] == [str(sfd)]
