@@ -45,10 +45,24 @@ class SnapshotStore:
     log across compactions yields the same final snapshot.
     """
 
-    def __init__(self, snap_root: str, key: str, order: list[str]):
+    def __init__(
+        self,
+        snap_root: str,
+        key: str,
+        order: list[str],
+        fold=None,
+    ):
         self.root = snap_root
         self.key = key
         self.order = order
+        #: pluggable fold (r10): `fold(base_df_or_None, delta_df) ->
+        #: DataFrame` merges a delta into the current base. None =
+        #: the default latest-per-key upsert fold (a15). i18 passes an
+        #: aggregate merge (count/sum are summed, max is re-maxed) so
+        #: the SAME versioned flock'd commit protocol — and therefore
+        #: the same crash-safety story — carries the incremental
+        #: rollup, not just the upsert snapshot.
+        self._fold_fn = fold
         #: test-only crash-point hook — an INSTANCE attribute on
         #: purpose: assigning a plain function at class level
         #: (SnapshotStore._fault = fn) would turn it into a bound
@@ -89,21 +103,51 @@ class SnapshotStore:
             .drop("__rn")
         )
 
+    def _fold(self, base: DataFrame | None, delta: DataFrame) -> DataFrame:
+        if self._fold_fn is not None:
+            return self._fold_fn(base, delta)
+        src = delta if base is None else base.unionByName(delta)
+        return self._latest_per_key(src)
+
+    def _locked(self):
+        """Exclusive flock over the store: two compactors racing would
+        both write vN+1 with different subsets and one commit would
+        vanish. Readers are unaffected (they pin a version)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            with open(os.path.join(self.root, "_LOCK"), "w") as lf:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lf, fcntl.LOCK_EX)
+                except ImportError:  # non-POSIX: single-compactor assumed
+                    pass
+                yield
+
+        return cm()
+
+    def _advance(
+        self, spark: SparkSession, meta: dict, folded: DataFrame, through: int
+    ) -> int:
+        """Write the folded state as version N+1, then commit. A crash
+        after the v-dir write but before the _LATEST replace leaves an
+        orphan version dir a retry OVERWRITES (mode=overwrite on the
+        same vN+1) — readers never see it because they resolve _LATEST."""
+        new_v = meta["version"] + 1
+        folded.write.mode("overwrite").parquet(
+            os.path.join(self.root, f"v={new_v}")
+        )
+        self._crash("after_fold_write")  # v-dir exists, not committed
+        self._commit({"version": new_v, "compacted_through": through})
+        return new_v
+
     def compact(self, spark: SparkSession, log_dir: str) -> int:
         """Fold log batches newer than the last compaction (directories
         ``batch_id=N`` under `log_dir`, the i11 sink layout) plus the
-        current base into version N+1. Returns the new version.
-
-        Serialized under an exclusive flock: two compactors racing
-        would both write vN+1 with different subsets and one commit
-        would vanish. Readers are unaffected (they pin a version)."""
-        with open(os.path.join(self.root, "_LOCK"), "w") as lf:
-            try:
-                import fcntl
-
-                fcntl.flock(lf, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: single-compactor assumed
-                pass
+        current base into version N+1. Returns the new version."""
+        with self._locked():
             meta = self._meta()
             new_batches = sorted(
                 int(d.split("=", 1)[1])
@@ -116,22 +160,42 @@ class SnapshotStore:
             delta = spark.read.parquet(
                 *[os.path.join(log_dir, f"batch_id={b}") for b in new_batches]
             )
-            src = (
-                delta
+            base = (
+                None
                 if meta["version"] == 0
-                else self._read_version(spark, meta["version"]).unionByName(
-                    delta
-                )
+                else self._read_version(spark, meta["version"])
             )
-            new_v = meta["version"] + 1
-            self._latest_per_key(src).write.mode("overwrite").parquet(
-                os.path.join(self.root, f"v={new_v}")
+            return self._advance(
+                spark, meta, self._fold(base, delta), new_batches[-1]
             )
-            self._crash("after_fold_write")  # v-dir exists, not committed
-            self._commit(
-                {"version": new_v, "compacted_through": new_batches[-1]}
-            )
-            return new_v
+
+    def fold_batches(self, spark: SparkSession, batches: dict, load) -> int:
+        """Fold pre-keyed change batches — e.g. a streaming sink's
+        `_spark_metadata` log parsed by ``_sink_log_batches`` — newer
+        than ``compacted_through``, ONE VERSION PER BATCH, oldest
+        first. ``load(batches[b])`` returns the batch's delta in the
+        store's fold shape, or None for an empty commit (skipped; the
+        pointer only advances on folded batches, and a skipped batch
+        stays skipped because every later commit carries a higher id).
+
+        Per-batch commits are what make a crash ANYWHERE resumable:
+        dying between two folds loses nothing (the next run starts
+        after the last committed batch), and dying between a version
+        write and the pointer advance re-folds ONLY that batch from
+        the same base (idempotent overwrite of the orphan v-dir —
+        never a double merge). Returns the final version."""
+        with self._locked():
+            meta = self._meta()
+            v = meta["version"]
+            for b in sorted(x for x in batches if x > meta["compacted_through"]):
+                self._crash(f"before_fold_batch_{b}")
+                delta = load(batches[b])
+                if delta is None:
+                    continue  # empty commit adds nothing
+                base = None if v == 0 else self._read_version(spark, v)
+                v = self._advance(spark, meta, self._fold(base, delta), b)
+                meta = {"version": v, "compacted_through": b}
+            return v
 
     def _read_version(self, spark: SparkSession, v: int) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, f"v={v}"))
@@ -211,13 +275,9 @@ class SnapshotStore:
             ]
         if base is None and not tail_dirs:
             raise ValueError(f"empty snapshot store {self.root}")
-        parts = ([base] if base is not None else []) + (
-            [spark.read.parquet(*tail_dirs)] if tail_dirs else []
-        )
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        return self._latest_per_key(merged)
+        if not tail_dirs:
+            return base  # committed versions are already folded
+        return self._fold(base, spark.read.parquet(*tail_dirs))
 
 
 @query(

@@ -944,6 +944,29 @@ def _sink_log_batches(out: str) -> dict:
 _I18_BRONZE_SCHEMA = "event_id long, ts timestamp, value double"
 
 
+def _silver_store(silver_root: str):
+    """i18's silver rollup store: a15's SnapshotStore with the
+    day-grain aggregate merge plugged in as the fold — count/sum are
+    summed, max is re-maxed (associative-commutative, so any batch
+    split folds to the same state as the one-shot aggregate)."""
+    from .compaction import SnapshotStore
+
+    def merge(base: DataFrame | None, delta: DataFrame) -> DataFrame:
+        if base is None:
+            return delta
+        return (
+            base.unionByName(delta)
+            .groupBy("day")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+        )
+
+    return SnapshotStore(silver_root, key="day", order=[], fold=merge)
+
+
 @query(
     "i18_stream_incremental_rollup",
     oracle=f"""
@@ -976,11 +999,16 @@ def i18_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     days| stored rows), never history; the log parse is driver-side
     metadata (one tiny JSON per batch — the same file the sink's own
     readers resolve, so the consumer sees exactly the committed set,
-    uncommitted orphans invisible). The silver store here is a temp
-    parquet per version; production swaps in a15's SnapshotStore
-    without touching the fold. The source is staged as two files so
-    availableNow commits two batches — a real deployment's log just
-    has one entry per micro-batch."""
+    uncommitted orphans invisible). The silver store IS a15's
+    SnapshotStore (r10, as promised): the aggregate merge plugs into
+    the versioned flock'd _LATEST commit protocol via `fold_batches`,
+    one version per committed sink batch — so crash-safety (resume
+    after the last committed batch, idempotent re-fold of a torn
+    version, readers pinned to _LATEST) is STRUCTURAL, inherited from
+    the store, and pinned by the same kill-at-every-step harness as
+    a15/a20 (tests/test_streaming.py). The source is staged as two
+    files so availableNow commits two batches — a real deployment's
+    log just has one entry per micro-batch."""
     import atexit
     import glob as _glob
     import shutil as _shutil
@@ -1051,34 +1079,18 @@ def i18_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
 
-    silver_dir = None
-    batches = _sink_log_batches(out)
-    for n, bid in enumerate(sorted(batches)):
-        if not batches[bid]:
-            continue  # an empty commit adds nothing to the rollup
-        delta = day_agg(
-            spark.read.schema(_I18_BRONZE_SCHEMA).parquet(*batches[bid])
-        )
-        if silver_dir is None:
-            cur = delta
-        else:
-            # the stored aggregate + this batch's delta — history files
-            # are NOT re-read (the whole point of the id)
-            base = spark.read.parquet(silver_dir)
-            cur = (
-                base.unionByName(delta)
-                .groupBy("day")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_cents").alias("sum_cents"),
-                    F.max("max_cents").alias("max_cents"),
-                )
-            )
-        new_dir = os.path.join(silver_root, f"v{n + 1}")
-        cur.write.mode("overwrite").parquet(new_dir)
-        silver_dir = new_dir
-    if silver_dir is None:  # zero committed rows (empty-corpus gate)
+    store = _silver_store(silver_root)
+
+    def load(paths: list) -> DataFrame | None:
+        if not paths:
+            return None  # an empty commit adds nothing to the rollup
+        # history files are NOT re-read (the whole point of the id):
+        # each refresh scans only the files ITS batch committed
+        return day_agg(spark.read.schema(_I18_BRONZE_SCHEMA).parquet(*paths))
+
+    v = store.fold_batches(spark, _sink_log_batches(out), load)
+    if v == 0:  # zero committed rows (empty-corpus gate)
         return spark.createDataFrame(
             [], "day date, n_events bigint, sum_cents bigint, max_cents bigint"
         )
-    return spark.read.parquet(silver_dir)
+    return store.read(spark)

@@ -981,3 +981,91 @@ def test_staged_dir_evicted_on_inplace_regen(spark, tmp_path):
     assert d2 != d1
     assert not os.path.exists(d1)  # superseded copy reclaimed
     assert [k for k in _STAGED_DOCS if k == str(sfd)] == [str(sfd)]
+
+
+@pytest.mark.parametrize(
+    "point,nth",
+    [
+        ("after_fold_write", 1),       # batch 0: v1 written, not committed
+        ("before_fold_batch_1", 1),    # between the two batch folds
+        ("after_fold_write", 2),       # batch 1: v2 written, pointer not advanced
+        ("before_latest_replace", 2),  # batch 1: tmp meta written, not live
+        ("after_latest_replace", 2),   # batch 1: commit durable, then died
+    ],
+)
+def test_i18_silver_fold_crash_at_every_step(spark, point, nth):
+    """r10 (r9 verdict item 3): kill i18's refresh fold at every commit
+    step — between a silver version write and the pointer advance, and
+    between batch folds — then re-run the fold and assert refreshed ≡
+    rebuilt: the resumed fold continues after the last COMMITTED batch,
+    re-folds a torn version idempotently (overwrite from the same
+    base), and never double-merges a batch (sum aggregates would
+    double — the final-state assert catches it)."""
+    import datetime
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _silver_store,
+    )
+
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    batches = {
+        0: [(d1, 2, 100, 60), (d2, 1, 40, 40)],
+        1: [(d1, 1, 50, 50), (d2, 2, 90, 70)],
+    }
+    prefix_state = {  # folded state after committing batches 0..k
+        0: {d1: (2, 100, 60), d2: (1, 40, 40)},
+        1: {d1: (3, 150, 60), d2: (3, 130, 70)},
+    }
+
+    def load(rows):
+        return spark.createDataFrame(
+            rows, "day date, n_events bigint, sum_cents bigint, max_cents bigint"
+        )
+
+    store = _silver_store(tempfile.mkdtemp(prefix="i18_crash_"))
+    seen = {"n": 0}
+
+    def boom(p):
+        if p == point:
+            seen["n"] += 1
+            if seen["n"] == nth:
+                raise RuntimeError(f"injected crash at {p}")
+
+    store._fault = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.fold_batches(spark, batches, load)
+    finally:
+        store._fault = None
+
+    # whatever survived is a committed PREFIX of the batch sequence —
+    # never a torn version (readers resolve _LATEST) and the pointer
+    # never runs ahead of the folded state
+    meta = store._meta()
+    assert meta["version"] == meta["compacted_through"] + 1 or (
+        meta["version"] == 0 and meta["compacted_through"] == -1
+    )
+    if meta["version"] > 0:
+        got = {
+            r["day"]: (r["n_events"], r["sum_cents"], r["max_cents"])
+            for r in store.read(spark).collect()
+        }
+        assert got == prefix_state[meta["compacted_through"]]
+
+    # recovery: the resumed fold converges to exactly the rebuilt state
+    store.fold_batches(spark, batches, load)
+    got = {
+        r["day"]: (r["n_events"], r["sum_cents"], r["max_cents"])
+        for r in store.read(spark).collect()
+    }
+    assert got == prefix_state[1]
+    assert store._meta()["compacted_through"] == 1
+
+    # a third run is a no-op (nothing newer than the pointer)
+    v = store.fold_batches(spark, batches, load)
+    assert v == store._meta()["version"]
+    got2 = {
+        r["day"]: (r["n_events"], r["sum_cents"], r["max_cents"])
+        for r in store.read(spark).collect()
+    }
+    assert got2 == prefix_state[1]
