@@ -1094,3 +1094,217 @@ def i18_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             [], "day date, n_events bigint, sum_cents bigint, max_cents bigint"
         )
     return store.read(spark)
+
+
+_I19_BRONZE_SCHEMA = "op string, event_id long, ts timestamp, value double"
+
+def _i19_doomed() -> "F.Column":
+    """The deterministic delete rule i19 stages: positive-mod so NULL
+    and negative ids provably fall on ONE side (the kept side for NULL
+    — pmod(coalesce(id,0),7)=0), mirrored textually in the oracle
+    WHERE. A function, not a module constant: Column construction
+    needs an active SparkContext, which import time doesn't have."""
+    return F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(7)) == 3
+
+
+def _i19_fold_batches(
+    spark: SparkSession, store, aug: dict[int, tuple[list, list]]
+) -> int:
+    """Delete-aware silver fold (i19): each committed bronze batch may
+    carry `op='D'` tombstones. count/sum are subtractable but MAX IS
+    NOT — so a delete cannot be folded algebraically; the affected
+    DAYS (and only those) are re-aggregated from the cumulative bronze
+    log while every unaffected day still takes the cheap incremental
+    merge. `aug[b] = (own_paths, cum_paths_through_b)` — both straight
+    from the sink log, so a crash-resumed fold re-derives the exact
+    same state (nothing depends on call order, only on committed
+    batch ids; the same SnapshotStore commit protocol as i18).
+
+    Deletes are id-level tombstones over the log horizon: the rebuild
+    leg removes every insert whose id appears in ANY committed delete
+    entry through this batch. 100 TB notes: the rebuild leg's scan is
+    day-pruned (broadcast semi-join on the affected-day set — at real
+    scale the bronze sink is date-partitioned and this becomes
+    partition pruning), the incremental leg reads only this batch's
+    files, and the affected-day set never leaves the executors
+    (broadcast, no driver collect)."""
+    with store._locked():
+        meta = store._meta()
+        v = meta["version"]
+        for b in sorted(x for x in aug if x > meta["compacted_through"]):
+            store._crash(f"before_fold_batch_{b}")
+            own, cum = aug[b]
+            if not own:
+                continue  # empty commit
+            batch = spark.read.schema(_I19_BRONZE_SCHEMA).parquet(*own)
+            day = F.col("ts").cast("date")
+            ins = batch.filter(F.col("op") == "I").withColumn("day", day)
+            affected = (
+                batch.filter(F.col("op") == "D")
+                .select(day.alias("aday"))
+                .distinct()
+            )
+            on_aff = F.col("day").eqNullSafe(F.col("aday"))  # NULL day
+            # is a legitimate group (both engines GROUP BY keep it) —
+            # a tombstone on it must hit it, so the day joins are
+            # null-SAFE (the j54 nullkeys lesson)
+
+            # incremental leg: this batch's inserts on UNAFFECTED days,
+            # merged with the stored aggregate exactly like i18
+            inc = _i19_day_agg(ins.join(F.broadcast(affected), on_aff, "left_anti"))
+            base = None if v == 0 else store._read_version(spark, v)
+            kept = (
+                None
+                if base is None
+                else base.join(F.broadcast(affected), on_aff, "left_anti")
+            )
+            merged = store._fold(kept, inc)
+
+            # rebuild leg: affected days recomputed from the cumulative
+            # committed log — inserts minus ALL tombstones so far,
+            # day-pruned before any aggregation
+            allr = spark.read.schema(_I19_BRONZE_SCHEMA).parquet(*cum)
+            tombs = (
+                allr.filter(F.col("op") == "D")
+                .select("event_id")
+                .distinct()
+            )
+            live = (
+                allr.filter(F.col("op") == "I")
+                .withColumn("day", day)
+                .join(F.broadcast(affected), on_aff, "left_semi")
+                .join(tombs, "event_id", "left_anti")
+            )
+            rebuilt = _i19_day_agg(live)
+
+            v = store._advance(
+                spark, meta, merged.unionByName(rebuilt), b
+            )
+            meta = {"version": v, "compacted_through": b}
+        return v
+
+
+def _i19_day_agg(df: DataFrame) -> DataFrame:
+    """Day-grain partial aggregate over rows already carrying `day` —
+    the same money conventions as i18 (finite-gated, DECIMAL cents)."""
+    from ..operators.numeric import finite_metric
+
+    cents = (finite_metric("value").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    return (
+        df.select("day", cents.alias("cents"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@query(
+    "i19_stream_retract_rollup",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(({FIN}) AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MAX(CAST(CAST(({FIN}) AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM e
+    WHERE ((COALESCE(event_id, 0) % 7) + 7) % 7 <> 3
+    GROUP BY 1
+    """,
+)
+def i19_stream_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware incremental rollup (i19, the r9 verdict's
+    pre-authorized growth id): i18's stream → bronze → incremental
+    silver story extended with DELETE entries in the change feed. The
+    bronze log carries upserts AND id-level tombstones (`op='D'`);
+    count/sum could be folded subtractively but MAX CANNOT — so the
+    silver refresh re-aggregates ONLY the tombstones' affected days
+    from the bronze log (day-pruned scan) while unaffected days keep
+    i18's cheap base ⊎ delta merge. The ORACLE is the full recompute
+    over the live set (source minus the deterministic delete rule), so
+    every green row re-proves refreshed-with-retractions ≡ rebuilt.
+
+    Staged feed: batch 0 inserts one pmod-half of events; batch 1
+    inserts the other half AND tombstones every event with
+    pmod(event_id,7)=3 — deletes that hit batch-0 history, batch-1
+    rows, and same-batch inserts all at once. Same SnapshotStore
+    commit protocol as i18 (versioned, flock'd, _LATEST-pinned), so
+    the kill-at-every-step guarantees carry over; the fold is
+    crash-resumable because every leg derives from committed batch
+    ids only (tests/test_streaming.py pins both)."""
+    import atexit
+    import glob as _glob
+    import shutil as _shutil
+
+    from ..sources.tables import scan as _scan
+
+    src = tempfile.mkdtemp(prefix="i19_src_")
+    out = tempfile.mkdtemp(prefix="i19_bronze_")
+    silver_root = tempfile.mkdtemp(prefix="i19_silver_")
+    for d in (src, out, silver_root):
+        atexit.register(_shutil.rmtree, d, ignore_errors=True)
+
+    ev = _scan(spark, sf_dir, "events").select("event_id", "ts", "value")
+    half = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2))
+    ins = ev.select(
+        F.lit("I").alias("op"), "event_id", "ts", "value"
+    )
+    tombstones = ev.filter(_i19_doomed()).select(
+        F.lit("D").alias("op"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+    )
+    files = [
+        ins.filter(half == 0),
+        ins.filter(half == 1).unionByName(tombstones),
+    ]
+    for i, fdf in enumerate(files):
+        half_tmp = tempfile.mkdtemp(prefix="i19_half_")
+        fdf.coalesce(1).write.mode("overwrite").parquet(half_tmp)
+        parts = _glob.glob(os.path.join(half_tmp, "part-*.parquet"))
+        if parts:
+            _shutil.move(parts[0], os.path.join(src, f"h{i}.parquet"))
+        _shutil.rmtree(half_tmp, ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(_I19_BRONZE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            raw.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i19_"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    batches = _sink_log_batches(out)
+    acc: list = []
+    aug: dict[int, tuple[list, list]] = {}
+    for b in sorted(batches):
+        acc = acc + batches[b]
+        aug[b] = (batches[b], list(acc))
+
+    store = _silver_store(silver_root)
+    v = _i19_fold_batches(spark, store, aug)
+    if v == 0:  # zero committed rows (empty-corpus gate)
+        return spark.createDataFrame(
+            [], "day date, n_events bigint, sum_cents bigint, max_cents bigint"
+        )
+    return store.read(spark)

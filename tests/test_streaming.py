@@ -1069,3 +1069,96 @@ def test_i18_silver_fold_crash_at_every_step(spark, point, nth):
         for r in store.read(spark).collect()
     }
     assert got2 == prefix_state[1]
+
+
+@pytest.mark.parametrize(
+    "point,nth",
+    [
+        ("after_fold_write", 1),       # batch 0: v1 written, not committed
+        ("before_fold_batch_1", 1),    # between the two batch folds
+        ("after_fold_write", 2),       # batch 1: v2 written, pointer behind
+        ("before_latest_replace", 2),
+        ("after_latest_replace", 2),
+    ],
+)
+def test_i19_retract_fold_crash_at_every_step(spark, point, nth):
+    """i19's delete-aware fold under the kill-at-every-step harness:
+    tombstones force a day-level rebuild, and a crash anywhere in the
+    two-batch fold must resume to exactly the rebuilt state — a
+    double-merged batch would inflate the sums, a lost tombstone would
+    resurrect a deleted row's max."""
+    import datetime
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _I19_BRONZE_SCHEMA,
+        _i19_fold_batches,
+        _silver_store,
+    )
+
+    def ts(day):
+        return datetime.datetime(2024, 1, day, 12, 0, 0)
+
+    def write_batch(rows):
+        d = tempfile.mkdtemp(prefix="i19_batch_")
+        spark.createDataFrame(rows, _I19_BRONZE_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        return [d]
+
+    p0 = write_batch(
+        [("I", 1, ts(1), 1.0), ("I", 2, ts(1), 2.0), ("I", 3, ts(2), 3.0)]
+    )
+    p1 = write_batch(
+        [
+            ("I", 4, ts(2), 4.0),
+            ("I", 5, ts(3), 5.0),
+            ("D", 2, ts(1), None),  # hits batch-0 history
+            ("D", 3, ts(2), None),  # day also receiving a new insert
+        ]
+    )
+    aug = {0: (p0, p0), 1: (p1, p0 + p1)}
+    d1, d2, d3 = (datetime.date(2024, 1, d) for d in (1, 2, 3))
+    prefix_state = {
+        0: {d1: (2, 300, 200), d2: (1, 300, 300)},
+        1: {d1: (1, 100, 100), d2: (1, 400, 400), d3: (1, 500, 500)},
+    }
+
+    store = _silver_store(tempfile.mkdtemp(prefix="i19_crash_"))
+    seen = {"n": 0}
+
+    def boom(p):
+        if p == point:
+            seen["n"] += 1
+            if seen["n"] == nth:
+                raise RuntimeError(f"injected crash at {p}")
+
+    store._fault = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _i19_fold_batches(spark, store, aug)
+    finally:
+        store._fault = None
+
+    meta = store._meta()
+    assert meta["version"] == meta["compacted_through"] + 1 or (
+        meta["version"] == 0 and meta["compacted_through"] == -1
+    )
+    if meta["version"] > 0:
+        got = {
+            r["day"]: (r["n_events"], r["sum_cents"], r["max_cents"])
+            for r in store.read(spark).collect()
+        }
+        assert got == prefix_state[meta["compacted_through"]]
+
+    # recovery: resumed fold == rebuilt-with-retractions, exactly once
+    _i19_fold_batches(spark, store, aug)
+    got = {
+        r["day"]: (r["n_events"], r["sum_cents"], r["max_cents"])
+        for r in store.read(spark).collect()
+    }
+    assert got == prefix_state[1]
+    assert store._meta()["compacted_through"] == 1
+
+    # idempotent no-op on a third run
+    v = _i19_fold_batches(spark, store, aug)
+    assert v == store._meta()["version"]
