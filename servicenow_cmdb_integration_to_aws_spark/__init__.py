@@ -247,6 +247,8 @@ _CHECK_COST_S = {
     "a17_python_datasource": 5.1, "j2_minhash_lsh": 7.6,
     # r9 addition (measured sf0.01 parity-run cost incl. oracle)
     "i18_stream_incremental_rollup": 5.0,
+    # r10 addition (measured sf0.01 parity-run cost incl. oracle)
+    "i19_stream_retract_rollup": 12.4,
 }
 
 #: true Structured Streaming ids among the unchecked — forced to the
@@ -262,6 +264,7 @@ _STREAMING_LAST = frozenset({
     "i10_stream_stream_join", "i12_stream_session_window",
     "i13_stream_outer_join", "i15_stream_complete_agg",
     "i16_stream_pii_redact", "i18_stream_incremental_rollup",
+    "i19_stream_retract_rollup",
 })
 
 #: ids whose ENGINE or ORACLE code changed in rounds 8–9 (r8 pathdocs/
@@ -271,32 +274,39 @@ _STREAMING_LAST = frozenset({
 #: 50-id budget re-proving exactly the code that moved (r8 verdict
 #: punch-list item 3) instead of re-checking untouched greens.
 _RECHECK_FIRST = frozenset({
-    # r8-touched ids with NO post-change driver row (their CORRECTNESS_r08
-    # check predates the r8 pathdocs/timewarp/finite-metric edits) plus
-    # every id whose engine or oracle moved in r9 (vec_ok gate across the
-    # vector family, EMAIL_PAT_G, METRIC_BOUND interpolation, a20
-    # manifest-gated commit, props-axis JSON permissiveness, datewarp
-    # epoch_s floor, a9 fingerprint walk, j54 index-dir reuse). 49 ids +
-    # the brand-new i18 (auto-fronts, not in _DRIVER_GREEN) = exactly the
-    # driver's 50-id budget re-proving exactly what moved.
-    "a20_python_datasource_writer", "a3_ingest_jsonl",
-    "a9_bucketed_join", "c14_range_join", "d19_time_rollup",
-    "d21_zscore_outliers", "d27_incremental_rollup", "e12_sessionize",
-    "e13_ewma", "e4_running", "e5_moving", "h10_json", "h15_variant",
-    "h16_try_functions", "h3_date", "i10_stream_stream_join",
-    "i12_stream_session_window", "i13_stream_outer_join",
-    "i15_stream_complete_agg", "i16_stream_pii_redact", "i1_tumbling",
-    "i2_sliding", "i3_session", "i4_watermark_late", "i5_stream_dedup",
-    "i7_stateful_counter", "j12_embedding_neardup",
-    "j16_neardup_components", "j22_decontaminate", "j23_pii_redact",
-    "j27_chunk_dedup", "j31_novelty_score", "j32_winnowing",
-    "j35_pq_adc", "j37_kmeans_cluster", "j3_cosine_knn", "j3b_ivf_knn",
-    "j3c_lsh_ann", "j41_semdedup", "j47_hard_negatives",
-    "j49_char_entropy", "j4_knn_join", "j50_tau_sweep",
-    "j54_incremental_ivf", "j5_centroids", "j6_l2norm", "k4_pandas_udaf",
-    "m1_binary_features", "m3_frame_sample",
-    # r9 --nullkeys fixes (null-key policies, engine+oracle moved)
-    "j29_seq_pack", "j39_edit_distance_nn", "t12_golden_q21", "t9_funnel"
+    # Rebuilt for r10 (r9 verdict item 2): exactly the ids whose engine
+    # or oracle code moved AFTER their latest driver CORRECTNESS row.
+    # 39 ids + the never-driver-checked i18 and brand-new i19 (both
+    # auto-front: not in _DRIVER_GREEN) = 41 of the driver's ~50-id
+    # budget re-proving exactly what moved; the remainder fills with
+    # the oldest greens in registry order as usual.
+    #
+    # (a) r9 commits AFTER their r9 CORRECTNESS check: the --nullkeys
+    #     policy fixes (96b9447) and the stage-copy/cache-stamp
+    #     infrastructure (a9 fingerprint walk, a17/a18 page cache,
+    #     a20 manifest commit).
+    "t9_funnel", "t12_golden_q21", "j29_seq_pack",
+    "j39_edit_distance_nn", "j54_incremental_ivf",
+    "a9_bucketed_join", "a17_python_datasource",
+    "a18_python_stream_source", "a20_python_datasource_writer",
+    # (b) r10 vec_ok/SQL_VEC_OK null-component leg: every id whose scan
+    #     goes through the vector-quality gate.
+    "j3_cosine_knn", "j3b_ivf_knn", "j3c_lsh_ann", "j4_knn_join",
+    "j5_centroids", "j6_l2norm", "j12_embedding_neardup",
+    "j16_neardup_components", "j35_pq_adc", "j37_kmeans_cluster",
+    "j40_vocab_oov", "j41_semdedup", "j47_hard_negatives",
+    "j50_tau_sweep",
+    # (c) r10 stream staging rework (hive-structure _stage_copy,
+    #     stamp-evicting caches): every staged-stream consumer.
+    "a7_replay_stream", "i4_watermark_late", "i5_stream_dedup",
+    "i6_stream_static_join", "i7_stateful_counter",
+    "i10_stream_stream_join", "i12_stream_session_window",
+    "i13_stream_outer_join", "i14_stream_quality_gate",
+    "i15_stream_complete_agg", "i16_stream_pii_redact",
+    "i17_stream_file_sink", "p8_encoded_stream",
+    # (d) r10 SnapshotStore pluggable-fold refactor: the compaction
+    #     family (i11's sink log feeds a15/a16).
+    "a15_snapshot_compact", "a16_change_feed", "i11_foreach_batch_merge",
 })
 
 
