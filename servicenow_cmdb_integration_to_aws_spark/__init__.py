@@ -307,6 +307,10 @@ _RECHECK_FIRST = frozenset({
     # (d) r10 SnapshotStore pluggable-fold refactor: the compaction
     #     family (i11's sink log feeds a15/a16).
     "a15_snapshot_compact", "a16_change_feed", "i11_foreach_batch_merge",
+    # (e) r10 mean-score boundary fix (integer micro-score sum — the
+    #     12-amplifier chain landed a group mean exactly on a 6dp
+    #     ROUND boundary; engine + oracle both moved).
+    "j46_dataset_card",
 })
 
 

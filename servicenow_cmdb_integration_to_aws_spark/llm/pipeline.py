@@ -515,7 +515,14 @@ def j36_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / COUNT(*), 6) AS keep_rate,
            ROUND(CAST(COUNT(*) FILTER (doc_id <> canon) AS DOUBLE)
                  / COUNT(*), 6) AS dup_rate,
-           ROUND(SUM(score) / COUNT(*), 6) AS mean_score
+           -- mean over exact integer micro-scores: a float SUM is
+           -- summation-ORDER-dependent, and ROUND(...,6) of a mean
+           -- sitting exactly on a 6dp boundary flipped between engines
+           -- on the r10 12-amplifier chain (0.907961 vs 0.907962).
+           -- Integer SUM is order-independent; both engines then divide
+           -- the SAME exact integers the same way -> bit-identical.
+           CAST(SUM(CAST(ROUND(score * 1000000) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_score
     FROM s GROUP BY lang
     """,
 )
@@ -531,8 +538,12 @@ def j46_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE content-digest exchange (16-byte keys); the card aggregate is
     a |langs|-key partial agg. Whole card = two shuffles over the
     corpus regardless of size. Mean-score parity: per-doc scores are
-    6dp-rounded BEFORE the per-lang average (j40's discipline), and
-    the average re-rounds 6dp."""
+    6dp-rounded BEFORE the per-lang average (j40's discipline), then
+    summed as exact integer MICRO-scores — a float sum is
+    summation-order-dependent, and the r10 12-amplifier chain landed a
+    group mean exactly on a 6dp ROUND boundary, flipping the last
+    digit between engines; the integer sum is order-independent and
+    both engines divide the same exact integers identically."""
     d = spread(
         scan(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
@@ -555,5 +566,9 @@ def j46_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("dup_rate"),
-        F.round(F.sum("score") / F.count(F.lit(1)), 6).alias("mean_score"),
+        (
+            F.sum(F.round(F.col("score") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_score"),
     )

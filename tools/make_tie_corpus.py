@@ -313,6 +313,13 @@ VEC_EXTREME_TRANSFORMS = {
         "   WHEN 23 THEN list_transform(embedding, x -> 0.0::FLOAT)"
         "   WHEN 29 THEN (SELECT t2.embedding FROM t t2 WHERE t2.vec_id = 1)"
         "   WHEN 31 THEN list_concat(['nan'::FLOAT], embedding[2:])"
+        # NULL COMPONENTS (r10): the case the vec_ok null-leg closed —
+        # Spark's 3VL exists() dropped such vectors while DuckDB's
+        # list_filter kept them; a single-NULL head and a NULL among
+        # zeros both must be gated identically now.
+        "   WHEN 37 THEN list_concat([NULL::FLOAT], embedding[2:])"
+        "   WHEN 41 THEN list_concat([NULL::FLOAT],"
+        "                 list_transform(embedding[2:], x -> 0.0::FLOAT))"
         "   ELSE embedding END AS embedding,"
         " label FROM t"
     ),
