@@ -311,6 +311,11 @@ _RECHECK_FIRST = frozenset({
     #     12-amplifier chain landed a group mean exactly on a 6dp
     #     ROUND boundary; engine + oracle both moved).
     "j46_dataset_card",
+    # (f) r10 nullkeys-LAST 12-chain findings (the other order of the
+    #     two non-commuting key axes): t10's NULL-user exclusion and
+    #     h8's non-NULL-component energy fold; engine + oracle moved
+    #     for both.
+    "t10_cohort", "h8_higher_order",
 })
 
 

@@ -276,7 +276,8 @@ def h7_array(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(embedding[pos] AS DOUBLE) + CAST(embedding[pos] AS DOUBLE)
              AS self_sum_val,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-           round(list_sum(list_transform(embedding,
+           round(list_sum(list_transform(
+                 list_filter(embedding, x -> x IS NOT NULL),
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy
     FROM embeddings,
          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos)
@@ -290,20 +291,35 @@ def h8_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexploded to scalar rows for the driver compare (top-level array
     columns break pandas canonicalization). `2·x` and `a+a` on binary
     floats are exact, so no rounding is needed on the per-element
-    columns."""
+    columns.
+
+    NULL-component policy (sprung by the r10 12-amplifier chain via
+    the vec-extremes NULL-component cases): `energy` is the sum of
+    squares over the NON-NULL components — SQL aggregate semantics.
+    A bare fold (acc + x·x) would 3VL-propagate one NULL component
+    into a NULL energy where DuckDB's list_sum skips it, so BOTH
+    engines filter NULLs out first; a vector with NO non-null
+    components yields NULL energy in both (list_sum of an empty list
+    is NULL in DuckDB — the engine guards with size()>0). The
+    per-element columns (doubled/self_sum) keep NULL→NULL: that IS
+    the element-wise semantics, identical in both engines."""
     e = scan(spark, sf_dir, "embeddings")
     x_d = lambda x: x.cast("double")  # noqa: E731
+    nn = F.filter("embedding", lambda x: x.isNotNull())
     arrs = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x_d(x) * 2.0).alias("doubled"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
-        F.round(
-            F.aggregate(
-                "embedding",
-                F.lit(0.0),
-                lambda acc, x: acc + x_d(x) * x_d(x),
+        F.when(
+            F.size(nn) > 0,
+            F.round(
+                F.aggregate(
+                    nn,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x_d(x) * x_d(x),
+                ),
+                6,
             ),
-            6,
         ).alias("energy"),
         F.zip_with("embedding", "embedding", lambda a, b: x_d(a) + x_d(b)).alias(
             "self_sum"

@@ -116,8 +116,10 @@ def t9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US},
     cohort AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
-               FROM e WHERE event_type = 'signup' GROUP BY user_id),
-    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e)
+               FROM e WHERE event_type = 'signup' AND user_id IS NOT NULL
+               GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e
+                 WHERE user_id IS NOT NULL)
     SELECT c.cohort_day,
            CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
            COUNT(DISTINCT a.user_id) AS n_active
@@ -138,8 +140,21 @@ def t10_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonically unequal and defeats exchange reuse). Everything after
     the first shuffle carries user-day rows (bounded by users x days,
     not event volume); the per-user window partitions are bounded by
-    days-in-period, so there is no skew surface."""
-    ev = scan(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    days-in-period, so there is no skew surface.
+
+    NULL-key policy (t9's rule, sprung here by the r10 composed
+    hotkey×nullkeys chain — standalone --nullkeys happened to miss
+    it): anonymous events carry no attributable journey, so NULL
+    users are EXCLUDED in both engines. The engine filters at the
+    scan (cheaper: the NULL group never enters the exchange); the
+    oracle states it in both CTEs rather than relying on the inner
+    join's implicit NULL drop — the window formulation here would
+    otherwise keep NULL as one pseudo-user where the join drops it."""
+    ev = (
+        scan(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("user_id").isNotNull())
+    )
     ud = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
         F.min(
             F.when(F.col("event_type") == "signup", F.col("ts"))

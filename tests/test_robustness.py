@@ -696,3 +696,60 @@ def test_scan_schema_cache_survives_inplace_regen(spark, tmp_path):
         p,
     )
     assert scan(spark, sf, "nation").columns == ["n_nationkey", "n_name"]
+
+
+def test_h8_energy_skips_null_components(spark, tmp_path):
+    """r10 12-chain finding: one NULL component must not 3VL-propagate
+    into a NULL energy (DuckDB's list_sum skips NULLs; the engine now
+    folds over the non-NULL components only), and a vector with NO
+    non-null components yields NULL energy in BOTH engines."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, [3.0, 4.0], 0),          # clean: energy 25
+            (2, [None, 2.0, 2.0], 0),    # one NULL: energy 8, not NULL
+            (3, [None, None], 0),        # no non-null components: NULL
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = entrymod.queries()["h8_higher_order"](spark, sf)
+    energy = {
+        r["vec_id"]: r["energy"]
+        for r in out.select("vec_id", "energy").distinct().collect()
+    }
+    assert energy[1] == 25.0
+    assert energy[2] == 8.0
+    assert energy[3] is None
+    # per-element columns keep NULL -> NULL (element-wise semantics)
+    row2 = {
+        r["pos"]: (r["doubled_val"], r["self_sum_val"])
+        for r in out.filter(F.col("vec_id") == 2).collect()
+    }
+    assert row2[1] == (None, None) and row2[2] == (4.0, 4.0)
+
+
+def test_t10_cohort_excludes_null_users(spark, tmp_path):
+    """r10 12-chain finding (t9's rule): anonymous (NULL-user) events
+    carry no attributable journey — a NULL-user signup must not mint a
+    pseudo-cohort, and NULL-user activity must not count as retained."""
+    from datetime import datetime as DT
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, DT(2024, 1, 1, 9), 10, "signup", 1.0, "{}"),
+            (2, DT(2024, 1, 2, 9), 10, "click", 1.0, "{}"),
+            # anonymous journey: signup + next-day activity, all NULL user
+            (3, DT(2024, 1, 1, 10), None, "signup", 1.0, "{}"),
+            (4, DT(2024, 1, 3, 10), None, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    rows = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_active"]
+        for r in entrymod.queries()["t10_cohort"](spark, sf).collect()
+    }
+    # only user 10's two-day triangle; the NULL user's day-offset-2
+    # activity (2024-01-03) would otherwise appear as its own row
+    assert rows == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1}
