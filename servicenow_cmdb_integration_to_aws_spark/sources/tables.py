@@ -14,6 +14,8 @@ same as over a single file.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -176,6 +178,31 @@ def _read_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _scan_build(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[DataFrame, bool]:
+    """Uncached scan body — see :func:`scan` for the semantics. Returns
+    (df, needs_utc): needs_utc marks the NTZ-events generation whose
+    cast resolves against the session tz at execution."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = _read_cached(spark, sf_dir, name)
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # ns-as-long generation
+            return (
+                df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
+                False,
+            )
+        # NTZ→TimestampType keeps the wall-clock ONLY in a UTC session;
+        # any other tz would silently shift every event. Fail loudly.
+        _require_utc(spark)
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType())), True
+    return _read_cached(spark, sf_dir, name), False
+
+
+_SCAN_DF_LOCK = threading.Lock()
+
+
 def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """a1 semantics: footer-schema parquet scan (pushdown/pruning free).
 
@@ -191,18 +218,46 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       the session-tz TimestampType (UTC session ⇒ identical wall-clock)
       so every downstream consumer (windows, watermarks, oracles) sees
       ONE stable ts type regardless of the file generation.
-    """
+
+    The returned DataFrame is CACHED per (session, sf_dir, table,
+    content-stamp) — it is an immutable plan fragment, so serving the
+    same object to every consumer is exactly what a catalog's resolved
+    relation cache does, and it removes the dominant fixed cost of
+    query construction (~13-20 ms of py4j/analysis per scan × every
+    scan of every query; the r10 drain profile measured construction
+    as the concurrency floor of the whole workload). Correctness
+    guards: the cache dict rides ON the session object (dies with it
+    — no id()-reuse hazard across context restarts, and a stopped
+    session's fragments can never serve a live one), the key carries
+    the content stamp (an in-place testdata regen misses and
+    re-derives, superseded generations are evicted), and derivations
+    (.select/.filter/...) always create NEW DataFrames so sharing the
+    base object leaks nothing between queries. events keeps its
+    nanosAsLong conf-pin on every call (the conf is read at scan
+    planning; a cached fragment must not depend on who built it)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _read_cached(spark, sf_dir, name)
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":  # ns-as-long generation
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # NTZ→TimestampType keeps the wall-clock ONLY in a UTC session;
-        # any other tz would silently shift every event. Fail loudly.
-        _require_utc(spark)
-        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return _read_cached(spark, sf_dir, name)
+    key = (sf_dir, name, content_stamp(path_of(sf_dir, name)))
+    with _SCAN_DF_LOCK:
+        cache = getattr(spark, "_cmdb_scan_df_cache", None)
+        if cache is None:
+            cache = {}
+            spark._cmdb_scan_df_cache = cache
+        hit = cache.get(key)
+    if hit is not None:
+        df, needs_utc = hit
+        if needs_utc:
+            # the NTZ→TimestampType cast resolves against the session tz
+            # at execution — a cache hit must fail as loudly under a
+            # hostile tz as the original build did
+            _require_utc(spark)
+        return df
+    df, needs_utc = _scan_build(spark, sf_dir, name)
+    with _SCAN_DF_LOCK:
+        for stale in [k for k in cache if k[:2] == key[:2] and k != key]:
+            del cache[stale]
+        cache[key] = (df, needs_utc)
+    return df
 
 
 def _require_utc(spark: SparkSession) -> None:
