@@ -753,3 +753,62 @@ def test_t10_cohort_excludes_null_users(spark, tmp_path):
     # only user 10's two-day triangle; the NULL user's day-offset-2
     # activity (2024-01-03) would otherwise appear as its own row
     assert rows == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1}
+
+
+def test_scan_df_cache_identity_and_regen_eviction(spark, tmp_path):
+    """r10: scan() serves ONE immutable DataFrame fragment per
+    (session, sf_dir, table, content-stamp) — construction was the
+    bench drain's concurrency floor. Contract: same stamp -> same
+    OBJECT (no rebuild), in-place regen -> new stamp -> rebuilt plan
+    seeing the new schema, and the session object owns the cache."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    sf = str(tmp_path)
+    p = f"{sf}/nation.parquet"
+    pq.write_table(pa.table({"n_nationkey": pa.array([1], pa.int64())}), p)
+    d1 = scan(spark, sf, "nation")
+    assert scan(spark, sf, "nation") is d1
+    # in-place regen: same path, new bytes -> miss, rebuild, evict
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([2], pa.int64()),
+                "n_name": pa.array(["x"], pa.string()),
+            }
+        ),
+        p,
+    )
+    d2 = scan(spark, sf, "nation")
+    assert d2 is not d1 and d2.columns == ["n_nationkey", "n_name"]
+    cache = spark._cmdb_scan_df_cache
+    assert len([k for k in cache if k[0] == sf and k[1] == "nation"]) == 1
+
+
+def test_scan_events_cache_hit_still_requires_utc(spark, sf_dir):
+    """The NTZ-events generation's cast resolves against the session tz
+    at execution, so a cache HIT must fail as loudly under a hostile tz
+    as the original build did (or, for the ns-long generation, stay
+    tz-independent — either way no silent shift)."""
+    import pyarrow.parquet as pq
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import (
+        path_of,
+        scan,
+    )
+
+    t = pq.read_schema(path_of(sf_dir, "events")).field("ts").type
+    scan(spark, sf_dir, "events")  # prime the cache
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        if str(t).startswith("timestamp") and "ns" not in str(t):
+            import pytest
+
+            with pytest.raises(ValueError, match="UTC"):
+                scan(spark, sf_dir, "events")
+        else:
+            scan(spark, sf_dir, "events")  # ns generation: tz-independent
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
