@@ -214,6 +214,8 @@ _DRIVER_GREEN = frozenset(
 #: drift with machine state; the RANKING is what matters and is stable
 #: (the same ids topped every r5-r7 profile).
 _CHECK_COST_S = {
+    # r10 recheck ids (measured in the round-10 full sf0.01 run)
+    "t10_cohort": 0.5, "h8_higher_order": 1.5, "k4_pandas_udaf": 0.4,
     "f6_keyset_page": 0.1, "f7_exact_k_sample": 0.1, "p10_text_search": 0.1,
     "p2_encoded_nq": 0.1, "p3_encoded_ops": 0.1,
     "f8_stratified_exact_k": 0.2, "k10_sql_udf": 0.2,
@@ -316,6 +318,9 @@ _RECHECK_FIRST = frozenset({
     #     h8's non-NULL-component energy fold; engine + oracle moved
     #     for both.
     "t10_cohort", "h8_higher_order",
+    # (g) r10 extended --nullkeys (event_type/source are keys too):
+    #     k4's oracle final join made null-safe (own-group policy).
+    "k4_pandas_udaf",
 })
 
 

@@ -163,7 +163,13 @@ def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN value END) AS hi
           FROM r GROUP BY event_type)
     SELECT e.event_type, ROUND(AVG(e.value), 6) AS trimmed_mean_value
-    FROM ev e JOIN b USING (event_type)
+    -- null-SAFE join (r10 extended --nullkeys finding): the engine's
+    -- groupBy and this oracle's own window/GROUP BY CTEs all keep the
+    -- NULL-type group, but a plain USING join silently dropped it at
+    -- the last step. Policy (the j39/j54 own-group rule): untyped
+    -- events form a legitimate bucket — their trimmed mean is a real
+    -- data-quality metric, so both engines keep it.
+    FROM ev e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
     WHERE e.value >= b.lo AND e.value <= b.hi
     GROUP BY e.event_type
     """,

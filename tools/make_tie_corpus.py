@@ -167,11 +167,17 @@ TIMEWARP_TRANSFORMS = {
 #: j25 trap, now sprung on every id at once); null-safe vs plain
 #: equality; ORDER BY null placement inside windows.
 NULLKEY_TRANSFORMS = {
+    # r10 completion: event_type and documents.source are ALSO keys
+    # (pivot columns, funnel stages, session kinds, domain caps) — on
+    # residues (%17) coprime to the id-key rule (%13) so type/source
+    # nulls both co-occur with and appear apart from null user/lang.
     "events": (
         "SELECT event_id, ts,"
         " CASE WHEN event_id % 13 = 4 THEN NULL ELSE user_id END"
         " AS user_id,"
-        " event_type, value, props FROM t"
+        " CASE WHEN event_id % 17 = 3 THEN NULL ELSE event_type END"
+        " AS event_type,"
+        " value, props FROM t"
     ),
     "orders": (
         "SELECT o_orderkey,"
@@ -194,7 +200,8 @@ NULLKEY_TRANSFORMS = {
     "documents": (
         "SELECT doc_id, text,"
         " CASE WHEN doc_id % 13 = 4 THEN NULL ELSE lang END AS lang,"
-        " source, n_chars FROM t"
+        " CASE WHEN doc_id % 17 = 3 THEN NULL ELSE source END AS source,"
+        " n_chars FROM t"
     ),
 }
 
