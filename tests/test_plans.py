@@ -707,3 +707,18 @@ def test_multi_consumer_intermediates_materialize_once(spark, sf_dir):
         n = counts.get("FileSourceScanExec", 0)
         assert n <= max_scans, f"{qid}: {n} direct parquet scans: {counts}"
         assert counts.get("InMemoryTableScanExec", 0) >= 1, f"{qid}: {counts}"
+
+
+def test_cohort_null_filter_pushed_and_exchange_bound(spark, sf_dir):
+    """t10 (r10 null-user policy): the anonymous-event exclusion must
+    reach the parquet scan as a pushed IsNotNull — the NULL group never
+    enters the first exchange — and the whole retention triangle rides
+    exactly THREE exchanges (user-day collapse, per-user window,
+    cohort/offset rollup); a fourth would mean the window stopped
+    reusing the collapse's lineage."""
+    import re
+
+    plan = plan_of(_q(spark, sf_dir, "t10_cohort"))
+    assert "IsNotNull(user_id)" in plan, "NULL-user filter not pushed"
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange <= 3, f"t10 plan has {n_exchange} exchanges, want <=3"
