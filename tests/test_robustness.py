@@ -812,3 +812,21 @@ def test_scan_events_cache_hit_still_requires_utc(spark, sf_dir):
             scan(spark, sf_dir, "events")  # ns generation: tz-independent
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_concurrent_clients_share_scan_cache(spark, sf_dir):
+    """r10: the bench drain runs 20 client threads against ONE session;
+    the scan-fragment cache and tune()'s per-thread active-session pin
+    must be race-free — every thread gets the same correct result."""
+    import concurrent.futures as cf
+
+    q = entrymod.queries()["t18_golden_q1"]
+    expected = sorted(map(tuple, q(spark, sf_dir).collect()))
+    with cf.ThreadPoolExecutor(16) as ex:
+        results = list(
+            ex.map(
+                lambda _: sorted(map(tuple, q(spark, sf_dir).collect())),
+                range(16),
+            )
+        )
+    assert all(r == expected for r in results)
