@@ -174,6 +174,11 @@ def _read_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return spark.read.schema(cached).parquet(path_of(sf_dir, name))
     df = spark.read.parquet(path_of(sf_dir, name))
+    # keep ONE stamp per (sf_dir, name): an in-place regen would
+    # otherwise leak the dead generation's entry for the process
+    # lifetime (the r10 ADVICE class fixed for _STAGED)
+    for stale in [k for k in _INFERRED if k[:2] == key[:2]]:
+        del _INFERRED[stale]
     _INFERRED[key] = df.schema
     return df
 
