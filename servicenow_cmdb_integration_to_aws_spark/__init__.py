@@ -196,6 +196,11 @@ _DRIVER_GREEN = frozenset(
         "t18_golden_q1", "t19_golden_q6", "t20_golden_q9",
         "t21_golden_q13", "t22_golden_q15", "t23_golden_q16",
         "t24_golden_q20", "t25_golden_q8",
+        # r9/r10 passes: the union of CORRECTNESS_r01..r10 is now the
+        # FULL registry (270/270 green) — only i18/i19 were missing
+        # here (first checked r9/r10). A brand-new id still auto-fronts
+        # by not being listed.
+        "i18_stream_incremental_rollup", "i19_stream_retract_rollup",
     }
 )
 
@@ -276,50 +281,35 @@ _STREAMING_LAST = frozenset({
 #: 50-id budget re-proving exactly the code that moved (r8 verdict
 #: punch-list item 3) instead of re-checking untouched greens.
 _RECHECK_FIRST = frozenset({
-    # Rebuilt for r10 (r9 verdict item 2): exactly the ids whose engine
-    # or oracle code moved AFTER their latest driver CORRECTNESS row.
-    # 39 ids + the never-driver-checked i18 and brand-new i19 (both
-    # auto-front: not in _DRIVER_GREEN) = 41 of the driver's ~50-id
-    # budget re-proving exactly what moved; the remainder fills with
-    # the oldest greens in registry order as usual.
+    # Rebuilt for r11 (r10 verdict item 1): the round-10 scan-DataFrame
+    # cache sits in EVERY query's construction path, but only 50/270
+    # ids have a driver CORRECTNESS row on post-cache code. Builder
+    # full-registry sf0.1 parity and the judge's 10-id out-of-rotation
+    # sample are green, so this is hygiene, not suspicion — the driver
+    # hash is the hard signal, so front the LEAST-recently-checked
+    # cohort: all 45 ids whose latest driver row is r1, plus the first
+    # two r4 ids, plus k4 (its engine UDAF + registry row moved again
+    # this round: empty-after-trim groups now DROP, matching the
+    # oracle — r10 ADVICE item 3). 48 ids + this round's auto-fronting
+    # growth ids fill the ~50-id budget; the remaining r4/r5 cohort
+    # (~88 ids) fronts in r12/r13 at the same rate.
     #
-    # (a) r9 commits AFTER their r9 CORRECTNESS check: the --nullkeys
-    #     policy fixes (96b9447) and the stage-copy/cache-stamp
-    #     infrastructure (a9 fingerprint walk, a17/a18 page cache,
-    #     a20 manifest commit).
-    "t9_funnel", "t12_golden_q21", "j29_seq_pack",
-    "j39_edit_distance_nn", "j54_incremental_ivf",
-    "a9_bucketed_join", "a17_python_datasource",
-    "a18_python_stream_source", "a20_python_datasource_writer",
-    # (b) r10 vec_ok/SQL_VEC_OK null-component leg: every id whose scan
-    #     goes through the vector-quality gate.
-    "j3_cosine_knn", "j3b_ivf_knn", "j3c_lsh_ann", "j4_knn_join",
-    "j5_centroids", "j6_l2norm", "j12_embedding_neardup",
-    "j16_neardup_components", "j35_pq_adc", "j37_kmeans_cluster",
-    "j40_vocab_oov", "j41_semdedup", "j47_hard_negatives",
-    "j50_tau_sweep",
-    # (c) r10 stream staging rework (hive-structure _stage_copy,
-    #     stamp-evicting caches): every staged-stream consumer.
-    "a7_replay_stream", "i4_watermark_late", "i5_stream_dedup",
-    "i6_stream_static_join", "i7_stateful_counter",
-    "i10_stream_stream_join", "i12_stream_session_window",
-    "i13_stream_outer_join", "i14_stream_quality_gate",
-    "i15_stream_complete_agg", "i16_stream_pii_redact",
-    "i17_stream_file_sink", "p8_encoded_stream",
-    # (d) r10 SnapshotStore pluggable-fold refactor: the compaction
-    #     family (i11's sink log feeds a15/a16).
-    "a15_snapshot_compact", "a16_change_feed", "i11_foreach_batch_merge",
-    # (e) r10 mean-score boundary fix (integer micro-score sum — the
-    #     12-amplifier chain landed a group mean exactly on a 6dp
-    #     ROUND boundary; engine + oracle both moved).
-    "j46_dataset_card",
-    # (f) r10 nullkeys-LAST 12-chain findings (the other order of the
-    #     two non-commuting key axes): t10's NULL-user exclusion and
-    #     h8's non-NULL-component energy fold; engine + oracle moved
-    #     for both.
-    "t10_cohort", "h8_higher_order",
-    # (g) r10 extended --nullkeys (event_type/source are keys too):
-    #     k4's oracle final join made null-safe (own-group policy).
+    # (a) latest driver row = r1 (pre-dates every infra change since):
+    "a1_scan_parquet", "a2_scan_schema", "a4_rest_page_sim", "b10_boolcomp",
+    "b11_reldate", "b12_regex", "b1_project", "b2_computed",
+    "b3_eq_filter", "b4_cmp_filter", "b5_like", "b6_in",
+    "b7_null", "b8_between", "b9_sameas", "c10_join_cross",
+    "c11_rel_closure", "c1_join_bcast", "c2_join_shuffle", "c3_join_left",
+    "c4_join_full", "c5_join_semi", "c6_join_anti", "c7_join_theta",
+    "c8_join_asof", "c9_rel_2hop", "d11_stats", "d12_agg_distinct_input",
+    "d14_salted_agg", "d1_agg_global", "d2_agg_group", "d3_agg_having",
+    "d4_count_distinct", "d6_rollup", "d7_cube", "d8_grouping_sets",
+    "e1_rownum", "f1_sort", "f2_limit", "f3_offset",
+    "f4_topk_group", "g1_union_all", "g2_union_distinct", "g3_intersect",
+    "g4_except",
+    # (b) oldest r4 ids (next cohort's head, fills the budget):
+    "a10_schema_evolve", "a11_class_union",
+    # (c) engine code moved in r11 after its r10 green row:
     "k4_pandas_udaf",
 })
 

@@ -211,11 +211,17 @@ def k4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = v.quantile(0.1, interpolation="lower")
         hi = v.quantile(0.9, interpolation="higher")
         inner = v[(v >= lo) & (v <= hi)]
-        return round(float(inner.mean()), 6) if len(inner) else float("nan")
+        # a group whose values are ALL filtered out (non-finite/NULL)
+        # carries no trimmed mean: return None so the engine row is
+        # dropped below, matching the oracle (its b CTE has no row for
+        # such a group, so the join eliminates it) — r10 ADVICE
+        return round(float(inner.mean()), 6) if len(inner) else None
 
     e = scan(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        trimmed_mean("value").alias("trimmed_mean_value")
+    return (
+        e.groupBy("event_type")
+        .agg(trimmed_mean("value").alias("trimmed_mean_value"))
+        .where(F.col("trimmed_mean_value").isNotNull())
     )
 
 

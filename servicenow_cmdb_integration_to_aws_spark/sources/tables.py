@@ -176,9 +176,14 @@ def _read_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path_of(sf_dir, name))
     # keep ONE stamp per (sf_dir, name): an in-place regen would
     # otherwise leak the dead generation's entry for the process
-    # lifetime (the r10 ADVICE class fixed for _STAGED)
-    for stale in [k for k in _INFERRED if k[:2] == key[:2]]:
-        del _INFERRED[stale]
+    # lifetime (the r10 ADVICE class fixed for _STAGED). This runs
+    # outside _SCAN_DF_LOCK (cold misses are concurrent under the
+    # bench's 20-thread drain), so iterate a snapshot and pop() —
+    # two threads listing the same stale key must not double-del,
+    # and a concurrent insert must not break the iteration.
+    for stale in list(_INFERRED):
+        if stale[:2] == key[:2] and stale != key:
+            _INFERRED.pop(stale, None)
     _INFERRED[key] = df.schema
     return df
 
@@ -259,6 +264,13 @@ def scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df
     df, needs_utc = _scan_build(spark, sf_dir, name)
     with _SCAN_DF_LOCK:
+        # two threads can cold-miss the same key and both build
+        # (_scan_build runs unlocked by design — it does py4j I/O);
+        # the FIRST writer's fragment wins so the 'same stamp -> same
+        # OBJECT' identity contract holds even across the race
+        won = cache.get(key)
+        if won is not None:
+            return won[0]
         for stale in [k for k in cache if k[:2] == key[:2] and k != key]:
             del cache[stale]
         cache[key] = (df, needs_utc)

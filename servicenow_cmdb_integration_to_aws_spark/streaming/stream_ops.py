@@ -1107,6 +1107,50 @@ def _i19_doomed() -> "F.Column":
     return F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(7)) == 3
 
 
+def _day_semi(left: DataFrame, affected: DataFrame) -> DataFrame:
+    """Null-safe `day IN affected` semi-join, decomposed so the
+    non-null leg is a PLAIN equi-join: Catalyst's PartitionPruning
+    rule only fires on equi-join keys, so an `eqNullSafe` semi-join
+    against a date-partitioned table scans EVERY partition (measured:
+    dynamicpruning absent from the eqNullSafe plan, present on the
+    equi plan — gated by tests/test_plans.py::
+    test_i19_rebuild_day_semi_join_partition_prunes). NULL day is
+    still a legitimate group (the j54 nullkeys lesson): the null leg
+    keeps left null-day rows iff `affected` contains a null day — a
+    broadcast-NL semi with a TRUE condition against the (≤1-row
+    distinct) null slice, and on a partitioned layout its scan
+    statically prunes to the day=NULL partition."""
+    aff_nn = affected.filter(F.col("aday").isNotNull())
+    aff_null = affected.filter(F.col("aday").isNull())
+    nn = left.filter(F.col("day").isNotNull()).join(
+        F.broadcast(aff_nn), F.col("day") == F.col("aday"), "left_semi"
+    )
+    nul = left.filter(F.col("day").isNull()).join(
+        F.broadcast(aff_null), F.lit(True), "left_semi"
+    )
+    return nn.unionByName(nul)
+
+
+def _day_anti(left: DataFrame, affected: DataFrame) -> DataFrame:
+    """Null-safe complement of :func:`_day_semi` (`day NOT IN affected`,
+    null-safely): same decomposition — the non-null leg is a plain
+    equi anti-join (null left keys never false-survive because they're
+    routed to the null leg), the null leg drops left null-day rows iff
+    `affected` contains a null day. Anti-joins gain no partition
+    pruning by nature (every surviving partition must be read), so
+    this is for exact eqNullSafe equivalence with one join shape
+    shared across the fold's three day-join sites."""
+    aff_nn = affected.filter(F.col("aday").isNotNull())
+    aff_null = affected.filter(F.col("aday").isNull())
+    nn = left.filter(F.col("day").isNotNull()).join(
+        F.broadcast(aff_nn), F.col("day") == F.col("aday"), "left_anti"
+    )
+    nul = left.filter(F.col("day").isNull()).join(
+        F.broadcast(aff_null), F.lit(True), "left_anti"
+    )
+    return nn.unionByName(nul)
+
+
 def _i19_fold_batches(
     spark: SparkSession, store, aug: dict[int, tuple[list, list]]
 ) -> int:
@@ -1144,20 +1188,18 @@ def _i19_fold_batches(
                 .select(day.alias("aday"))
                 .distinct()
             )
-            on_aff = F.col("day").eqNullSafe(F.col("aday"))  # NULL day
-            # is a legitimate group (both engines GROUP BY keep it) —
-            # a tombstone on it must hit it, so the day joins are
-            # null-SAFE (the j54 nullkeys lesson)
+            # NULL day is a legitimate group (both engines GROUP BY
+            # keep it) — a tombstone on it must hit it, so all three
+            # day joins are null-SAFE (the j54 nullkeys lesson), but
+            # DECOMPOSED (equi leg + null leg, _day_semi/_day_anti)
+            # so the rebuild scan keeps dynamic partition pruning on
+            # a date-partitioned bronze (eqNullSafe blocks DPP).
 
             # incremental leg: this batch's inserts on UNAFFECTED days,
             # merged with the stored aggregate exactly like i18
-            inc = _i19_day_agg(ins.join(F.broadcast(affected), on_aff, "left_anti"))
+            inc = _i19_day_agg(_day_anti(ins, affected))
             base = None if v == 0 else store._read_version(spark, v)
-            kept = (
-                None
-                if base is None
-                else base.join(F.broadcast(affected), on_aff, "left_anti")
-            )
+            kept = None if base is None else _day_anti(base, affected)
             merged = store._fold(kept, inc)
 
             # rebuild leg: affected days recomputed from the cumulative
@@ -1169,12 +1211,10 @@ def _i19_fold_batches(
                 .select("event_id")
                 .distinct()
             )
-            live = (
-                allr.filter(F.col("op") == "I")
-                .withColumn("day", day)
-                .join(F.broadcast(affected), on_aff, "left_semi")
-                .join(tombs, "event_id", "left_anti")
-            )
+            live = _day_semi(
+                allr.filter(F.col("op") == "I").withColumn("day", day),
+                affected,
+            ).join(tombs, "event_id", "left_anti")
             rebuilt = _i19_day_agg(live)
 
             v = store._advance(

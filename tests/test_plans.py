@@ -722,3 +722,40 @@ def test_cohort_null_filter_pushed_and_exchange_bound(spark, sf_dir):
     assert "IsNotNull(user_id)" in plan, "NULL-user filter not pushed"
     n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchange <= 3, f"t10 plan has {n_exchange} exchanges, want <=3"
+
+
+def test_i19_rebuild_day_semi_join_partition_prunes(spark, sf_dir):
+    """i19's rebuild leg claims day-pruning 'becomes partition pruning
+    on a date-partitioned bronze at real scale' — pin that at the plan
+    level (the b15 DPP gate pattern): write the bronze date-partitioned,
+    build the rebuild leg's affected-day semi-join with _day_semi, and
+    require a dynamicpruning PartitionFilter on the bronze scan. The
+    eqNullSafe shape this replaced scans EVERY partition (Catalyst's
+    PartitionPruning rule only fires on plain equi-join keys) — that is
+    exactly the regression this test exists to catch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan as t_scan
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _day_semi,
+        _i19_doomed,
+    )
+
+    out = tempfile.mkdtemp(prefix="i19_partbronze_")
+    t_scan(spark, sf_dir, "events").select(
+        F.lit("I").alias("op"), "event_id", "ts", "value"
+    ).withColumn("day", F.col("ts").cast("date")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(out)
+
+    bronze = spark.read.parquet(out)
+    affected = (
+        bronze.filter(_i19_doomed()).select(F.col("day").alias("aday")).distinct()
+    )
+    plan = plan_of(_day_semi(bronze.filter(F.col("op") == "I"), affected))
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the null-day leg's scan statically prunes to day IS NULL
+    pf = [l for l in plan.splitlines() if "PartitionFilters:" in l]
+    assert any("dynamicpruning" in l for l in pf), plan

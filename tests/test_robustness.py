@@ -830,3 +830,49 @@ def test_concurrent_clients_share_scan_cache(spark, sf_dir):
             )
         )
     assert all(r == expected for r in results)
+
+
+def test_k4_all_nonfinite_group_dropped_in_both_engines(spark, tmp_path):
+    """r10 ADVICE: a group whose values are ALL filtered out by the
+    finite gate carries no trimmed mean. The oracle's b CTE emits no
+    row for it (join eliminates the group); the engine UDAF now
+    returns None and the row is filtered — BOTH engines drop it,
+    including the NULL-type group the r10 null-safe join keeps when
+    it has finite values."""
+    import math
+
+    import duckdb
+
+    from datetime import datetime as DT
+
+    import __spark_entry__ as m
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, DT(2024, 1, 1), 1, "ok", 1.0, "{}"),
+            (2, DT(2024, 1, 1), 1, "ok", 3.0, "{}"),
+            # all-non-finite group: NaN + Inf + NULL only
+            (3, DT(2024, 1, 1), 1, "poison", float("nan"), "{}"),
+            (4, DT(2024, 1, 1), 1, "poison", math.inf, "{}"),
+            (5, DT(2024, 1, 1), 1, "poison", None, "{}"),
+            # NULL-type group with finite values: kept by both
+            (6, DT(2024, 1, 1), 1, None, 5.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {
+        r["event_type"]: r["trimmed_mean_value"]
+        for r in m.queries()["k4_pandas_udaf"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: r[1] for r in con.execute(m.oracle_sql()["k4_pandas_udaf"]).fetchall()
+    }
+    con.close()
+    assert got == want == {"ok": 2.0, None: 5.0}  # 'poison' absent from both
