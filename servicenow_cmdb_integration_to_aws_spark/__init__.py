@@ -256,6 +256,8 @@ _CHECK_COST_S = {
     "i18_stream_incremental_rollup": 5.0,
     # r10 addition (measured sf0.01 parity-run cost incl. oracle)
     "i19_stream_retract_rollup": 12.4,
+    # r11 addition (measured sf0.01 parity-run cost incl. oracle)
+    "i20_stream_sink_compact": 8.0,
 }
 
 #: true Structured Streaming ids among the unchecked — forced to the
@@ -271,7 +273,7 @@ _STREAMING_LAST = frozenset({
     "i10_stream_stream_join", "i12_stream_session_window",
     "i13_stream_outer_join", "i15_stream_complete_agg",
     "i16_stream_pii_redact", "i18_stream_incremental_rollup",
-    "i19_stream_retract_rollup",
+    "i19_stream_retract_rollup", "i20_stream_sink_compact",
 })
 
 #: ids whose ENGINE or ORACLE code changed in rounds 8–9 (r8 pathdocs/

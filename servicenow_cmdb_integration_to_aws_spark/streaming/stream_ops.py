@@ -1348,3 +1348,289 @@ def i19_stream_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "day date, n_events bigint, sum_cents bigint, max_cents bigint"
         )
     return store.read(spark)
+
+
+# -- i20: streaming-sink compaction (the producer for the compaction
+#    entries _sink_log_batches already consumes) ------------------------
+
+_SINK_COMPACT_TARGET = 256 * 1024  # a19's local target; 128-512 MB at scale
+
+
+def _sink_log_entry_paths(fp: str) -> list:
+    """All data-file paths referenced by ONE sink-log entry file
+    (header-validated, delete actions skipped) — the same parse as
+    _sink_log_batches' inner reader, exposed for the compactor's
+    superseded-file sweep."""
+    import json as _json
+    from urllib.parse import unquote, urlparse
+
+    with open(fp) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    if not lines or lines[0] != "v1":
+        raise ValueError(f"unsupported sink-log entry {fp}")
+    out = []
+    for line in lines[1:]:
+        entry = _json.loads(line)
+        if entry.get("action") == "delete":
+            continue
+        p = entry["path"]
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        out.append(p)
+    return out
+
+
+def _sink_compact_lock(out: str):
+    """Exclusive flock over a streaming sink dir's maintenance — two
+    compactors racing would both rewrite the committed set and publish
+    conflicting `.compact` entries (the SnapshotStore._locked pattern;
+    a real object store uses a conditional put on the log entry).
+    Readers never block: they resolve whatever log state is committed."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        meta = os.path.join(out, "_spark_metadata")
+        os.makedirs(meta, exist_ok=True)
+        with open(os.path.join(meta, "_COMPACT_LOCK"), "w") as lf:
+            try:
+                import fcntl
+
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: single-compactor assumed
+                pass
+            yield
+
+    return cm()
+
+
+def compact_stream_sink(
+    spark: SparkSession,
+    out: str,
+    target_bytes: int = _SINK_COMPACT_TARGET,
+    fault=None,
+) -> int:
+    """a19's size-targeted compaction lifted to a STREAMING parquet
+    sink dir — rewrites `_spark_metadata` so log-honoring readers (both
+    Spark's own MetadataLogFileIndex and i18/i19's `_sink_log_batches`
+    consumer) atomically flip from the fragmented file set to the
+    compacted one. This is the missing PRODUCER for the `.compact`
+    entries the consumer has handled since i18: without it a
+    long-running bronze dir fragments forever (one+ file per
+    micro-batch).
+
+    Protocol (every step crash-safe; `fault` is the kill-at-every-step
+    hook, same shape as SnapshotStore._fault):
+
+    1. Under the flock, snapshot the COMMITTED set from the log (never
+       the directory listing — uncommitted in-flight files from a live
+       writer must survive untouched).
+    2. Rewrite those bytes into ceil(bytes/target) files via
+       `coalesce` — read-once write-once, no shuffle (a19's argument)
+       — into a hidden temp subdir, then publish them into the sink
+       dir under a reserved `part-compact-*` name no real writer uses.
+       A crash here leaves unreferenced data files; readers (which
+       honor the log) never see them, and the next run sweeps them.
+    3. Commit `_spark_metadata/<latest>.compact` — the FULL committed
+       file list through <latest> — by temp-write + fsync + atomic
+       rename: a concurrent log reader sees either the old state or
+       the new one, never a torn entry. Plain entries ≤ latest are now
+       superseded (kept, like Spark's own sink, until retention).
+    4. Sweep data files that are referenced only by superseded plain
+       entries, plus orphaned `part-compact-*` files from crashed
+       publishes. A crash mid-sweep leaves ignored orphans; re-running
+       converges.
+
+    Returns the batch id the compact absorbed (-1: empty log).
+    Idempotent: a re-run on an already-compacted dir only sweeps.
+
+    100 TB notes: the rewrite is one read-once/write-once job over the
+    committed bytes (no shuffle — `coalesce` concatenates whole input
+    splits per output task); the log commit is one driver-side rename;
+    a live writer appending batch N+1 during the compact-through-N is
+    correct by construction (its entry lands after ours, consumers
+    take compact-as-base + later plains). Run it like any nightly
+    table-maintenance job, per partition of the bronze dir."""
+    import glob as _glob
+    import math
+    import uuid as _uuid
+    from contextlib import suppress
+
+    def _crash(point: str) -> None:
+        if fault is not None:
+            fault(point)
+
+    with _sink_compact_lock(out):
+        meta = os.path.join(out, "_spark_metadata")
+        batches = _sink_log_batches(out)
+        if not batches:
+            return -1
+        latest = max(batches)
+        files = [p for b in sorted(batches) for p in batches[b]]
+        _crash("after_snapshot")
+
+        committed = set(files)
+        n_bytes = sum(os.stat(p).st_size for p in files)
+        n_target = max(1, math.ceil(n_bytes / target_bytes))
+
+        def _sweep() -> None:
+            # superseded: referenced by a plain entry ≤ latest (or an
+            # older compact) but absent from the committed view
+            for f in os.listdir(meta):
+                is_plain = f.isdigit() and int(f) <= latest
+                is_old_compact = (
+                    f.endswith(".compact")
+                    and f.split(".", 1)[0].isdigit()
+                    and int(f.split(".", 1)[0]) < latest
+                )
+                if not (is_plain or is_old_compact):
+                    continue
+                for p in _sink_log_entry_paths(os.path.join(meta, f)):
+                    if p not in committed:
+                        with suppress(FileNotFoundError):
+                            os.remove(p)
+                        _crash("mid_cleanup")
+            # orphaned publishes from a crashed step 2 (reserved name —
+            # no real writer produces it, so this can never race one)
+            for p in _glob.glob(os.path.join(out, "part-compact-*.parquet")):
+                if p not in committed:
+                    with suppress(FileNotFoundError):
+                        os.remove(p)
+            # stale rewrite temp dirs from crashed runs (hidden — never
+            # visible to readers; any one that exists under the lock is
+            # dead, the live run's tmpd is created after this sweep)
+            for d in _glob.glob(os.path.join(out, ".compact_tmp_*")):
+                shutil.rmtree(d, ignore_errors=True)
+
+        if len(files) <= n_target:
+            _sweep()  # already compact: converge a crashed prior run
+            return latest
+
+        # step 2: rewrite + publish
+        tmpd = tempfile.mkdtemp(dir=out, prefix=".compact_tmp_")
+        (
+            spark.read.parquet(*files)
+            .coalesce(n_target)
+            .write.mode("overwrite")
+            .parquet(tmpd)
+        )
+        _crash("after_rewrite")
+        new: list = []
+        for p in sorted(_glob.glob(os.path.join(tmpd, "part-*.parquet"))):
+            dst = os.path.join(
+                out, f"part-compact-{_uuid.uuid4()}-c000.snappy.parquet"
+            )
+            os.replace(p, dst)  # same fs (tmpd lives inside out)
+            new.append(dst)
+            _crash("mid_publish")
+        shutil.rmtree(tmpd, ignore_errors=True)
+
+        # step 3: atomic log commit
+        import json as _json
+
+        lines = ["v1"]
+        for p in new:
+            st = os.stat(p)
+            lines.append(
+                _json.dumps(
+                    {
+                        "path": "file://" + p,
+                        "size": st.st_size,
+                        "isDir": False,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "blockReplication": 1,
+                        "blockSize": 33554432,
+                        "action": "add",
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        tmpf = os.path.join(meta, f".{latest}.compact.tmp")
+        with open(tmpf, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        _crash("before_log_commit")
+        os.replace(tmpf, os.path.join(meta, f"{latest}.compact"))
+        _crash("after_log_commit")
+
+        # step 4: sweep superseded + orphans
+        committed = set(new)
+        _sweep()
+        _crash("done")
+        return latest
+
+
+@query(
+    "i20_stream_sink_compact",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts, value FROM e
+    WHERE event_type = 'purchase'
+    """,
+)
+def i20_stream_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-sink compaction end-to-end (i20, the r10 verdict's
+    pre-authorized growth id): i17's bronze landing re-run as a
+    fragmenting multi-micro-batch sink (4 source files ×
+    maxFilesPerTrigger=1 ⇒ ≥4 committed data files), then
+    :func:`compact_stream_sink` rewrites the dir AND its
+    `_spark_metadata`, and the registered result is the READ-BACK
+    through Spark's own log-honoring reader — so every green row
+    re-proves the rewritten log parses as a genuine sink log and the
+    compacted set equals the committed set. Oracle = i17's (the landed
+    set is the same stateless filtered append; compaction must be
+    invisible to readers).
+
+    File-count + crash-at-every-step gates live in
+    tests/test_streaming.py; the no-shuffle rewrite plan is a19's
+    (tests/test_operators.py)."""
+    import atexit
+    import glob as _glob
+
+    from ..sources.tables import scan as _scan
+
+    src = tempfile.mkdtemp(prefix="i20_src_")
+    out = tempfile.mkdtemp(prefix="i20_sink_")
+    for d in (src, out):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+    ev = (
+        _scan(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    quarter = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
+    for i in range(4):
+        tmp = tempfile.mkdtemp(prefix="i20_quarter_")
+        ev.filter(quarter == i).coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if parts:
+            shutil.move(parts[0], os.path.join(src, f"q{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            raw.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i20_"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    compact_stream_sink(spark, out)
+    return spark.read.parquet(out)

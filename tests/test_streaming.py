@@ -1162,3 +1162,186 @@ def test_i19_retract_fold_crash_at_every_step(spark, point, nth):
     # idempotent no-op on a third run
     v = _i19_fold_batches(spark, store, aug)
     assert v == store._meta()["version"]
+
+
+import shutil  # noqa: E402
+
+
+def _mk_fragmented_sink(spark, n_batches=3) -> tuple:
+    """Hand-build a streaming parquet sink dir in the exact on-disk
+    format the sink writes (verified against a real writeStream run):
+    one committed data file per batch + a v1 plain log entry each.
+    Returns (out_dir, expected_rows)."""
+    import glob as _glob
+    import json as _json
+
+    out = tempfile.mkdtemp(prefix="i20_crash_sink_")
+    meta = os.path.join(out, "_spark_metadata")
+    os.makedirs(meta)
+    expected = []
+    for b in range(n_batches):
+        rows = [(b * 10 + i, float(b * 10 + i)) for i in range(5)]
+        expected += rows
+        tmp = tempfile.mkdtemp(prefix="i20_b_")
+        spark.createDataFrame(rows, "event_id long, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"part-0000{b}-{b}-c000.snappy.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        st = os.stat(dst)
+        entry = _json.dumps(
+            {
+                "path": "file://" + dst,
+                "size": st.st_size,
+                "isDir": False,
+                "modificationTime": int(st.st_mtime * 1000),
+                "blockReplication": 1,
+                "blockSize": 33554432,
+                "action": "add",
+            },
+            separators=(",", ":"),
+        )
+        with open(os.path.join(meta, str(b)), "w") as fh:
+            fh.write("v1\n" + entry + "\n")
+    return out, sorted(expected)
+
+
+def _sink_rows(spark, out):
+    return sorted(
+        (r["event_id"], r["value"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_stream_sink_compact_rewrites_log_and_files(spark):
+    """i20 file-count gate: compaction collapses the fragmented sink to
+    ceil(bytes/target) files, readers (Spark's own log-honoring reader
+    AND the i18 consumer) flip atomically, and superseded data files
+    are gone."""
+    import glob as _glob
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _sink_log_batches,
+        compact_stream_sink,
+    )
+
+    out, expected = _mk_fragmented_sink(spark, n_batches=3)
+    assert len(_glob.glob(os.path.join(out, "*.parquet"))) == 3
+    assert _sink_rows(spark, out) == expected
+
+    latest = compact_stream_sink(spark, out)
+    assert latest == 2
+    data = _glob.glob(os.path.join(out, "*.parquet"))
+    assert len(data) == 1 and "part-compact-" in data[0]
+    assert _sink_rows(spark, out) == expected  # Spark's reader, new log
+    view = _sink_log_batches(out)
+    assert set(view) == {2} and view[2] == data
+
+    # idempotent: a second run only sweeps, changes nothing
+    assert compact_stream_sink(spark, out) == 2
+    assert _glob.glob(os.path.join(out, "*.parquet")) == data
+    assert _sink_rows(spark, out) == expected
+
+
+def test_stream_sink_compact_live_writer_appends_after(spark):
+    """A writer committing batch N+1 while/after the compact-through-N
+    is correct by construction: consumers take compact-as-base + later
+    plain entries; nothing the writer does is touched."""
+    import glob as _glob
+    import json as _json
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _sink_log_batches,
+        compact_stream_sink,
+    )
+
+    out, expected = _mk_fragmented_sink(spark, n_batches=2)
+    compact_stream_sink(spark, out)
+
+    # simulate the live writer's next commit: data file + plain entry 2
+    tmp = tempfile.mkdtemp(prefix="i20_live_")
+    rows = [(100 + i, float(100 + i)) for i in range(3)]
+    spark.createDataFrame(rows, "event_id long, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(out, "part-00002-live-c000.snappy.parquet")
+    shutil.move(part, dst)
+    st = os.stat(dst)
+    with open(os.path.join(out, "_spark_metadata", "2"), "w") as fh:
+        fh.write(
+            "v1\n"
+            + _json.dumps(
+                {
+                    "path": "file://" + dst,
+                    "size": st.st_size,
+                    "isDir": False,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "blockReplication": 1,
+                    "blockSize": 33554432,
+                    "action": "add",
+                },
+                separators=(",", ":"),
+            )
+            + "\n"
+        )
+
+    want = sorted(expected + rows)
+    assert _sink_rows(spark, out) == want
+    view = _sink_log_batches(out)
+    assert set(view) == {1, 2}  # compact base + the live delta
+
+    # and a follow-up compaction absorbs the new batch too
+    assert compact_stream_sink(spark, out) == 2
+    assert _sink_rows(spark, out) == want
+    assert set(_sink_log_batches(out)) == {2}
+
+
+@pytest.mark.parametrize(
+    "point,nth",
+    [
+        ("after_snapshot", 1),
+        ("after_rewrite", 1),
+        ("mid_publish", 1),
+        ("before_log_commit", 1),
+        ("after_log_commit", 1),
+        ("mid_cleanup", 1),
+    ],
+)
+def test_stream_sink_compact_crash_at_every_step(spark, point, nth):
+    """i20's kill-at-every-step harness (the a20/a15 protocol): a crash
+    anywhere must leave the COMMITTED view readable and equal to the
+    original set (old log or new log, never torn), and a plain re-run
+    must converge to the fully compacted, fully swept state."""
+    import glob as _glob
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _sink_log_batches,
+        compact_stream_sink,
+    )
+
+    out, expected = _mk_fragmented_sink(spark, n_batches=3)
+    seen = {"n": 0}
+
+    def boom(p):
+        if p == point:
+            seen["n"] += 1
+            if seen["n"] == nth:
+                raise RuntimeError(f"injected crash at {p}")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_stream_sink(spark, out, fault=boom)
+
+    # invariant: committed view intact at EVERY crash point
+    assert _sink_rows(spark, out) == expected
+
+    # recovery: plain re-run converges — one compacted file, log view
+    # is the single compact entry, no orphans or temp dirs left
+    assert compact_stream_sink(spark, out) == 2
+    data = _glob.glob(os.path.join(out, "*.parquet"))
+    assert len(data) == 1 and "part-compact-" in data[0]
+    assert _sink_rows(spark, out) == expected
+    assert set(_sink_log_batches(out)) == {2}
+    assert not _glob.glob(os.path.join(out, ".compact_tmp_*"))
