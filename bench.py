@@ -202,6 +202,15 @@ def main() -> None:
             spark = build_session("bench-serial")
             entrymod.entry(spark).collect()
         times[qid] = run_one(queries, qid, spark, sf_dir)
+    # streaming serials get their own fresh context: the r11 A/B showed
+    # the FIRST streaming execution in a context that has already run
+    # dozens of batch queries pays ~2-4.5 s of one-time spin-up the
+    # query doesn't own (a18 measured 6.97 s first-after-family vs
+    # 2.37 s immediate repeat, same session) — the r10 "a18 regression"
+    # was exactly this position effect, not code.
+    spark.stop()
+    spark = build_session("bench-serial-streaming")
+    entrymod.entry(spark).collect()
     for qid in sorted(STREAMING_IDS & set(queries)):
         stream_times[qid] = run_one(queries, qid, spark, sf_dir)
 

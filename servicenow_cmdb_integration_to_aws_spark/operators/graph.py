@@ -517,19 +517,26 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric edge filter (BOTH endpoints must survive) are
     deterministic set operations; output ties break on node id.
 
-    100 TB notes: each round = one partial-aggregable degree count +
-    one semi-join-shaped edge filter, all co-keyed on the node —
-    edges shuffle, never more than once per round; the surviving
-    edge set only shrinks, so round cost is monotonically
-    decreasing. Each round's edge set is `localCheckpoint(eager)`-ed
-    (the c12 discipline; `checkpoint()` on a real cluster): without
-    it every round's THREE consumers (degree count + two semi-joins)
-    and the next round re-evaluate the whole upstream lineage — the
-    orders⋈lineitem distinct ran up to ~6× (warm sf0.1: 6.1 s →
-    3.3 s checkpointed; the remaining cost is the one unavoidable
-    base derivation + 2 round shuffles). Fixpoint detection at scale
-    is a 1-row count comparison per round (the c16 convergence
-    note)."""
+    100 TB notes: the whole fixpoint runs on the DIRECTED pair list
+    (one row per undirected edge — half the rows/bytes of the
+    symmetric expansion; per-endpoint counts over it ARE the
+    undirected degrees on a bipartite graph, since cu/sv namespaces
+    are disjoint). Each round = two partial-aggregable degree counts
+    + two semi-joins, all co-keyed — pairs shuffle, never more than
+    once per key per round; the surviving set only shrinks, so round
+    cost is monotonically decreasing. Intermediate rounds are
+    `localCheckpoint(eager)`-ed (the c12 discipline; `checkpoint()`
+    on a real cluster): without it every round's THREE consumers
+    (degree counts + semi-joins) and the next round re-evaluate the
+    whole upstream lineage — the orders⋈lineitem distinct ran up to
+    ~6× (warm sf0.1: 6.1 s → 3.3 s checkpointed; the r11 half-width
+    pairs fixpoint + last-round fusion takes it to ~2.85 s). The
+    LAST round is deliberately NOT checkpointed: its only consumer
+    is the final degree output, so fusing it into that job saves a
+    full materialization. The keep sets stay as shuffle semi-joins,
+    not broadcasts: measured no win at sf0.1 and node sets at 100 TB
+    can exceed broadcast limits. Fixpoint detection at scale is a
+    1-row count comparison per round (the c16 convergence note)."""
     o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -539,24 +546,30 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("sv"),
         )
         .distinct()
-    )
-    edges = (
-        pairs.select(F.col("cu").alias("u"), F.col("sv").alias("v"))
-        .unionByName(pairs.select(F.col("sv").alias("u"), F.col("cu").alias("v")))
         .localCheckpoint(eager=True)
     )
-    for _ in range(_KCORE_ROUNDS):
-        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
-        edges = (
-            edges.join(keep, "u", "left_semi")
-            .join(
-                keep.withColumnRenamed("u", "v"), "v", "left_semi"
-            )
-            .localCheckpoint(eager=True)
+    for i in range(_KCORE_ROUNDS):
+        keep_c = (
+            pairs.groupBy("cu")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("cu")
         )
+        keep_s = (
+            pairs.groupBy("sv")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("sv")
+        )
+        pairs = pairs.join(keep_c, "cu", "left_semi").join(
+            keep_s, "sv", "left_semi"
+        )
+        if i < _KCORE_ROUNDS - 1:
+            pairs = pairs.localCheckpoint(eager=True)
     return (
-        edges.groupBy(F.col("u").alias("node"))
+        pairs.select(F.col("cu").alias("node"))
+        .unionByName(pairs.select(F.col("sv").alias("node")))
+        .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
         .orderBy(F.col("degree").desc(), "node")
         .limit(20)
