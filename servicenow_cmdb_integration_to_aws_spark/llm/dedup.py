@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan, spread
+from .canon import canon_docs, canon_oracle
 
 #: lazy materialization level for multi-consumer pipeline intermediates.
 #: persist, NOT localCheckpoint: under AQE even eager=False
@@ -89,11 +90,14 @@ def _cap_buckets(bands: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, token) pairs — word-level shingles. spread()
-    parallelizes the explode when the corpus reads as fewer splits than
-    cores (single-row-group testdata; no-op at scale)."""
+    """Distinct (doc_id, token) pairs — word-level shingles, over the
+    id-CANONICAL corpus (r11 --dupids: near-dup pairing is id-keyed, so
+    a duplicated doc_id must name ONE deterministic text in both
+    engines — see llm/canon.py). spread() parallelizes the explode
+    when the corpus reads as fewer splits than cores (single-row-group
+    testdata; no-op at scale)."""
     d = spread(
-        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        canon_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
     )
     return d.select(
         "doc_id",
@@ -349,7 +353,7 @@ def j1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j2_minhash_lsh",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH tok AS (
         SELECT DISTINCT doc_id, tok
         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
@@ -367,7 +371,7 @@ def j1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {TAU}
-    """,
+    """, docs=True),
 )
 def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection (j2): MinHash signatures → LSH banding →
@@ -387,7 +391,7 @@ def j2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths by doc count. Hash family: xxhash64 over a seed-prefixed
     token (fixed seeds → fully deterministic)."""
     tok = _tokens(spark, sf_dir)
-    return lsh_pairs(tok, scan(spark, sf_dir, "documents").count())
+    return lsh_pairs(tok, canon_docs(spark, sf_dir).count())
 
 
 def lsh_pairs(tok: DataFrame, n_docs: int) -> DataFrame:
@@ -715,7 +719,7 @@ def _exact_pairs_token_join(tok: DataFrame) -> DataFrame:
 
 @query(
     "j2b_simhash",
-    oracle="""
+    oracle=canon_oracle("""
     WITH tok AS (
         SELECT DISTINCT doc_id, tok
         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
@@ -734,7 +738,7 @@ def _exact_pairs_token_join(tok: DataFrame) -> DataFrame:
            CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
                          ELSE 0 END) AS BIGINT) AS simhash16
     FROM sums GROUP BY doc_id
-    """,
+    """, docs=True),
 )
 def j2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup fingerprint (j2 family): per token, hash bits
@@ -918,7 +922,7 @@ _J52_DF_CAP = 50  # drop grams appearing in more docs (stopword grams)
 
 @query(
     "j52_containment_dedup",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH d AS (
         SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
@@ -955,7 +959,7 @@ _J52_DF_CAP = 50  # drop grams appearing in more docs (stopword grams)
     FROM shared sh
     JOIN sz sa ON sa.doc_id = sh.doc_a
     WHERE round(CAST(sh.s AS DOUBLE) / sa.n, 6) >= {_J52_TAU}
-    """,
+    """, docs=True),
 )
 def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment detection (j52): pairs where doc A's
@@ -975,7 +979,7 @@ def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     once into the pair join — at production scale both ride 8-byte
     xxhash64 digests instead (byte-identical logic, smaller wire)."""
     d = spread(
-        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        canon_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
     )
     w = F.split(F.lower("text"), " ")
     grams = (
@@ -1035,7 +1039,7 @@ SUB_K = 8
 
 @query(
     "j53_substring_dedup",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH d AS (
         SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
@@ -1086,7 +1090,7 @@ SUB_K = 8
                                ' ' ORDER BY pos), '') AS cleaned_text
     FROM runs
     GROUP BY doc_id
-    """,
+    """, docs=True),
 )
 def j53_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring dedup (j53, [NS]): remove every token
@@ -1119,7 +1123,7 @@ def j53_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging two distinct grams is the standard accepted risk (md5:
     ~2⁻⁶⁴ at petabyte gram counts)."""
     d = spread(
-        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        canon_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
     ).select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     tok = d.select(
         "doc_id",

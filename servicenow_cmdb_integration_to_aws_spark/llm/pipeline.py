@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .canon import canon_docs, canon_oracle
 from ..registry import query
 from ..sources.tables import scan, spread
 
@@ -36,7 +37,7 @@ NOVELTY_N = 3
 
 @query(
     "j27_chunk_dedup",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                FROM documents),
     -- LINEAR chunk build: one row per token, grouped by its chunk
@@ -64,7 +65,7 @@ NOVELTY_N = 3
                                ' ' ORDER BY cid), '') AS cleaned_text
     FROM ch JOIN freq ON md5(chunk_txt) = dig
     GROUP BY doc_id
-    """,
+    """, docs=True),
 )
 def j27_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document chunk dedup (j27): the CCNet/RefinedWeb-style
@@ -80,7 +81,7 @@ def j27_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the digest agg is the classic hot-key-free shuffle; the
     reassembly is bounded by document size, not corpus size."""
     d = spread(
-        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        canon_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
     ).select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     ch = d.select(
         "doc_id",
@@ -204,7 +205,7 @@ def j28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j29_seq_pack",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     -- a doc with NULL lang has no per-language stream to pack into:
     -- excluded in BOTH engines (r9 --nullkeys; the engine side always
     -- filtered for plan-canonicalization — now it is the documented
@@ -221,7 +222,7 @@ def j28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cum - n_tok AS BIGINT) AS stream_off,
            CAST((cum - n_tok) // {SEQ_BUDGET} AS BIGINT) AS seq_id
     FROM c
-    """,
+    """, docs=True),
 )
 def j29_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (j29): concat-and-chunk pretraining layout.
@@ -239,7 +240,7 @@ def j29_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     base offsets back. Every offset is integer arithmetic ⇒ bit-exact
     vs the oracle's single-window formulation."""
     t = spread(
-        scan(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        canon_docs(spark, sf_dir).select("doc_id", "lang", "text")
     ).select(
         "doc_id",
         "lang",
@@ -287,7 +288,7 @@ def j29_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j31_novelty_score",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                FROM documents),
     -- LINEAR gram build (lead-chain): list_slice(w, i, i+n) per
@@ -314,7 +315,7 @@ def j29_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / COUNT(*), 6) AS novelty
     FROM grams g JOIN first_seen f ON g.gram = f.gram
     GROUP BY g.doc_id
-    """,
+    """, docs=True),
 )
 def j31_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty scoring (j31): for each document, the fraction
@@ -331,7 +332,7 @@ def j31_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the gram-keyed agg dominates and has no hot key (grams
     near-unique by construction)."""
     d = spread(
-        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        canon_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
     ).select("doc_id", F.split(F.lower("text"), " ").alias("w"))
     n = NOVELTY_N
     # sliding 3-gram starts 0..len-3; guard len<3 (Spark's sequence()

@@ -23,6 +23,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .canon import canon_docs, canon_oracle, canon_vecs
 from ..registry import query
 from ..sources.tables import scan
 from .vectors import VOK  # vector-quality gate, SQL twin (r9)
@@ -145,7 +146,7 @@ def _kmeans_oracle() -> str:
     return sql
 
 
-@query("j37_kmeans_cluster", oracle=_kmeans_oracle())
+@query("j37_kmeans_cluster", oracle=canon_oracle(_kmeans_oracle(), vecs=True))
 def j37_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering (j37): K-means (K=8, 2 Lloyd iterations)
     over the embedding corpus — the grouping stage of semantic dedup /
@@ -170,7 +171,7 @@ def j37_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectors import vec_ok
 
     e = (
-        scan(spark, sf_dir, "embeddings")
+        canon_vecs(spark, sf_dir)
         .filter(vec_ok())
         .select("vec_id", _dvec("embedding").alias("v"))
     )
@@ -345,7 +346,7 @@ _LEV_ASCII_RE = r"[^\x20-\x7E]"
 
 @query(
     "j39_edit_distance_nn",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH d AS (
         SELECT doc_id, lang, n_chars // {_LEV_BUCKET} AS bucket,
                substr(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'),
@@ -370,7 +371,7 @@ _LEV_ASCII_RE = r"[^\x20-\x7E]"
     )
     SELECT doc_id, other_id, dist FROM pairs WHERE rn = 1
     ORDER BY doc_id
-    """,
+    """, docs=True),
 )
 def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance nearest neighbour (j39): per document, the
@@ -416,7 +417,7 @@ def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy treats the NULL bucket as a real group (SQL equi-join
     # drops it) and the kernel sees None prefixes (task death).
     d = (
-        scan(spark, sf_dir, "documents")
+        canon_docs(spark, sf_dir)
         .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
         .select(
             "doc_id",
@@ -704,7 +705,7 @@ def _semdedup_oracle() -> str:
     """
 
 
-@query("j41_semdedup", oracle=_semdedup_oracle())
+@query("j41_semdedup", oracle=canon_oracle(_semdedup_oracle(), vecs=True))
 def j41_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (j41, after Abbas et al. 2023):
     block the corpus by LEARNED clusters (cosine-nearest of K
@@ -769,7 +770,7 @@ def semdedup(
     from .vectors import vec_ok
 
     e = (
-        scan(spark, sf_dir, "embeddings")
+        canon_vecs(spark, sf_dir)
         .filter(vec_ok())
         .select("vec_id", "embedding", _dvec("embedding").alias("v"))
     )

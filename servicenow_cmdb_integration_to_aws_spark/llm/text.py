@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .canon import canon_docs, canon_oracle
 from ..registry import query
 from ..sources.tables import scan, spread
 
@@ -695,7 +696,7 @@ SHINGLE_W = 5
 
 @query(
     "j22_decontaminate",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH t AS (
         SELECT doc_id, string_split(lower(text), ' ') AS toks
         FROM documents
@@ -724,7 +725,7 @@ SHINGLE_W = 5
     FROM s
     WHERE doc_id % {BENCH_MOD} <> 0 AND sh IN (SELECT sh FROM bench)
     GROUP BY doc_id
-    """,
+    """, docs=True),
 )
 def j22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (j22, [NS]): flag training documents
@@ -740,7 +741,7 @@ def j22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     at extreme scale hash the shingle to a long first (xxhash64) to
     shrink both the broadcast and the join key."""
     d = spread(
-        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        canon_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
     ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     sh = (
         d.filter(F.size("toks") >= SHINGLE_W)
@@ -955,7 +956,7 @@ WIN_W = 4  # winnowing: hashes per selection window
 
 @query(
     "j32_winnowing",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH t AS (
         SELECT doc_id, string_split(lower(text), ' ') AS toks
         FROM documents
@@ -990,7 +991,7 @@ WIN_W = 4  # winnowing: hashes per selection window
     SELECT doc_id, COUNT(DISTINCT sel) AS n_fp, MIN(sel) AS fp_min
     FROM wmin WHERE pos <= n_grams - {WIN_W} + 1
     GROUP BY doc_id
-    """,
+    """, docs=True),
 )
 def j32_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (j32, [NS]): the
@@ -1010,7 +1011,7 @@ def j32_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (join docs on shared fingerprints) is then a fingerprint-keyed
     join, LSH-bucket-capped exactly like j2."""
     d = spread(
-        scan(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        canon_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
     ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     grams = (
         d.filter(F.size("toks") >= WIN_K)

@@ -25,6 +25,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .canon import canon_oracle, canon_vecs
 from ..registry import query
 from ..sources.tables import scan
 
@@ -287,7 +288,7 @@ def j6_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j3b_ivf_knn",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH {EMB_OK},
     q AS (SELECT embedding AS qv, label AS q_label FROM emb
                WHERE vec_id = 0),
@@ -319,7 +320,7 @@ def j6_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, cos_sim FROM scored
     ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
+    """, vecs=True),
 )
 def j3b_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN top-k (j3 scale path): probe only the 2 cells
@@ -327,7 +328,7 @@ def j3b_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine inside the probed cells. At 100 TB the corpus is partitioned
     by cell on disk → partition pruning skips >90% of the scan; recall
     is tunable via n_probe. Centroids are deterministic (j5)."""
-    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
+    e = canon_vecs(spark, sf_dir).filter(vec_ok())
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
     # centroids per label (reuse j5's exact shape, unrounded)
@@ -473,7 +474,7 @@ def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
 
 @query(
     "j16_neardup_components",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH RECURSIVE {EMB_OK},
     pairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb
@@ -497,7 +498,7 @@ def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
     SELECT vec_id, component,
            COUNT(*) OVER (PARTITION BY component) AS cluster_size
     FROM comp
-    """,
+    """, vecs=True),
 )
 def j16_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERING (j16, [NS]) — the full dedup pipeline
@@ -511,7 +512,7 @@ def j16_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pair predicate."""
     from ..operators.joins import connected_components
 
-    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
+    e = canon_vecs(spark, sf_dir).filter(vec_ok())
     pairs = neardup_blocked(e, tau=0.6, cap=128)
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
@@ -666,7 +667,7 @@ _SQL_SQ_L2 = (
 
 @query(
     "j35_pq_adc",
-    oracle=f"""
+    oracle=canon_oracle(f"""
     WITH {EMB_OK},
     subs AS (
         SELECT vec_id, s,
@@ -706,7 +707,7 @@ _SQL_SQ_L2 = (
     GROUP BY enc.vec_id
     ORDER BY adc_dist, vec_id
     LIMIT 10
-    """,
+    """, vecs=True),
 )
 def j35_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
@@ -734,8 +735,12 @@ def j35_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to 6dp (vectors.py parity note)."""
     # vector-quality gate (subsumes the old null filter): a NULL/
     # non-finite/zero vector has nothing to quantize, and one NaN
-    # subvector would NaN-poison every argmin it joins (r9 sweep)
-    e = scan(spark, sf_dir, "embeddings").filter(vec_ok())
+    # subvector would NaN-poison every argmin it joins (r9 sweep).
+    # id-CANONICAL corpus (r11 --dupids): the codebook anchors rank by
+    # md5(vec_id:s) with vec_id as tiebreak — a duplicated vec_id ties
+    # BOTH keys across two different subvectors, making the anchor
+    # pick nondeterministic; canon resolves the id first (canon.py)
+    e = canon_vecs(spark, sf_dir).filter(vec_ok())
     subs = e.select(
         "vec_id",
         F.explode(

@@ -274,24 +274,34 @@ def i4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- ts > epoch: dropDuplicatesWithinWatermark expires rows with
     -- ts <= watermark, and the initial watermark is 0 — pre/at-epoch
     -- event times are permanently late in Spark streams (r8 timewarp)
-    SELECT event_id, ts, user_id, event_type, value FROM e
+    SELECT DISTINCT event_id, ts, user_id, event_type, value FROM e
     WHERE ts > TIMESTAMP '1970-01-01 00:00:00'
     """,
 )
 def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (i5): the input is doubled (union of two reads of
-    the same stream) and `dropDuplicatesWithinWatermark` on event_id
-    restores exactly-once — state bounded by the watermark horizon.
+    the same stream) and `dropDuplicatesWithinWatermark` restores
+    exactly-once — state bounded by the watermark horizon.
 
-    SQL-oracle-checkable: event_id is unique in the source, dedup is a
-    pass-through filter (no buffering), so the final appended set is
-    exactly the original events regardless of micro-batching."""
+    Dedup key = the FULL ROW, not event_id alone (r11 --dupids): the
+    duplicates this operator exists to remove are TRANSPORT duplicates
+    (redelivery/replay — byte-identical rows), which full-row dedup
+    removes deterministically. An id COLLISION (same event_id,
+    different payload) is data, not transport noise: id-keyed dedup
+    would keep whichever payload arrived first — nondeterministic
+    under shuffle — so both payloads are kept, and resolving them is
+    the downstream upsert's job (i9/a15's latest-per-key with an
+    explicit order column). Oracle mirrors: SELECT DISTINCT.
+
+    SQL-oracle-checkable: dedup is a pass-through filter (no
+    buffering), so the final appended set is the distinct row set
+    regardless of micro-batching."""
     a = _stream_events(spark, sf_dir)
     b = _stream_events(spark, sf_dir)
     doubled = a.unionByName(b).withWatermark("ts", "1 hour")
-    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
+    deduped = doubled.dropDuplicatesWithinWatermark(
+        ["event_id", "ts", "user_id", "event_type", "value"]
+    ).select("event_id", "ts", "user_id", "event_type", "value")
     return _run_to_memory(deduped)
 
 

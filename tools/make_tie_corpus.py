@@ -206,6 +206,38 @@ NULLKEY_TRANSFORMS = {
 }
 
 
+#: --dupids mode (r11, eighteenth axis): duplicate ROW IDS with
+#: DIFFERENT payloads — the at-least-once-delivery / colliding-upsert
+#: shape (r10 verdict item 7). ids where id % 10 = 7 are rewritten to
+#: id - 7 (colliding with the existing % 10 = 0 id) while every
+#: payload column keeps its original value, so ~10% of ids now name
+#: TWO rows with different payloads. Every operator that treats
+#: event_id/doc_id/vec_id as unique (dedup-by-id, upsert folds,
+#: tombstone joins, digest anti-joins, per-id windows) must either be
+#: multiset-correct or carry a DETERMINISTIC tie rule in both engines
+#: — "latest by id" with no secondary order key is exactly the
+#: nondeterminism this axis springs. Key columns other axes own
+#: (user_id, o_custkey, l_suppkey, label, lang) are untouched, so
+#: dupids composes into the chain without overwriting them.
+DUPID_TRANSFORMS = {
+    "events": (
+        "SELECT CASE WHEN event_id % 10 = 7 THEN event_id - 7"
+        " ELSE event_id END AS event_id,"
+        " ts, user_id, event_type, value, props FROM t"
+    ),
+    "documents": (
+        "SELECT CASE WHEN doc_id % 10 = 7 THEN doc_id - 7"
+        " ELSE doc_id END AS doc_id,"
+        " text, lang, source, n_chars FROM t"
+    ),
+    "embeddings": (
+        "SELECT CASE WHEN vec_id % 10 = 7 THEN vec_id - 7"
+        " ELSE vec_id END AS vec_id,"
+        " embedding, label FROM t"
+    ),
+}
+
+
 #: --datewarp mode: edge timestamps in the BUSINESS date columns
 #: (o_orderdate / l_shipdate — --timewarp covers events.ts). The
 #: seams: the golden queries' date-range predicates, year/month
@@ -473,6 +505,11 @@ def main() -> None:
              "embeddings.embedding (vector-payload amplifier)",
     )
     ap.add_argument(
+        "--dupids", action="store_true",
+        help="duplicate event_id/doc_id/vec_id with different payloads "
+             "(at-least-once-delivery amplifier: dedup/upsert tie rules)",
+    )
+    ap.add_argument(
         "--pathdocs", action="store_true",
         help="pathological documents (empty/whitespace/giant-token/"
              "giant-doc text: tokenizer and batch-shape edges)",
@@ -481,7 +518,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.nullkeys:
+    if args.dupids:
+        transforms = DUPID_TRANSFORMS
+    elif args.nullkeys:
         transforms = NULLKEY_TRANSFORMS
     elif args.datewarp:
         transforms = DATEWARP_TRANSFORMS
