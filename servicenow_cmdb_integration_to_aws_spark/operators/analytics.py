@@ -257,8 +257,17 @@ def scd2_intervals(
     {EVENTS_US},
     s AS (
         SELECT user_id,
+               -- the initial is the THIRD sort key, NULLS FIRST on all
+               -- three: Spark's array_sort over (ts, event_id, i)
+               -- structs compares every field (nulls smallest) — on a
+               -- corpus where two DIFFERENT events tie on (ts,
+               -- event_id) (r11 --dupids × tie-truncated ts), a
+               -- two-key ORDER BY leaves the tie engine-ambiguous
                string_agg(substring(event_type, 1, 1), ''
-                          ORDER BY ts, event_id) AS seq
+                          ORDER BY ts ASC NULLS FIRST,
+                                   event_id ASC NULLS FIRST,
+                                   substring(event_type, 1, 1)
+                                       ASC NULLS FIRST) AS seq
         FROM e GROUP BY user_id
     )
     SELECT user_id,

@@ -423,13 +423,17 @@ def test_edit_distance_nn_blocks_never_cartesian(spark, sf_dir):
     p = plan_of(_q(spark, sf_dir, "j39_edit_distance_nn"))
     assert "CartesianProduct" not in p
     assert "FlatMapGroupsInPandas" in p, p
-    # two exchange NODES: the (lang,bucket) block shuffle feeding the
+    # three exchange NODES since r11: the canon id-resolution window's
+    # doc_id shuffle (rank≤1, rewritten to map-side WindowGroupLimit —
+    # asserted below) + the (lang,bucket) block shuffle feeding the
     # group-map + the presentation orderBy's range partitioning; the
     # m² pair rows never materialize in the plan
     import re
 
-    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2, p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 3, p
     assert p.count("hashpartitioning(lang") == 1, p
+    assert p.count("hashpartitioning(doc_id") == 1, p
+    assert "WindowGroupLimit" in p, p
 
 
 def test_kmeans_seeds_are_topk_not_global_sort(spark, sf_dir):
