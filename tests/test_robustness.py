@@ -876,3 +876,108 @@ def test_k4_all_nonfinite_group_dropped_in_both_engines(spark, tmp_path):
     }
     con.close()
     assert got == want == {"ok": 2.0, None: 5.0}  # 'poison' absent from both
+
+
+def test_canon_winner_identical_across_engines_on_hostile_dupes(spark, tmp_path):
+    """llm/canon.py contract (r11 --dupids): for a duplicated id the
+    canonical winner row must be THE SAME in Spark and DuckDB, even
+    when payloads carry the cross-engine ordering traps — NULL text,
+    NULL array elements (Spark sorts them first in an array compare,
+    DuckDB last), whole-NULL arrays, NaN/±Inf components, and ties
+    broken only by the null-position mask."""
+    import math
+
+    import duckdb
+
+    from servicenow_cmdb_integration_to_aws_spark.llm.canon import (
+        SQL_CANON_DOCS,
+        SQL_CANON_VECS,
+        canon_docs,
+        canon_vecs,
+    )
+
+    sf = str(tmp_path)
+    nan, inf = float("nan"), float("inf")
+    spark.createDataFrame(
+        [
+            (1, "b text", "en", "s", 6),
+            (1, "a text", "en", "s", 6),     # winner: min text
+            (2, None, "en", "s", 0),          # winner: NULL text first
+            (2, "z", "en", "s", 1),
+            (3, "same", None, "s", 4),        # winner: NULL lang first
+            (3, "same", "de", "s", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [
+            (1, [0.5, 0.5], 1),
+            (1, [None, 0.5], 1),   # null element: engines disagree raw
+            (2, None, 2),          # whole-NULL array first
+            (2, [1.0, 2.0], 2),
+            (3, [nan, 0.0], 3),    # NaN largest in both
+            (3, [inf, 0.0], 3),
+            (4, [-inf, 0.0], 4),   # real -Inf vs substituted NULL:
+            (4, [None, 0.0], 4),   # the mask key disambiguates
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    sd = {r["doc_id"]: (r["text"], r["lang"]) for r in canon_docs(spark, sf).collect()}
+    sv = {
+        r["vec_id"]: (None if r["embedding"] is None else tuple(r["embedding"]))
+        for r in canon_vecs(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    dd = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            SQL_CANON_DOCS.replace("main.documents", "documents")
+        ).fetchall()
+    }
+    dv = {
+        r[0]: (None if r[1] is None else tuple(r[1]))
+        for r in con.execute(
+            SQL_CANON_VECS.replace("main.embeddings", "embeddings")
+        ).fetchall()
+    }
+    con.close()
+
+    assert sd == dd == {1: ("a text", "en"), 2: (None, "en"), 3: ("same", None)}
+
+    def veq(a, b):
+        if (a is None) != (b is None):
+            return False
+        return a is None or all(
+            (x is None) == (y is None)
+            and (x is None or (math.isnan(x) and math.isnan(y)) or x == y)
+            for x, y in zip(a, b)
+        )
+
+    assert set(sv) == set(dv) == {1, 2, 3, 4}
+    for k in sv:
+        assert veq(sv[k], dv[k]), (k, sv[k], dv[k])
+    # and the specific hostile winners: null element < any value after
+    # substitution? no — [None,0.5]→[-Inf,0.5] < [0.5,0.5]; NULL array
+    # first; [NaN,..] vs [Inf,..] → Inf < NaN; [-Inf,0] vs [None,0] tie
+    # on the substituted array, mask [F,F] < [T,F] → real -Inf wins
+    assert veq(sv[1], (None, 0.5))
+    assert sv[2] is None
+    assert veq(sv[3], (inf, 0.0))
+    assert veq(sv[4], (-inf, 0.0))
+
+
+def test_canon_is_row_identity_on_unique_ids(spark, sf_dir):
+    """On an id-unique corpus canonicalization must be a no-op (same
+    row multiset) — the 100 TB claim that the window only ever drops
+    genuinely duplicated ids."""
+    from servicenow_cmdb_integration_to_aws_spark.llm.canon import canon_docs
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+
+    raw = scan(spark, sf_dir, "documents")
+    assert canon_docs(spark, sf_dir).count() == raw.count()
