@@ -1345,3 +1345,28 @@ def test_stream_sink_compact_crash_at_every_step(spark, point, nth):
     assert _sink_rows(spark, out) == expected
     assert set(_sink_log_batches(out)) == {2}
     assert not _glob.glob(os.path.join(out, ".compact_tmp_*"))
+
+
+def test_stream_sink_compact_rewrite_plan_has_no_shuffle(spark):
+    """i20's rewrite must stay read-once/write-once: coalesce over the
+    committed files, no Exchange in the rewrite plan (a19's argument,
+    pinned here for the streaming compactor's own read path)."""
+    import glob as _glob
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.stream_ops import (
+        _sink_log_batches,
+    )
+
+    out, _ = _mk_fragmented_sink(spark, n_batches=3)
+    batches = _sink_log_batches(out)
+    files = [p for b in sorted(batches) for p in batches[b]]
+    plan_df = spark.read.parquet(*files).coalesce(1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    p = buf.getvalue()
+    assert not re.findall(r"^\(\d+\) Exchange", p, re.M), p
+    assert "Coalesce" in p, p
