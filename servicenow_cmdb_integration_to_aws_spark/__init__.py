@@ -310,7 +310,7 @@ _RECHECK_FIRST = frozenset({
     "f4_topk_group", "g1_union_all", "g2_union_distinct", "g3_intersect",
     "g4_except",
     # (b) oldest r4 ids (next cohort's head, fills the budget):
-    "a10_schema_evolve", "a11_class_union",
+    "a10_schema_evolve", "a11_class_union", "a13_transform_map",
     # (c) engine code moved in r11 after its r10 green row:
     "k4_pandas_udaf",
 })
