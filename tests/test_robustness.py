@@ -981,3 +981,36 @@ def test_canon_is_row_identity_on_unique_ids(spark, sf_dir):
 
     raw = scan(spark, sf_dir, "documents")
     assert canon_docs(spark, sf_dir).count() == raw.count()
+
+
+def test_canon_cache_identity_and_regen_eviction(spark, tmp_path):
+    """r11: canon_docs/canon_vecs serve ONE immutable canonical
+    fragment per (session, sf_dir, table, content-stamp) — the scan()
+    cache discipline one derivation up. Same stamp -> same OBJECT;
+    in-place regen -> miss, rebuild over the new rows, stale stamp
+    evicted."""
+    from servicenow_cmdb_integration_to_aws_spark.llm.canon import canon_docs
+
+    sf = str(tmp_path)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    write([(1, "b", "en", "s", 1), (1, "a", "en", "s", 1)])
+    d1 = canon_docs(spark, sf)
+    assert canon_docs(spark, sf) is d1
+    assert [r["text"] for r in d1.collect()] == ["a"]
+    # in-place regen: new winner must be visible, old stamp evicted
+    write([(1, "z", "en", "s", 1), (1, "c", "en", "s", 1)])
+    d2 = canon_docs(spark, sf)
+    assert d2 is not d1
+    assert [r["text"] for r in d2.collect()] == ["c"]
+    cache = spark._cmdb_scan_df_cache
+    assert (
+        len([k for k in cache if k[0] == sf and k[1] == "documents::canon"])
+        == 1
+    )
