@@ -411,12 +411,20 @@ def t24_golden_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
                sn.n_name AS supp_nation
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
-        JOIN customer ON c_custkey = o_custkey
-        JOIN nation cn ON cn.n_nationkey = c_nationkey
-        JOIN region   ON r_regionkey = cn.n_regionkey
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation sn ON sn.n_nationkey = s_nationkey
-        WHERE r_name = 'EUROPE'
+        -- the customer leg is a FILTER ("shipped to EUROPE customers"),
+        -- not an attribute lookup: IN = semi-join, mirroring the
+        -- engine's left_semi — a plain inner join would double-count
+        -- revenue for a duplicated customer record (r11 --dupids on
+        -- dimension keys; semi and inner were equivalent only while
+        -- c_custkey was unique)
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = cn.n_regionkey
+            WHERE r_name = 'EUROPE'
+        )
     )
     SELECT o_year,
            ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume

@@ -185,13 +185,22 @@ def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH data AS (
             -- a NULL price has no band: filtered on BOTH sides (the
             -- engines' opposite null placement would also poison the
-            -- prefix counts in this decomposition; r7 null sweep)
+            -- prefix counts in this decomposition; r7 null sweep).
+            -- rid is a per-partition ROW identity for the probe join:
+            -- o_orderkey is NOT a safe identity (r11 --dupids on fact
+            -- keys: a duplicated key matched BOTH probes and the join
+            -- fanned out 1500 -> 1800 rows). Rows tying on the full
+            -- (price, key) order are interchangeable — either rid
+            -- assignment yields identical output rows.
             SELECT o_orderkey, o_orderpriority, o_totalprice,
-                   CAST(o_totalprice AS DECIMAL(18,2)) AS p_dec
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p_dec,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey)
+                       AS rid
             FROM e6_orders WHERE o_totalprice IS NOT NULL
         ),
         cum AS (  -- inclusive prefix: count/sum of rows with price <= p
-            SELECT o_orderkey, o_orderpriority, o_totalprice,
+            SELECT o_orderkey, o_orderpriority, o_totalprice, rid,
                    count(*) OVER w AS cnt_le,
                    sum(p_dec) OVER w AS sum_le
             FROM data
@@ -200,15 +209,15 @@ def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         merged AS (  -- probes (k = p-50k) interleaved before data at equal k
             SELECT o_orderpriority, o_totalprice AS k, 1 AS is_data,
-                   CAST(NULL AS BIGINT) AS probe_key, p_dec
+                   CAST(NULL AS BIGINT) AS probe_rid, p_dec
             FROM data
             UNION ALL
             SELECT o_orderpriority, o_totalprice - 50000 AS k, 0 AS is_data,
-                   o_orderkey AS probe_key, CAST(NULL AS DECIMAL(18,2)) AS p_dec
+                   rid AS probe_rid, CAST(NULL AS DECIMAL(18,2)) AS p_dec
             FROM data
         ),
         excl AS (  -- at each probe: count/sum of data rows with price < k
-            SELECT probe_key,
+            SELECT o_orderpriority, probe_rid,
                    count(p_dec) OVER w AS cnt_lt,
                    coalesce(sum(p_dec) OVER w, CAST(0 AS DECIMAL(18,2)))
                      AS sum_lt
@@ -219,7 +228,8 @@ def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.o_orderkey, c.o_orderpriority, c.o_totalprice,
                CAST(c.cnt_le - e.cnt_lt AS BIGINT) AS n_in_band,
                CAST(c.sum_le - e.sum_lt AS DOUBLE) AS band_sum
-        FROM cum c JOIN excl e ON e.probe_key = c.o_orderkey
+        FROM cum c JOIN excl e ON e.o_orderpriority = c.o_orderpriority
+                              AND e.probe_rid = c.rid
         """
     )
 

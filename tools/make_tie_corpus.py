@@ -220,6 +220,24 @@ NULLKEY_TRANSFORMS = {
 #: (user_id, o_custkey, l_suppkey, label, lang) are untouched, so
 #: dupids composes into the chain without overwriting them.
 DUPID_TRANSFORMS = {
+    # r11b extension: FACT and DIMENSION keys too (o_orderkey,
+    # c_custkey) — the colliding-upsert shape for golden joins and
+    # CDC folds. Sprang two real findings on first sweep: e6's probe
+    # join used o_orderkey as a row identity (fan-out under dup keys)
+    # and t25's oracle inner-joined the customer FILTER leg where the
+    # engine semi-joins (dup customer rows double-counted revenue in
+    # the oracle only).
+    "orders": (
+        "SELECT CASE WHEN o_orderkey % 10 = 7 THEN o_orderkey - 7"
+        " ELSE o_orderkey END AS o_orderkey,"
+        " o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
+        " o_orderpriority FROM t"
+    ),
+    "customer": (
+        "SELECT CASE WHEN c_custkey % 10 = 7 THEN c_custkey - 7"
+        " ELSE c_custkey END AS c_custkey,"
+        " c_name, c_nationkey, c_acctbal, c_mktsegment FROM t"
+    ),
     "events": (
         "SELECT CASE WHEN event_id % 10 = 7 THEN event_id - 7"
         " ELSE event_id END AS event_id,"
