@@ -258,6 +258,8 @@ _CHECK_COST_S = {
     "i19_stream_retract_rollup": 12.4,
     # r11 addition (measured sf0.01 parity-run cost incl. oracle)
     "i20_stream_sink_compact": 8.0,
+    # r12 addition (sf0.01 parity cost minus first-query warm-up)
+    "i21_consistent_read": 4.5,
 }
 
 #: true Structured Streaming ids among the unchecked — forced to the
@@ -283,36 +285,35 @@ _STREAMING_LAST = frozenset({
 #: 50-id budget re-proving exactly the code that moved (r8 verdict
 #: punch-list item 3) instead of re-checking untouched greens.
 _RECHECK_FIRST = frozenset({
-    # Rebuilt for r11 (r10 verdict item 1): the round-10 scan-DataFrame
-    # cache sits in EVERY query's construction path, but only 50/270
-    # ids have a driver CORRECTNESS row on post-cache code. Builder
-    # full-registry sf0.1 parity and the judge's 10-id out-of-rotation
-    # sample are green, so this is hygiene, not suspicion — the driver
-    # hash is the hard signal, so front the LEAST-recently-checked
-    # cohort: all 45 ids whose latest driver row is r1, plus the first
-    # two r4 ids, plus k4 (its engine UDAF + registry row moved again
-    # this round: empty-after-trim groups now DROP, matching the
-    # oracle — r10 ADVICE item 3). 48 ids + this round's auto-fronting
-    # growth ids fill the ~50-id budget; the remaining r4/r5 cohort
-    # (~88 ids) fronts in r12/r13 at the same rate.
+    # Rebuilt for r12 (r11 verdict item 1): finish re-anchoring driver
+    # CORRECTNESS rows on post-scan-cache/post-canon code. The r11
+    # rotation cleared the r1 backlog; this round fronts the ENTIRE
+    # remaining r4/r5 cohort — all 51 ids whose latest driver row is
+    # r4 or r5 (computed from CORRECTNESS_r01..r11 latest-round map).
+    # The judge's 16-id parity sample says the cohort is healthy; the
+    # driver hash is the hard signal. The r6 cohort (26 ids) fronts
+    # r13. Growth/changed ids auto-front or are listed in (b).
     #
-    # (a) latest driver row = r1 (pre-dates every infra change since):
-    "a1_scan_parquet", "a2_scan_schema", "a4_rest_page_sim", "b10_boolcomp",
-    "b11_reldate", "b12_regex", "b1_project", "b2_computed",
-    "b3_eq_filter", "b4_cmp_filter", "b5_like", "b6_in",
-    "b7_null", "b8_between", "b9_sameas", "c10_join_cross",
-    "c11_rel_closure", "c1_join_bcast", "c2_join_shuffle", "c3_join_left",
-    "c4_join_full", "c5_join_semi", "c6_join_anti", "c7_join_theta",
-    "c8_join_asof", "c9_rel_2hop", "d11_stats", "d12_agg_distinct_input",
-    "d14_salted_agg", "d1_agg_global", "d2_agg_group", "d3_agg_having",
-    "d4_count_distinct", "d6_rollup", "d7_cube", "d8_grouping_sets",
-    "e1_rownum", "f1_sort", "f2_limit", "f3_offset",
-    "f4_topk_group", "g1_union_all", "g2_union_distinct", "g3_intersect",
-    "g4_except",
-    # (b) oldest r4 ids (next cohort's head, fills the budget):
-    "a10_schema_evolve", "a11_class_union", "a13_transform_map",
-    # (c) engine code moved in r11 after its r10 green row:
-    "k4_pandas_udaf",
+    # (a) latest driver row = r4 or r5 (51 ids):
+    "a25_transform_errors", "a26_mergeschema_read", "b13_exists",
+    "b14_null_safe_eq", "c24_ire_identify", "d10_percentile",
+    "d16_conditional_aggs", "d5_approx_distinct", "d9_collect",
+    "e10_gap_islands", "e11_windowed_count_distinct",
+    "e15_rank_distribution", "e2_rank", "e3_lag_lead", "e6_range_frame",
+    "e7_firstlast", "e8_dedup_latest", "e9_ntile_dist",
+    "f5_stratified_sample", "g5_intersect_all", "g6_except_all",
+    "h11_hash", "h12_wordcount", "h13_bitops", "h14_struct_ops",
+    "h17_url_parse", "h1_string", "h2_regex_fn", "h4_math", "h5_cond",
+    "h6_cast", "h7_array", "h9_map", "j10_multimodal", "j11_fingerprint",
+    "j13_chunk_split", "j14_hash_sample", "j15_dup_clusters",
+    "j18_token_count", "j1_exact_dedup", "j2b_simhash", "j7_tokenize_tf",
+    "j8_tfidf", "j9_lang_stats", "j9b_quality_score", "j9c_lang_id",
+    "k3_grouped_map", "k6_arrow_map", "m4_image_decode", "m5_audio_decode",
+    "t4_golden_q18",
+    # (b) engine code moved in r12 after an older green row (reliable-
+    # checkpoint option + batched convergence probe on the fixpoint
+    # family; i21 is brand-new and auto-fronts):
+    "c12_rel_closure_unbounded", "c22_k_core", "j16_neardup_components",
 })
 
 

@@ -33,6 +33,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.numeric import FIN
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
 
@@ -404,3 +405,233 @@ def a16_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert store.compact(spark, log_dir) == 2
     return store.changes(spark, 1, 2)
+
+
+# -- cross-store consistent read (i21, r11 verdict item 4) ---------------
+
+
+class HorizonMismatch(RuntimeError):
+    """Raised when a multi-store read cannot reach one common source
+    horizon: some store's committed snapshot lags the others and its
+    change log no longer (or does not yet) contain the batches needed
+    to catch up. A consumer that proceeded anyway would join table A's
+    fold-through-batch-N state against table B's fold-through-batch-M
+    state — exactly the straddled vN×vM read the SnapshotStore
+    isolation contract warns about."""
+
+
+def consistent_read(
+    spark: SparkSession,
+    reads: list,
+    attempts: int = 3,
+) -> tuple[int, list[DataFrame]]:
+    """Equal-horizon read across several single-table SnapshotStores —
+    remedy (a) from the SnapshotStore isolation contract, implemented.
+
+    ``reads`` is a list of ``(store, log_dir)`` pairs whose logs are
+    fed from the SAME upstream batch sequence (shared ``batch_id``
+    space — the i11/foreachBatch layout). The horizon ``h`` is the
+    max ``compacted_through`` over the stores' ``_LATEST`` manifests;
+    each store is then read AT ``h``: a store already compacted
+    through ``h`` serves its pinned base version, a laggard serves
+    base ∪ its log tail in ``(compacted_through, h]`` through the
+    store's own fold (merge-on-read capped at the horizon — never
+    past it, so a log batch newer than ``h`` in a leader's log is
+    deliberately invisible). If a laggard's log does not reach ``h``
+    the read REFUSES with :class:`HorizonMismatch` rather than serve
+    a straddled join; manifests are re-read ``attempts`` times first,
+    because in a live deployment the laggard's compactor may publish
+    the missing fold between polls.
+
+    Returns ``(h, [df, ...])`` in input order.
+
+    100 TB notes: the consistency decision costs two tiny driver-side
+    JSON reads per store (manifest + log listing) at PLAN time — no
+    global lock, no cross-table transaction, so unrelated tables'
+    maintenance never serializes (the documented reason remedy (b)'s
+    outer lock is not the default). The laggard's catch-up work is
+    delta-sized (its uncompacted tail), identical to the merge-on-read
+    cost `read()` already pays; leaders pay nothing. Every version dir
+    is immutable and `_LATEST` is resolved once, so the returned plan
+    stays consistent no matter how long the downstream join runs.
+    """
+    last_err: HorizonMismatch | None = None
+    for _ in range(max(1, attempts)):
+        metas = [s._meta() for s, _ in reads]
+        h = max(m["compacted_through"] for m in metas)
+        out: list[DataFrame] = []
+        try:
+            for (store, log_dir), m in zip(reads, metas):
+                ct = m["compacted_through"]
+                base = (
+                    store._read_version(spark, m["version"])
+                    if m["version"] > 0
+                    else None
+                )
+                if ct == h:
+                    if base is None:
+                        raise HorizonMismatch(
+                            f"store {store.root} is empty (no committed "
+                            f"version) at horizon {h}"
+                        )
+                    out.append(base)
+                    continue
+                avail = (
+                    sorted(
+                        int(d.split("=", 1)[1])
+                        for d in os.listdir(log_dir)
+                        if d.startswith("batch_id=")
+                    )
+                    if log_dir is not None and os.path.isdir(log_dir)
+                    else []
+                )
+                tail = [b for b in avail if ct < b <= h]
+                if not tail or max(tail) < h:
+                    raise HorizonMismatch(
+                        f"store {store.root} compacted through {ct} and "
+                        f"its log tail {tail} does not reach horizon {h}"
+                    )
+                delta = spark.read.parquet(
+                    *[os.path.join(log_dir, f"batch_id={b}") for b in tail]
+                )
+                out.append(store._fold(base, delta))
+            return h, out
+        except HorizonMismatch as err:
+            last_err = err  # re-poll manifests: a live compactor may
+            # have published the laggard's fold since the first read
+    assert last_err is not None
+    raise last_err
+
+
+def _user_rollup_fold(base: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Per-user count/sum-cents aggregate fold (i21's store B). The
+    delta is RAW log rows (what both `compact()` and the merge-on-read
+    tail hand a fold); the base, when present, is already aggregated —
+    count/sum are associative-commutative, so base ⊎ delta is one
+    re-aggregation (d27's algebra on the upsert store's protocol)."""
+    from ..operators.numeric import finite_metric
+
+    cents = (finite_metric("value").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    d = (
+        delta.select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    if base is None:
+        return d
+    return (
+        base.unionByName(d)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "i21_consistent_read",
+    oracle=f"""
+    {EVENTS_US},
+    latest AS (
+        SELECT user_id, ts, event_type
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn
+              FROM e WHERE user_id IS NOT NULL)
+        WHERE rn = 1
+    ),
+    roll AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(CAST(({FIN}) AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM e WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT l.user_id, l.ts AS last_ts, l.event_type AS last_event_type,
+           r.n_events, r.sum_cents
+    FROM latest l JOIN roll r ON l.user_id = r.user_id
+    """,
+)
+def i21_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-store consistent read (i21): two single-table snapshot
+    stores fed from the same source batch sequence — store A the
+    latest-event-per-user upsert (a15's fold), store B the per-user
+    count/sum rollup (d27's algebra) — deliberately left STRADDLED
+    (A compacted through batch 2, B only through batch 1), then joined
+    through :func:`consistent_read`, which detects the lag from the
+    `_LATEST` manifests and serves B at A's horizon by folding B's
+    uncompacted log tail in. A naive reader joining the two pinned
+    versions directly would combine all-3-batch user state with
+    2-batch counts (tests pin both that observable anomaly and the
+    HorizonMismatch refusal when the tail is truncated).
+
+    Oracle: the single-fold recompute at the matched horizon — all
+    three batches partition `events`, so horizon 2 ≡ the full corpus.
+    NULL-user policy: the stores keep the NULL group (own-group
+    snapshot semantics) but the cross-store equi-join EXCLUDES it,
+    in both engines explicitly (r9 nullkeys rule).
+
+    100 TB notes: both stores are key-clustered on user_id at rest
+    (a14 sink discipline), so the consistency join shuffles each side
+    once on the join key; the horizon check itself is driver-side
+    metadata. The straddle repair reads ONLY B's tail batch — delta
+    cost, not table cost."""
+    import atexit
+    import shutil as _shutil
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    e = scan(spark, sf_dir, "events").select(*cols)
+    log_a = tempfile.mkdtemp(prefix="i21_log_a_")
+    log_b = tempfile.mkdtemp(prefix="i21_log_b_")
+    root_a = tempfile.mkdtemp(prefix="i21_snap_a_")
+    root_b = tempfile.mkdtemp(prefix="i21_snap_b_")
+    for d in (log_a, log_b, root_a, root_b):
+        atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    store_a = SnapshotStore(root_a, key="user_id", order=["ts", "event_id"])
+    store_b = SnapshotStore(
+        root_b, key="user_id", order=[], fold=_user_rollup_fold
+    )
+    # three source batches shared by both logs; pmod over a coalesced
+    # key so the thirds provably PARTITION the corpus (bare `% 3`
+    # drops NULL and negative ids — the i18 lesson).
+    third = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+    for i in (0, 1):
+        b = e.filter(third == i)
+        b.write.mode("overwrite").parquet(
+            os.path.join(log_a, f"batch_id={i}")
+        )
+        b.write.mode("overwrite").parquet(
+            os.path.join(log_b, f"batch_id={i}")
+        )
+    assert store_a.compact(spark, log_a) == 1
+    assert store_b.compact(spark, log_b) == 1
+    b2 = e.filter(third == 2)
+    b2.write.mode("overwrite").parquet(os.path.join(log_a, "batch_id=2"))
+    b2.write.mode("overwrite").parquet(os.path.join(log_b, "batch_id=2"))
+    assert store_a.compact(spark, log_a) == 2  # A leads: through batch 2
+    # B's compactor has NOT run: the manifests now straddle (the state
+    # a naive two-store join silently mis-reads).
+    assert store_a._meta()["compacted_through"] == 2
+    assert store_b._meta()["compacted_through"] == 1
+    h, (da, db) = consistent_read(
+        spark, [(store_a, log_a), (store_b, log_b)]
+    )
+    assert h == 2
+    return (
+        da.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .join(db, "user_id")
+        .select(
+            "user_id", "last_ts", "last_event_type", "n_events", "sum_cents"
+        )
+    )

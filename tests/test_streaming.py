@@ -1370,3 +1370,63 @@ def test_stream_sink_compact_rewrite_plan_has_no_shuffle(spark):
     p = buf.getvalue()
     assert not re.findall(r"^\(\d+\) Exchange", p, re.M), p
     assert "Coalesce" in p, p
+
+
+def test_consistent_read_repairs_straddle_and_refuses_truncation(spark):
+    """i21 mechanics: two stores fed the same batch sequence, one
+    compactor lagging. (1) The naive two-pinned-version read observes
+    the straddle (laggard's state differs from horizon state); (2)
+    consistent_read serves the laggard AT the leader's horizon by
+    folding its log tail — equal to what the laggard's own compactor
+    would later publish; (3) with the tail truncated the read REFUSES
+    with HorizonMismatch instead of serving the straddled join."""
+    import os
+    import shutil
+
+    import pytest
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        HorizonMismatch,
+        consistent_read,
+    )
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, log_b, write_b = _mini_store(spark)
+    batches = {
+        0: [(1, 10, 0), (2, 20, 1)],
+        1: [(3, 10, 2), (4, 30, 3)],
+        2: [(5, 20, 4), (6, 40, 5)],  # user 20 moves, user 40 appears
+    }
+    for bid in (0, 1):
+        write_a(bid, batches[bid])
+        write_b(bid, batches[bid])
+    assert store_a.compact(spark, log_a) == 1
+    assert store_b.compact(spark, log_b) == 1
+    write_a(2, batches[2])
+    write_b(2, batches[2])
+    assert store_a.compact(spark, log_a) == 2  # A leads
+    assert store_b._meta()["compacted_through"] == 1  # B straddles
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    naive_b = rows(store_b._read_version(spark, 1))
+    h, (da, db) = consistent_read(
+        spark, [(store_a, log_a), (store_b, log_b)]
+    )
+    assert h == 2
+    consistent_b = rows(db)
+    assert naive_b != consistent_b  # the straddle is observable
+    assert rows(da) == consistent_b  # equal horizon ⇒ equal state
+    # the repaired read equals what B's own compactor later publishes
+    assert store_b.compact(spark, log_b) == 2
+    assert rows(store_b.read(spark)) == consistent_b
+
+    # refusal: a third store lags AND its tail is gone
+    store_c, log_c, write_c = _mini_store(spark)
+    for bid in (0, 1):
+        write_c(bid, batches[bid])
+    assert store_c.compact(spark, log_c) == 1
+    shutil.rmtree(os.path.join(log_c, "batch_id=1"))  # tail < horizon
+    with pytest.raises(HorizonMismatch):
+        consistent_read(spark, [(store_a, log_a), (store_c, log_c)])
