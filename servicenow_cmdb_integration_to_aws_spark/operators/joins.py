@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import EVENTS_US, query
 from ..sources.tables import scan
+from .fixpoint import cut_lineage
 from .numeric import dec, dsum, fdec, sql_finite
 
 
@@ -366,19 +367,21 @@ def transitive_closure(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     edge table each round, not the whole closure.
 
     100 TB notes: each round is one equi-join shuffle on the frontier
-    key plus one anti-join on (root,node); `localCheckpoint(eager=True)`
+    key plus one anti-join on (root,node); :func:`fixpoint.cut_lineage`
     truncates lineage so the plan stays O(1) per round instead of
-    growing with iteration count (on a real cluster use
-    `checkpoint()` to reliable storage so a lost executor doesn't
-    recompute the whole chain). Rounds are O(graph diameter), not
-    O(|V|) — BFS doubling is possible but triples the shuffle volume
-    per round and rarely wins on CMDB-shaped shallow graphs."""
+    growing with iteration count — executor-local checkpoint by
+    default, reliable `checkpoint()` when `FIXPOINT_CKPT_CONF` names a
+    fault-tolerant dir (r11 verdict item 5: a lost executor on a
+    preemptible fleet must not restart a 20-round fixpoint from zero).
+    Rounds are O(graph diameter), not O(|V|) — BFS doubling is
+    possible but triples the shuffle volume per round and rarely wins
+    on CMDB-shaped shallow graphs."""
     e = edges.select("parent", "child").persist()
     reach = (
         e.select(F.col("parent").alias("root"), F.col("child").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    reach = cut_lineage(reach)
     frontier = reach
     for _ in range(max_iter):
         grown = (
@@ -386,12 +389,10 @@ def transitive_closure(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .select("root", F.col("child").alias("node"))
             .distinct()
         )
-        new = grown.join(reach, ["root", "node"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        new = cut_lineage(grown.join(reach, ["root", "node"], "left_anti"))
         if new.isEmpty():
             break
-        reach = reach.unionByName(new).localCheckpoint(eager=True)
+        reach = cut_lineage(reach.unionByName(new))
         frontier = new
     else:
         raise RuntimeError(f"closure did not converge in {max_iter} rounds")
@@ -490,19 +491,28 @@ def connected_components(
     min-label propagation this replaced (a 1M-node path graph needs
     ~20 rounds here vs 1M there). 100 TB notes: each half-round is one
     groupBy + one co-keyed join on node id (same co-partitioned
-    layout), nothing driver-side but the per-round convergence
-    signature (count + hash sum, one tiny collect);
-    `localCheckpoint(eager)` truncates lineage per round exactly as in
-    :func:`transitive_closure`."""
-    e = (
+    layout), nothing driver-side but the convergence signature (count
+    + hash, one tiny collect) — probed EVERY round for the first
+    three, then every 2nd round (r11 verdict item 6): star-contraction
+    is monotone (per-node min labels only decrease), so the state
+    cannot oscillate and signature equality across a 2-round gap
+    implies the intermediate round was already converged — same
+    fixpoint, half the late-round py4j probe jobs, at worst ONE no-op
+    contraction round past convergence (its inputs are the converged
+    star forest, so it is the cheapest round of the run).
+    :func:`fixpoint.cut_lineage` truncates lineage per round exactly
+    as in :func:`transitive_closure` (reliable-checkpoint option
+    included)."""
+    e = cut_lineage(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    for r in range(max_iter):
+        e = cut_lineage(_small_star(_large_star(e)))
+        if r >= 3 and r % 2 == 0:
+            continue  # batched probe: skip even late rounds
         # convergence signature: edge count + order-independent hash
         # (bit_xor never overflows; the edge set is distinct, so xor
         # self-cancellation cannot occur)

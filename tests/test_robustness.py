@@ -1014,3 +1014,83 @@ def test_canon_cache_identity_and_regen_eviction(spark, tmp_path):
         len([k for k in cache if k[0] == sf and k[1] == "documents::canon"])
         == 1
     )
+
+
+def test_fixpoint_reliable_checkpoint_identical_and_truncates(spark, tmp_path):
+    """r11 verdict item 5: with FIXPOINT_CKPT_CONF set, every fixpoint
+    round goes through reliable `checkpoint()` — output identical to
+    the local-checkpoint default, checkpoint files actually written
+    (durability), and lineage actually truncated (the returned plan no
+    longer references the input join)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.fixpoint import (
+        FIXPOINT_CKPT_CONF,
+        cut_lineage,
+    )
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        connected_components,
+        transitive_closure,
+    )
+
+    rng = random.Random(12)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    ndf = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    pdf = edf.select(
+        F.col("src").cast("string").alias("parent"),
+        F.col("dst").cast("string").alias("child"),
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    cc_local = rows(connected_components(edf, ndf))
+    tc_local = rows(transitive_closure(pdf))
+    ckdir = str(tmp_path / "reliable_ckpt")
+    spark.conf.set(FIXPOINT_CKPT_CONF, ckdir)
+    try:
+        # lineage truncation: a checkpointed round's plan is a scan of
+        # the checkpoint RDD, not the upstream join tree
+        cut = cut_lineage(edf.join(ndf, edf["src"] == ndf["id"]))
+        assert cut.rdd.is_checkpointed or "Scan ExistingRDD" in (
+            cut._jdf.queryExecution().executedPlan().toString()
+        )
+        assert rows(connected_components(edf, ndf)) == cc_local
+        assert rows(transitive_closure(pdf)) == tc_local
+    finally:
+        spark.conf.unset(FIXPOINT_CKPT_CONF)
+    # durability: blocks were written under the reliable dir
+    import os
+
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert found, "reliable checkpoint wrote no files"
+
+
+def test_connected_components_batched_probe_same_result(spark):
+    """r11 verdict item 6: the every-2nd-round convergence probe must
+    not change results — pin CC on a long path graph (many rounds, the
+    shape where late probes are actually skipped) against union-find."""
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        connected_components,
+    )
+
+    n = 200  # path 0-1-...-199 plus a few isolated nodes
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    ndf = spark.range(n + 5).select(F.col("id").cast("long").alias("id"))
+    got = {
+        r["id"]: r["component"] for r in connected_components(edf, ndf).collect()
+    }
+    want = {i: 0 for i in range(n)}
+    want.update({i: i for i in range(n, n + 5)})
+    assert got == want
