@@ -227,6 +227,35 @@ DUPID_TRANSFORMS = {
     # and t25's oracle inner-joined the customer FILTER leg where the
     # engine semi-joins (dup customer rows double-counted revenue in
     # the oracle only).
+    #
+    # r12 extension (r11 verdict item 3): the remaining identity
+    # bets — lineitem's COMPOSITE key (l_orderkey, l_linenumber)
+    # (for ~10% of orders every line >1 collapses onto line 1, so one
+    # composite key names several different payloads; l_orderkey
+    # itself stays a foreign key — the orders-side duplication above
+    # already exercises parent fan-out), s_suppkey and p_partkey
+    # (duplicate DIMENSION rows behind lineitem's untouched l_suppkey/
+    # l_partkey foreign keys — every supplier/part dim join is now a
+    # fan-out bet). Supplier shifts by 6 (keys are 1-based and dense:
+    # −7 would map key 7 to the nonexistent key 0 at sf0.001's
+    # 10-supplier table; −6 collides with key 1 at every SF).
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey,"
+        " CASE WHEN l_orderkey % 10 = 3 AND l_linenumber > 1"
+        " THEN 1 ELSE l_linenumber END AS l_linenumber,"
+        " l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM t"
+    ),
+    "supplier": (
+        "SELECT CASE WHEN s_suppkey % 10 = 7 THEN s_suppkey - 6"
+        " ELSE s_suppkey END AS s_suppkey,"
+        " s_name, s_nationkey, s_acctbal FROM t"
+    ),
+    "part": (
+        "SELECT CASE WHEN p_partkey % 10 = 7 THEN p_partkey - 7"
+        " ELSE p_partkey END AS p_partkey,"
+        " p_name, p_brand, p_type, p_size, p_retailprice FROM t"
+    ),
     "orders": (
         "SELECT CASE WHEN o_orderkey % 10 = 7 THEN o_orderkey - 7"
         " ELSE o_orderkey END AS o_orderkey,"
@@ -252,6 +281,49 @@ DUPID_TRANSFORMS = {
         "SELECT CASE WHEN vec_id % 10 = 7 THEN vec_id - 7"
         " ELSE vec_id END AS vec_id,"
         " embedding, label FROM t"
+    ),
+}
+
+
+#: --clockskew mode (r12, nineteenth axis): out-of-order event
+#: DELIVERY — producers with skewed clocks, late rows that are early
+#: by wall-clock, negative inter-arrival at the watermark boundary
+#: (r11 verdict item 7). Targets i4/i5/i8/i10/i13/i19 watermark
+#: arithmetic and e12/e13/e14/i12's sequence ordering. Injected (on
+#: the row's own id, composable with every other axis):
+#:   % 23 = 3  → a FAST-CLOCK producer: ts jumps to
+#:               trunc_hour(max ts) + 7h10m — the new global max drags
+#:               every final watermark to an HOUR-ALIGNED boundary
+#:               (max − 10 min lands exactly on an hourly window end:
+#:               the inclusive-<= emission seam of the i4 class).
+#:   % 23 = 5  → placed INSIDE the boundary window (h+6h30m): its
+#:               window's end equals the final watermark exactly —
+#:               emitted iff the oracle's <= is truly inclusive.
+#:   % 23 = 7  → 25 h backward jump (crosses the day grain of
+#:               d19/i18/i19 rollups); guarded away from the pandas-ns
+#:               floor the chained --timewarp axis plants.
+#:   % 23 = 11 → 3 h backward jump (plain out-of-order delivery).
+#:   % 23 = 13 → previous row's ts (deterministic full-row order):
+#:               zero/negative inter-arrival — duplicate event times
+#:               for the sequence/session/EWMA tie rules.
+CLOCKSKEW_TRANSFORMS = {
+    "events": (
+        "WITH m AS (SELECT date_trunc('hour', max(ts)) AS h FROM t)"
+        " SELECT event_id,"
+        " CASE"
+        "   WHEN event_id % 23 = 3 THEN"
+        "     (SELECT h FROM m) + INTERVAL 7 HOUR + INTERVAL 10 MINUTE"
+        "   WHEN event_id % 23 = 5 THEN"
+        "     (SELECT h FROM m) + INTERVAL 6 HOUR + INTERVAL 30 MINUTE"
+        "   WHEN event_id % 23 = 7 AND ts > TIMESTAMP '1679-01-01'"
+        "     THEN ts - INTERVAL 25 HOUR"
+        "   WHEN event_id % 23 = 11 AND ts > TIMESTAMP '1679-01-01'"
+        "     THEN ts - INTERVAL 3 HOUR"
+        "   WHEN event_id % 23 = 13 THEN"
+        "     coalesce(lag(ts) OVER (ORDER BY event_id, ts, user_id,"
+        "                            event_type, value), ts)"
+        "   ELSE ts END AS ts,"
+        " user_id, event_type, value, props FROM t"
     ),
 }
 
@@ -528,6 +600,12 @@ def main() -> None:
              "(at-least-once-delivery amplifier: dedup/upsert tie rules)",
     )
     ap.add_argument(
+        "--clockskew", action="store_true",
+        help="out-of-order event delivery in events.ts (fast-clock "
+             "producer, boundary-exact windows, backward jumps, "
+             "zero/negative inter-arrival: watermark/sequence seams)",
+    )
+    ap.add_argument(
         "--pathdocs", action="store_true",
         help="pathological documents (empty/whitespace/giant-token/"
              "giant-doc text: tokenizer and batch-shape edges)",
@@ -536,7 +614,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.dupids:
+    if args.clockskew:
+        transforms = CLOCKSKEW_TRANSFORMS
+    elif args.dupids:
         transforms = DUPID_TRANSFORMS
     elif args.nullkeys:
         transforms = NULLKEY_TRANSFORMS
