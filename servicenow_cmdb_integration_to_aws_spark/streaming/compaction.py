@@ -581,46 +581,44 @@ def i21_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a14 sink discipline), so the consistency join shuffles each side
     once on the join key; the horizon check itself is driver-side
     metadata. The straddle repair reads ONLY B's tail batch — delta
-    cost, not table cost."""
+    cost, not table cost. The two stores consume ONE physical log
+    (that is the premise — a shared upstream batch sequence), so the
+    source is staged exactly once; per-store logs would change
+    nothing semantically, only double the staging."""
     import atexit
     import shutil as _shutil
 
     cols = ["event_id", "user_id", "ts", "event_type", "value"]
     e = scan(spark, sf_dir, "events").select(*cols)
-    log_a = tempfile.mkdtemp(prefix="i21_log_a_")
-    log_b = tempfile.mkdtemp(prefix="i21_log_b_")
+    log_dir = tempfile.mkdtemp(prefix="i21_log_")
     root_a = tempfile.mkdtemp(prefix="i21_snap_a_")
     root_b = tempfile.mkdtemp(prefix="i21_snap_b_")
-    for d in (log_a, log_b, root_a, root_b):
+    for d in (log_dir, root_a, root_b):
         atexit.register(_shutil.rmtree, d, ignore_errors=True)
     store_a = SnapshotStore(root_a, key="user_id", order=["ts", "event_id"])
     store_b = SnapshotStore(
         root_b, key="user_id", order=[], fold=_user_rollup_fold
     )
-    # three source batches shared by both logs; pmod over a coalesced
+    # three source batches in one shared log; pmod over a coalesced
     # key so the thirds provably PARTITION the corpus (bare `% 3`
     # drops NULL and negative ids — the i18 lesson).
     third = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
     for i in (0, 1):
-        b = e.filter(third == i)
-        b.write.mode("overwrite").parquet(
-            os.path.join(log_a, f"batch_id={i}")
+        e.filter(third == i).write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={i}")
         )
-        b.write.mode("overwrite").parquet(
-            os.path.join(log_b, f"batch_id={i}")
-        )
-    assert store_a.compact(spark, log_a) == 1
-    assert store_b.compact(spark, log_b) == 1
-    b2 = e.filter(third == 2)
-    b2.write.mode("overwrite").parquet(os.path.join(log_a, "batch_id=2"))
-    b2.write.mode("overwrite").parquet(os.path.join(log_b, "batch_id=2"))
-    assert store_a.compact(spark, log_a) == 2  # A leads: through batch 2
+    assert store_a.compact(spark, log_dir) == 1
+    assert store_b.compact(spark, log_dir) == 1
+    e.filter(third == 2).write.mode("overwrite").parquet(
+        os.path.join(log_dir, "batch_id=2")
+    )
+    assert store_a.compact(spark, log_dir) == 2  # A leads: through batch 2
     # B's compactor has NOT run: the manifests now straddle (the state
     # a naive two-store join silently mis-reads).
     assert store_a._meta()["compacted_through"] == 2
     assert store_b._meta()["compacted_through"] == 1
     h, (da, db) = consistent_read(
-        spark, [(store_a, log_a), (store_b, log_b)]
+        spark, [(store_a, log_dir), (store_b, log_dir)]
     )
     assert h == 2
     return (
