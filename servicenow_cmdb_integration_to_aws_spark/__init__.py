@@ -201,6 +201,10 @@ _DRIVER_GREEN = frozenset(
         # here (first checked r9/r10). A brand-new id still auto-fronts
         # by not being listed.
         "i18_stream_incremental_rollup", "i19_stream_retract_rollup",
+        # r11 pass: i20 hard-signalled green in its first driver round.
+        # (i21 is r12's growth id and deliberately NOT listed — a new
+        # id must hard-signal in its first round.)
+        "i20_stream_sink_compact",
     }
 )
 

@@ -1430,3 +1430,46 @@ def test_consistent_read_repairs_straddle_and_refuses_truncation(spark):
     shutil.rmtree(os.path.join(log_c, "batch_id=1"))  # tail < horizon
     with pytest.raises(HorizonMismatch):
         consistent_read(spark, [(store_a, log_a), (store_c, log_c)])
+
+
+def test_consistent_read_never_serves_past_the_horizon(spark):
+    """i21 contract: uncompacted log batches NEWER than the horizon
+    are invisible — a store whose log already holds batch h+1 is still
+    served exactly at h (pinned version for a leader, capped tail for
+    a laggard). Serving past the horizon would put the pair right back
+    into a straddle, just in the other direction."""
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        consistent_read,
+    )
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, log_b, write_b = _mini_store(spark)
+    for bid in (0, 1):
+        write_a(bid, [(bid * 10 + 1, 10, bid), (bid * 10 + 2, 20, bid)])
+        write_b(bid, [(bid * 10 + 1, 10, bid), (bid * 10 + 2, 20, bid)])
+    assert store_a.compact(spark, log_a) == 1
+    assert store_b.compact(spark, log_b) == 1
+    # batch 2 lands in BOTH logs but NEITHER compactor has run:
+    # horizon stays 1, batch-2 rows (user 99) must not appear
+    write_a(2, [(21, 99, 5)])
+    write_b(2, [(21, 99, 5)])
+    h, (da, db) = consistent_read(
+        spark, [(store_a, log_a), (store_b, log_b)]
+    )
+    assert h == 1
+    users_a = {r["user_id"] for r in da.collect()}
+    users_b = {r["user_id"] for r in db.collect()}
+    assert users_a == users_b == {10, 20}  # 99 capped out
+
+    # and a MIXED pair: A compacts through 2 (leader), B stays at 1 —
+    # B's tail repair must now include batch 2, nothing further
+    assert store_a.compact(spark, log_a) == 2
+    write_a(3, [(31, 77, 6)])  # uncompacted batch BEYOND the horizon
+    write_b(3, [(31, 77, 6)])
+    h2, (da2, db2) = consistent_read(
+        spark, [(store_a, log_a), (store_b, log_b)]
+    )
+    assert h2 == 2
+    users_a2 = {r["user_id"] for r in da2.collect()}
+    users_b2 = {r["user_id"] for r in db2.collect()}
+    assert users_a2 == users_b2 == {10, 20, 99}  # 77 capped out
