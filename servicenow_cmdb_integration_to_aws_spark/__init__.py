@@ -262,8 +262,10 @@ _CHECK_COST_S = {
     "i19_stream_retract_rollup": 12.4,
     # r11 addition (measured sf0.01 parity-run cost incl. oracle)
     "i20_stream_sink_compact": 8.0,
-    # r12 addition (sf0.01 parity cost minus first-query warm-up)
-    "i21_consistent_read": 4.5,
+    # i21 (r12 growth id, ~4.5 s sf0.01 incl. oracle) is deliberately
+    # NOT listed this round: a new id auto-fronts with cost −1 and
+    # must hard-signal inside any plausible budget cut. Add its cost
+    # here once CORRECTNESS_r12 records the green row.
 }
 
 #: true Structured Streaming ids among the unchecked — forced to the
@@ -298,7 +300,12 @@ _RECHECK_FIRST = frozenset({
     # driver hash is the hard signal. The r6 cohort (26 ids) fronts
     # r13. Growth/changed ids auto-front or are listed in (b).
     #
-    # (a) latest driver row = r4 or r5 (51 ids):
+    # (a) latest driver row = r4 or r5 (46 of the 51; h1/h2/h4/h5/h6
+    # defer to r13 with the r6 cohort so the front block is EXACTLY
+    # 50 ids — robust even if the driver's budget is a hard 50-id
+    # cap. Those five are pure scalar-function demos in the same
+    # module as the h7/h9/h11..h14/h17 ids that DO front, so
+    # module-level breakage would still hard-signal this round:
     "a25_transform_errors", "a26_mergeschema_read", "b13_exists",
     "b14_null_safe_eq", "c24_ire_identify", "d10_percentile",
     "d16_conditional_aggs", "d5_approx_distinct", "d9_collect",
@@ -307,8 +314,8 @@ _RECHECK_FIRST = frozenset({
     "e7_firstlast", "e8_dedup_latest", "e9_ntile_dist",
     "f5_stratified_sample", "g5_intersect_all", "g6_except_all",
     "h11_hash", "h12_wordcount", "h13_bitops", "h14_struct_ops",
-    "h17_url_parse", "h1_string", "h2_regex_fn", "h4_math", "h5_cond",
-    "h6_cast", "h7_array", "h9_map", "j10_multimodal", "j11_fingerprint",
+    "h17_url_parse", "h7_array", "h9_map", "j10_multimodal",
+    "j11_fingerprint",
     "j13_chunk_split", "j14_hash_sample", "j15_dup_clusters",
     "j18_token_count", "j1_exact_dedup", "j2b_simhash", "j7_tokenize_tf",
     "j8_tfidf", "j9_lang_stats", "j9b_quality_score", "j9c_lang_id",
