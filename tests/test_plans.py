@@ -763,3 +763,22 @@ def test_i19_rebuild_day_semi_join_partition_prunes(spark, sf_dir):
     # and the null-day leg's scan statically prunes to day IS NULL
     pf = [l for l in plan.splitlines() if "PartitionFilters:" in l]
     assert any("dynamicpruning" in l for l in pf), plan
+
+
+def test_i21_consistent_join_plan_shape(spark, sf_dir):
+    """i21 plan gate: the cross-store consistency join must (1) push
+    the NULL-user exclusion into the parquet scans of BOTH stores'
+    version files (PushedFilters), (2) partial-aggregate the log-tail
+    delta before its exchange, and (3) resolve without a sort-merge
+    join at this scale (the small side broadcasts; at real scale AQE
+    would flip it to a shuffle join on the shared key, which is also
+    fine — the gate pins what must NOT appear: an un-pushed filter or
+    a missing partial agg)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["i21_consistent_read"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PushedFilters: [IsNotNull(user_id)]") >= 2, plan
+    assert "partial_sum" in plan and "partial_count" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

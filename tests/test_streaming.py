@@ -1473,3 +1473,56 @@ def test_consistent_read_never_serves_past_the_horizon(spark):
     users_a2 = {r["user_id"] for r in da2.collect()}
     users_b2 = {r["user_id"] for r in db2.collect()}
     assert users_a2 == users_b2 == {10, 20, 99}  # 77 capped out
+
+
+def test_consistent_read_retry_sees_live_compactor_publish(spark):
+    """i21 retry semantic: consistent_read re-polls the manifests
+    between attempts because in a live deployment the laggard's own
+    compactor may publish the missing fold. Simulate exactly that: B
+    lags with its log tail GONE (attempt 1 must refuse), and B's
+    compactor publishes v2 from its private full log between polls —
+    the retry then serves B's pinned v2 at the horizon."""
+    import os
+    import shutil
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        consistent_read,
+    )
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, log_b, write_b = _mini_store(spark)
+    batches = {0: [(1, 10, 0), (2, 20, 1)], 1: [(3, 10, 2), (4, 30, 3)]}
+    for bid, rows in batches.items():
+        write_a(bid, rows)
+        write_b(bid, rows)
+    # compact() folds ALL new batches into ONE version: A lands at v1,
+    # compacted through 1. B compacts only batch 0 (tail hidden), then
+    # loses its tail: the straddle that cannot self-repair from the log
+    assert store_a.compact(spark, log_a) == 1
+    assert store_a._meta()["compacted_through"] == 1
+    hidden = os.path.join(log_b, "hidden_batch_id=1")
+    os.rename(os.path.join(log_b, "batch_id=1"), hidden)
+    assert store_b.compact(spark, log_b) == 1
+    shutil.rmtree(os.path.join(log_b, "batch_id=0"))  # log truncated
+
+    calls = {"n": 0}
+    real_meta = store_b._meta
+
+    def meta_with_late_publish():
+        calls["n"] += 1
+        if calls["n"] == 2:  # between attempt 1 and attempt 2
+            os.rename(hidden, os.path.join(log_b, "batch_id=1"))
+            store_b.compact(spark, log_b)
+        return real_meta()
+
+    store_b._meta = meta_with_late_publish
+    try:
+        h, (da, db) = consistent_read(
+            spark, [(store_a, log_a), (store_b, log_b)], attempts=3
+        )
+    finally:
+        store_b._meta = real_meta
+    assert h == 1 and calls["n"] >= 2
+    assert sorted(map(tuple, da.collect())) == sorted(
+        map(tuple, db.collect())
+    )
