@@ -1094,3 +1094,79 @@ def test_connected_components_batched_probe_same_result(spark):
     want = {i: 0 for i in range(n)}
     want.update({i: i for i in range(n, n + 5)})
     assert got == want
+
+
+def test_consistent_read_equals_single_fold_any_split(spark):
+    """i21 property: for ANY partition of the rows into batches and ANY
+    straddle point (stores compacted to different prefixes), the
+    equal-horizon read of every store equals the single-shot fold over
+    the horizon prefix — latest-per-key is associative, so batching
+    and lag must be unobservable. Deterministic seeds; 4 scenarios
+    with distinct (n_batches, lag) shapes."""
+    import datetime
+    import os
+    import random
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        SnapshotStore,
+        consistent_read,
+    )
+
+    for seed, n_batches in [(1, 2), (2, 3), (3, 4), (4, 3)]:
+        rng = random.Random(seed)
+        rows = [
+            (eid, rng.randrange(6), rng.randrange(8))
+            for eid in range(24)
+        ]
+        assign = [rng.randrange(n_batches) for _ in rows]
+        lag = rng.randrange(n_batches - 1)  # B compacts through `lag`
+
+        def mkstore():
+            log = tempfile.mkdtemp(prefix="i21p_log_")
+            st = SnapshotStore(
+                tempfile.mkdtemp(prefix="i21p_snap_"),
+                key="user_id",
+                order=["ts", "event_id"],
+            )
+            return st, log
+
+        def write(log, bid, subset):
+            spark.createDataFrame(
+                [
+                    (e, u, datetime.datetime(2024, 1, 1, 12, 0, 0)
+                     + datetime.timedelta(hours=d))
+                    for (e, u, d) in subset
+                ],
+                "event_id long, user_id long, ts timestamp",
+            ).write.parquet(os.path.join(log, f"batch_id={bid}"))
+
+        store_a, log_a = mkstore()
+        store_b, log_b = mkstore()
+        for bid in range(n_batches):
+            subset = [r for r, a in zip(rows, assign) if a == bid] or [
+                (100 + bid, 0, 0)
+            ]  # keep every batch non-empty
+            write(log_a, bid, subset)
+            write(log_b, bid, subset)
+            store_a.compact(spark, log_a)  # A compacts after EVERY batch
+            if bid <= lag:
+                store_b.compact(spark, log_b)  # B stops at `lag`
+        assert store_a._meta()["compacted_through"] == n_batches - 1
+        assert store_b._meta()["compacted_through"] == lag
+        h, (da, db) = consistent_read(
+            spark, [(store_a, log_a), (store_b, log_b)]
+        )
+        assert h == n_batches - 1
+        got_a = sorted(map(tuple, da.collect()))
+        got_b = sorted(map(tuple, db.collect()))
+        # single-shot fold over the whole horizon prefix (= everything)
+        want_store, want_log = mkstore()
+        for bid in range(n_batches):
+            subset = [r for r, a in zip(rows, assign) if a == bid] or [
+                (100 + bid, 0, 0)
+            ]
+            write(want_log, bid, subset)
+        want_store.compact(spark, want_log)
+        want = sorted(map(tuple, want_store.read(spark).collect()))
+        assert got_a == want and got_b == want, (seed, n_batches, lag)
