@@ -54,17 +54,22 @@ class SnapshotStore:
     "What's missing" #3). That matches what per-table commit logs
     (Hudi, Delta pre-multi-table, Iceberg pre-catalog-txn) provide;
     consumers that need cross-table consistency must get it the same
-    ways those systems do — (a) join on data-carried watermarks
-    (both stores record `compacted_through`, the committed source
-    batch id: join the two reads and require equal batch horizons,
-    re-reading the laggard until they match), or (b) serialize the
-    two folds under one outer lock and publish a tiny manifest
-    {table: version} by atomic rename — an a20-style commit record
-    one level up, for which the primitives here (flock, temp-write +
-    os.replace) compose directly. The engine does not fake (b)
-    implicitly because a hidden global lock would serialize unrelated
-    tables' maintenance at 100 TB; the contract is documented so the
-    consumer chooses.
+    ways those systems do — both remedies are now implemented (r12),
+    and both are EXPLICIT opt-ins:
+
+    (a) :func:`consistent_read` — join on data-carried watermarks:
+        equal `compacted_through` horizons, laggards served from
+        base ∪ capped log tail, refusal (`HorizonMismatch`) when a
+        truncated log cannot reach the horizon. Lock-free; requires
+        the stores to share one upstream batch sequence.
+    (b) :class:`StoreGroup` — serialize the member folds under one
+        outer flock and publish a tiny manifest {table: version} by
+        atomic rename (the a20-style commit record one level up);
+        readers pin the manifest, never per-store `_LATEST`. Works
+        across unrelated batch sequences and gives repeatable reads,
+        at the price the contract names: the group lock serializes
+        its members' maintenance, which is why the engine still does
+        not impose it implicitly on unrelated tables at 100 TB.
     """
 
     def __init__(
@@ -633,3 +638,93 @@ def i21_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "last_ts", "last_event_type", "n_events", "sum_cents"
         )
     )
+
+
+# -- cross-store group commit (remedy (b) of the isolation contract) -----
+
+
+class StoreGroup:
+    """Transactional multi-store publication — remedy (b) from the
+    SnapshotStore isolation contract, for consumers that need a
+    STRONGER guarantee than :func:`consistent_read`'s equal-horizon
+    rule: one atomically-published, repeatable-read set of versions
+    across several stores, regardless of batch horizons.
+
+    ``with group.commit() as g: ...`` serializes maintenance across
+    the group under one outer flock; on clean exit the group writes a
+    tiny manifest ``{table: version}`` (temp-write + fsync + atomic
+    rename — the a20/i20 commit record, one level up). Readers resolve
+    the manifest ONCE (`read_pinned`) and read exactly those immutable
+    version dirs, ignoring any newer per-store ``_LATEST`` — so a
+    reader can never observe a torn pair, even while a new group
+    commit is mid-flight, and a crash BETWEEN folds publishes nothing
+    (the previous manifest stays live; per-store _LATEST may advance,
+    which is harmless because group readers never look at it).
+
+    This is deliberately OPT-IN, not the store default: the outer
+    lock serializes otherwise-unrelated tables' maintenance — the
+    documented reason the engine does not fake cross-store
+    transactions implicitly. Use :func:`consistent_read` (no lock,
+    horizon-based) when the tables share a batch sequence; use a
+    StoreGroup when they do not, or when readers need repeatable
+    pins. 100 TB notes: the manifest is O(#tables) bytes resolved
+    driver-side at plan time; version dirs stay immutable so a pinned
+    read plan remains valid for its whole (arbitrarily long) run; on
+    a shared object store the flock + rename slots are a conditional
+    put, exactly as for the single-store `_LATEST`."""
+
+    def __init__(self, group_root: str, stores: dict):
+        self.root = group_root
+        self.stores = dict(stores)
+        os.makedirs(group_root, exist_ok=True)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_MANIFEST")
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def commit(self):
+        """Context manager: flock the group, let the caller run folds
+        (`compact`/`fold_batches` on member stores), then publish the
+        member versions as one manifest. Nothing is published if the
+        body raises."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            with open(os.path.join(self.root, "_GLOCK"), "w") as lf:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lf, fcntl.LOCK_EX)
+                except ImportError:  # non-POSIX: single maintainer
+                    pass
+                yield self
+                versions = {
+                    name: s._meta()["version"]
+                    for name, s in self.stores.items()
+                }
+                fd, tmp = tempfile.mkstemp(dir=self.root)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(versions, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._manifest_path())  # atomic
+
+        return cm()
+
+    def read_pinned(self, spark: SparkSession) -> dict:
+        """Resolve the manifest once; return {table: DataFrame} of
+        exactly the published versions (never per-store _LATEST)."""
+        m = self.manifest()
+        if not m:
+            raise ValueError(f"store group {self.root} has no manifest")
+        return {
+            name: self.stores[name]._read_version(spark, v)
+            for name, v in m.items()
+        }

@@ -1526,3 +1526,65 @@ def test_consistent_read_retry_sees_live_compactor_publish(spark):
     assert sorted(map(tuple, da.collect())) == sorted(
         map(tuple, db.collect())
     )
+
+
+def test_store_group_manifest_pins_and_flips_atomically(spark):
+    """StoreGroup (remedy (b)): a group commit publishes one manifest
+    for all members; a reader that resolved the manifest BEFORE a
+    later group commit keeps reading the old consistent pair
+    (immutable version dirs), a reader after sees the new pair, and a
+    crash between folds publishes NOTHING even though a member's own
+    _LATEST advanced — group readers never observe the torn state."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        StoreGroup,
+    )
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, log_b, write_b = _mini_store(spark)
+    group = StoreGroup(
+        tempfile.mkdtemp(prefix="i21_group_"),
+        {"a": store_a, "b": store_b},
+    )
+    write_a(0, [(1, 10, 0), (2, 20, 1)])
+    write_b(0, [(1, 10, 0), (2, 20, 1)])
+    with group.commit():
+        assert store_a.compact(spark, log_a) == 1
+        assert store_b.compact(spark, log_b) == 1
+    assert group.manifest() == {"a": 1, "b": 1}
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    pinned_v1 = group.read_pinned(spark)  # resolved NOW, at {a:1, b:1}
+    v1_a, v1_b = rows(pinned_v1["a"]), rows(pinned_v1["b"])
+
+    # crash between folds: A folds batch 1, B never does, body raises
+    write_a(1, [(3, 10, 2), (4, 30, 3)])
+    write_b(1, [(3, 10, 2), (4, 30, 3)])
+    with pytest.raises(RuntimeError, match="torn"):
+        with group.commit():
+            assert store_a.compact(spark, log_a) == 2
+            raise RuntimeError("torn mid-group")
+    # nothing published: manifest still the v1 pair, even though A's
+    # own _LATEST is at 2
+    assert group.manifest() == {"a": 1, "b": 1}
+    assert store_a._meta()["version"] == 2
+    after_crash = group.read_pinned(spark)
+    assert rows(after_crash["a"]) == v1_a
+    assert rows(after_crash["b"]) == v1_b
+
+    # a clean retry completes the group; the OLD pinned plan still
+    # reads the old versions (repeatable read), a fresh resolve flips
+    with group.commit():
+        store_a.compact(spark, log_a)  # no-op: already through batch 1
+        assert store_b.compact(spark, log_b) == 2
+    assert group.manifest() == {"a": 2, "b": 2}
+    assert rows(pinned_v1["a"]) == v1_a  # immutable dirs: plan stays valid
+    fresh = group.read_pinned(spark)
+    assert rows(fresh["a"]) == rows(fresh["b"])
+    assert {r[1] for r in rows(fresh["a"])} == {10, 20, 30}
