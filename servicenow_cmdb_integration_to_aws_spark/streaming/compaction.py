@@ -709,6 +709,13 @@ class StoreGroup:
                     name: s._meta()["version"]
                     for name, s in self.stores.items()
                 }
+                empty = sorted(n for n, v in versions.items() if v == 0)
+                if empty:
+                    # fail at COMMIT time, not at some later reader's
+                    # plan time: a v=0 member has no version dir to pin
+                    raise ValueError(
+                        f"group commit with never-compacted members: {empty}"
+                    )
                 fd, tmp = tempfile.mkstemp(dir=self.root)
                 with os.fdopen(fd, "w") as f:
                     json.dump(versions, f)

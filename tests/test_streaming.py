@@ -1588,3 +1588,28 @@ def test_store_group_manifest_pins_and_flips_atomically(spark):
     fresh = group.read_pinned(spark)
     assert rows(fresh["a"]) == rows(fresh["b"])
     assert {r[1] for r in rows(fresh["a"])} == {10, 20, 30}
+
+
+def test_store_group_refuses_empty_member_at_commit(spark):
+    """A group commit that would pin a never-compacted (v=0) member
+    must fail at COMMIT time — not at some later reader's plan time —
+    and publish nothing."""
+    import tempfile
+
+    import pytest
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        StoreGroup,
+    )
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, _log_b, _write_b = _mini_store(spark)  # never compacted
+    group = StoreGroup(
+        tempfile.mkdtemp(prefix="i21_group_empty_"),
+        {"a": store_a, "b": store_b},
+    )
+    write_a(0, [(1, 10, 0)])
+    with pytest.raises(ValueError, match="never-compacted"):
+        with group.commit():
+            store_a.compact(spark, log_a)
+    assert group.manifest() == {}  # nothing published
