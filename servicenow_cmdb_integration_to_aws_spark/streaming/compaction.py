@@ -460,6 +460,8 @@ def consistent_read(
     is immutable and `_LATEST` is resolved once, so the returned plan
     stays consistent no matter how long the downstream join runs.
     """
+    if not reads:
+        raise ValueError("consistent_read needs at least one (store, log)")
     last_err: HorizonMismatch | None = None
     for _ in range(max(1, attempts)):
         metas = [s._meta() for s, _ in reads]
