@@ -9,6 +9,14 @@ All native `pyspark.sql.functions` — whole-stage codegen end-to-end,
 no Python UDFs (§2 engine policy). Cross-engine typing notes inline:
 Spark's length/year/ceil return INT/LONG where DuckDB returns BIGINT/
 DOUBLE, so every such output is cast explicitly on both sides.
+
+100 TB notes (whole category): scalar expressions are map-side,
+shuffle-free and codegen-fused — they add zero exchanges to any plan
+they appear in and scale embarrassingly with partition count. The only
+scale hazards in this family are per-ROW quadratics (regex
+backtracking, per-position substring) — bounded by the r8b --pathdocs
+contracts (quantifier bounds, chunked substring idioms) documented at
+the affected operators.
 """
 
 from __future__ import annotations

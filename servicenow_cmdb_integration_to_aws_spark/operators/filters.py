@@ -4,6 +4,14 @@ Each operator names its ServiceNow encoded-query analogue [SN-API]
 (``sysparm_query`` grammar: `field=value^field2>value2^OR...`). All are
 native Column expressions → Catalyst pushes them into the parquet scan
 (verify: `.explain` shows PushedFilters). No Python UDFs anywhere here.
+
+100 TB notes (whole category): pure map-side predicates/projections —
+zero shuffles, zero state; filters reach the scan as PushedFilters (at
+real scale that is row-group/page skipping via parquet min-max stats,
+and partition pruning where the layout provides it), projections reach
+it as ReadSchema column pruning. Cost scales with bytes actually read,
+which these operators themselves minimize; pinned by
+tests/test_plans.py (pushdown + pruning + codegen gates).
 """
 
 from __future__ import annotations

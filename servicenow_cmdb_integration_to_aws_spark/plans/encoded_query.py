@@ -22,6 +22,15 @@ Grammar (public encoded-query operators [SN-API]):
 Values are passed to Spark as string literals; Catalyst's analyzer
 applies the same implicit casts the DataFrame DSL gets (numeric /
 timestamp comparisons resolve against the column type).
+
+100 TB notes (whole module): the compiler emits ordinary Column
+expressions, so every compiled query inherits the engine's scan-time
+behavior — predicate pushdown, column pruning, partition pruning —
+identically to hand-written DataFrame code; compilation itself is
+driver-side string work, O(query length), launching zero jobs
+(tests/test_plans.py::test_no_eager_jobs_during_plan_construction).
+Dot-walk terms compile to broadcast dim joins; ^NQ unions compile to
+unionByName of independently-pushed branches.
 """
 
 from __future__ import annotations
