@@ -185,6 +185,34 @@ class CmdbEngine:
             per = _SD_PER
         return semdedup(self.spark, self.sf_dir, tau=tau, k=k, per=per)
 
+    # -- warehouse (versioned snapshot stores) -----------------------------
+    def snapshot_store(self, root: str, key: str, order: list, fold=None):
+        """Versioned latest-per-key (or custom-fold) snapshot store
+        over an append log (a15/i18 machinery): `.compact(spark, log)`
+        folds new batches, `.read(spark[, log])` merges on read,
+        `.changes(spark, v1, v2)` is the change feed (a16)."""
+        from .streaming.compaction import SnapshotStore
+
+        return SnapshotStore(root, key=key, order=order, fold=fold)
+
+    def consistent_read(self, reads: list, attempts: int = 3):
+        """Equal-horizon read across stores sharing one batch sequence
+        (i21): returns (horizon, [DataFrame, ...]); laggards are
+        served from base ∪ capped log tail; raises HorizonMismatch
+        rather than serve a straddled join."""
+        from .streaming.compaction import consistent_read
+
+        return consistent_read(self.spark, reads, attempts=attempts)
+
+    def store_group(self, group_root: str, stores: dict):
+        """Transactional multi-store publication (isolation-contract
+        remedy (b)): `with group.commit(): ...folds...` publishes one
+        atomic {table: version} manifest; `group.read_pinned(spark)`
+        gives repeatable reads on exactly the published versions."""
+        from .streaming.compaction import StoreGroup
+
+        return StoreGroup(group_root, stores)
+
     # -- maintenance -----------------------------------------------------
     def compact(self, src_dir: str, target_bytes: int | None = None) -> str:
         """Shuffle-free small-file compaction of a parquet directory
