@@ -155,3 +155,41 @@ def test_cmdb_engine_facade_session4_surface(spark, sf_dir):
     # sql surface
     n = eng.sql("SELECT COUNT(*) AS n FROM sqlv_orders").collect()[0]["n"]
     assert n == eng.table("orders").count()
+
+
+def test_facade_warehouse_surface(spark, tmp_path):
+    """CmdbEngine warehouse delegation (r12): snapshot_store /
+    consistent_read / store_group wire to the oracle-tested compaction
+    machinery — one end-to-end pass over a tiny shared log."""
+    import datetime
+    import os
+
+    from servicenow_cmdb_integration_to_aws_spark import CmdbEngine
+
+    eng = CmdbEngine(spark, str(tmp_path))
+    log = str(tmp_path / "log")
+    sa = eng.snapshot_store(
+        str(tmp_path / "a"), key="user_id", order=["ts", "event_id"]
+    )
+    sb = eng.snapshot_store(
+        str(tmp_path / "b"), key="user_id", order=["ts", "event_id"]
+    )
+    spark.createDataFrame(
+        [
+            (1, 10, datetime.datetime(2024, 1, 1, 12)),
+            (2, 10, datetime.datetime(2024, 1, 1, 13)),
+            (3, 20, datetime.datetime(2024, 1, 1, 14)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    ).write.parquet(os.path.join(log, "batch_id=0"))
+    assert sa.compact(spark, log) == 1
+    assert sb.compact(spark, log) == 1
+    h, (da, db) = eng.consistent_read([(sa, log), (sb, log)])
+    assert h == 0
+    assert sorted(map(tuple, da.collect())) == sorted(map(tuple, db.collect()))
+    assert da.count() == 2  # latest per user: users 10 and 20
+    group = eng.store_group(str(tmp_path / "grp"), {"a": sa, "b": sb})
+    with group.commit():
+        pass  # members already folded; publish {a: 1, b: 1}
+    assert group.manifest() == {"a": 1, "b": 1}
+    assert group.read_pinned(spark)["a"].count() == 2
