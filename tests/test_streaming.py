@@ -1613,3 +1613,58 @@ def test_store_group_refuses_empty_member_at_commit(spark):
         with group.commit():
             store_a.compact(spark, log_a)
     assert group.manifest() == {}  # nothing published
+
+
+def test_store_group_concurrent_commits_serialize(spark):
+    """Two group commits racing the same StoreGroup must serialize
+    under the group flock: each body folds whatever log batches exist
+    when it runs, both publish internally-consistent manifests, and
+    the final manifest matches the members' committed versions — never
+    a torn {a: vN, b: vM} where one member's fold vanished."""
+    import threading
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        StoreGroup,
+    )
+    import tempfile
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, log_b, write_b = _mini_store(spark)
+    group = StoreGroup(
+        tempfile.mkdtemp(prefix="i21_grace_"),
+        {"a": store_a, "b": store_b},
+    )
+    write_a(0, [(1, 10, 0)])
+    write_b(0, [(1, 10, 0)])
+    write_a(1, [(2, 20, 1)])
+    write_b(1, [(2, 20, 1)])
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def racer():
+        try:
+            barrier.wait(timeout=30)
+            with group.commit():
+                store_a.compact(spark, log_a)
+                store_b.compact(spark, log_b)
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    ts = [threading.Thread(target=racer) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errors
+    # the store flocks make the second compactor a no-op, the group
+    # flock makes the manifests publish one at a time — final manifest
+    # must equal the members' actual committed versions
+    m = group.manifest()
+    assert m == {
+        "a": store_a._meta()["version"],
+        "b": store_b._meta()["version"],
+    }
+    assert m["a"] == m["b"] == 1  # one fold of both batches each
+    pinned = group.read_pinned(spark)
+    assert pinned["a"].count() == pinned["b"].count() == 2
