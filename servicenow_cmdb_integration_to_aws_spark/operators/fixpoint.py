@@ -38,19 +38,31 @@ from pyspark.sql import DataFrame
 FIXPOINT_CKPT_CONF = "spark.cmdb.fixpoint.checkpointDir"
 
 
+#: raw conf value last passed to setCheckpointDir, keyed by Spark
+#: application id. Spark stores ``<dir>/<random-UUID>`` (scheme-
+#: qualified) internally, so ``sc.getCheckpointDir()`` NEVER equals the
+#: raw conf value — comparing against it would re-invoke
+#: setCheckpointDir (a DFS mkdirs + fresh UUID dir) on every round.
+#: Caching what WE last set makes the pin genuinely idempotent.
+_CKPT_SET: dict[str, str] = {}
+
+
 def cut_lineage(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and truncate its lineage between fixpoint
     rounds. Eager in both modes — under AQE a lazy checkpoint executes
     the job TWICE (once for the checkpoint, once for the consumer; the
     graph.py r8 note). The reliable path pins the context's checkpoint
-    dir idempotently (repeated ``setCheckpointDir`` with the same value
-    is a no-op; two fixpoints in one session sharing the conf share
-    the dir — each RDD checkpoints into its own subdirectory)."""
+    dir once per (application, conf value): all rounds of all
+    fixpoints sharing the conf share ONE ``setCheckpointDir`` call —
+    Spark puts each RDD's blocks in its own subdirectory of the
+    UUID dir that call created."""
     spark = df.sparkSession
     ckdir = spark.conf.get(FIXPOINT_CKPT_CONF, None)
     if not ckdir:
         return df.localCheckpoint(eager=True)
     sc = spark.sparkContext
-    if sc.getCheckpointDir() != ckdir:
+    app = sc.applicationId
+    if _CKPT_SET.get(app) != ckdir:
         sc.setCheckpointDir(ckdir)
+        _CKPT_SET[app] = ckdir
     return df.checkpoint(eager=True)

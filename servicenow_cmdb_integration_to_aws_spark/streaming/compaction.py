@@ -442,9 +442,11 @@ def consistent_read(
     base ∪ its log tail in ``(compacted_through, h]`` through the
     store's own fold (merge-on-read capped at the horizon — never
     past it, so a log batch newer than ``h`` in a leader's log is
-    deliberately invisible). If a laggard's log does not reach ``h``
+    deliberately invisible). If a laggard's log does not CONTIGUOUSLY
+    cover ``(compacted_through, h]`` — it falls short of ``h``, or
+    retention deleted an intermediate batch while keeping later ones —
     the read REFUSES with :class:`HorizonMismatch` rather than serve
-    a straddled join; manifests are re-read ``attempts`` times first,
+    a straddled or gap-folded join; manifests are re-read ``attempts`` times first,
     because in a live deployment the laggard's compactor may publish
     the missing fold between polls.
 
@@ -493,10 +495,18 @@ def consistent_read(
                     else []
                 )
                 tail = [b for b in avail if ct < b <= h]
-                if not tail or max(tail) < h:
+                if tail != list(range(ct + 1, h + 1)):
+                    # the tail must COVER (ct, h] contiguously, not just
+                    # reach h: oldest-first log retention can delete an
+                    # intermediate batch while keeping later ones (e.g.
+                    # ct=1, h=5, log holds {4,5}), and folding that gap
+                    # would silently serve state missing batches 2-3 —
+                    # exactly the wrong-answer read HorizonMismatch
+                    # exists to refuse.
                     raise HorizonMismatch(
                         f"store {store.root} compacted through {ct} and "
-                        f"its log tail {tail} does not reach horizon {h}"
+                        f"its log tail {tail} does not contiguously "
+                        f"cover ({ct}, {h}]"
                     )
                 delta = spark.read.parquet(
                     *[os.path.join(log_dir, f"batch_id={b}") for b in tail]
@@ -669,7 +679,20 @@ class StoreGroup:
     transactions implicitly. Use :func:`consistent_read` (no lock,
     horizon-based) when the tables share a batch sequence; use a
     StoreGroup when they do not, or when readers need repeatable
-    pins. 100 TB notes: the manifest is O(#tables) bytes resolved
+    pins.
+
+    Maintenance discipline: once a store joins a group, ALL its
+    compaction must happen inside ``group.commit()`` bodies. A
+    per-store compactor running outside the group lock (store flocks
+    are independent of the group flock) can advance a member between
+    the body's folds and the manifest write; the body's own folds are
+    immune when issued through the yielded handle's
+    :meth:`~StoreGroup.commit` ``g.compact(name, spark, log_dir)``,
+    which pins the version RETURNED by the fold — the manifest then
+    records exactly what the body produced, never a later _LATEST.
+    Members the body leaves untouched (or compacts directly on the
+    store object) are pinned from ``_LATEST`` at publish time, which
+    is only torn-free under the stated discipline. 100 TB notes: the manifest is O(#tables) bytes resolved
     driver-side at plan time; version dirs stay immutable so a pinned
     read plan remains valid for its whole (arbitrarily long) run; on
     a shared object store the flock + rename slots are a conditional
@@ -691,10 +714,16 @@ class StoreGroup:
             return json.load(f)
 
     def commit(self):
-        """Context manager: flock the group, let the caller run folds
-        (`compact`/`fold_batches` on member stores), then publish the
-        member versions as one manifest. Nothing is published if the
-        body raises."""
+        """Context manager: flock the group, let the caller run folds,
+        then publish the member versions as one manifest. Nothing is
+        published if the body raises. The yielded handle's
+        ``compact(name, spark, log_dir)`` records the version RETURNED
+        by the member's fold; at publish time those recorded versions
+        win over a publish-time ``_LATEST`` re-read, so an out-of-band
+        compactor racing the group cannot pin a version the body never
+        produced (members not folded through the handle fall back to
+        ``_LATEST`` — safe only under the class's maintenance
+        discipline)."""
         import contextlib
 
         @contextlib.contextmanager
@@ -706,9 +735,14 @@ class StoreGroup:
                     fcntl.flock(lf, fcntl.LOCK_EX)
                 except ImportError:  # non-POSIX: single maintainer
                     pass
-                yield self
+                self._recorded = {}
+                try:
+                    yield self
+                    recorded = self._recorded
+                finally:
+                    self._recorded = None  # pass-through outside bodies
                 versions = {
-                    name: s._meta()["version"]
+                    name: recorded.get(name, s._meta()["version"])
                     for name, s in self.stores.items()
                 }
                 empty = sorted(n for n, v in versions.items() if v == 0)
@@ -726,6 +760,17 @@ class StoreGroup:
                 os.replace(tmp, self._manifest_path())  # atomic
 
         return cm()
+
+    def compact(self, name: str, spark: SparkSession, log_dir: str) -> int:
+        """Fold a member's log inside a ``commit()`` body and RECORD
+        the returned version for the manifest — the race-proof way to
+        compact a group member (see :meth:`commit`). Outside a commit
+        body this is a plain pass-through to the member's compact."""
+        v = self.stores[name].compact(spark, log_dir)
+        rec = getattr(self, "_recorded", None)
+        if rec is not None:
+            rec[name] = v
+        return v
 
     def read_pinned(self, spark: SparkSession) -> dict:
         """Resolve the manifest once; return {table: DataFrame} of

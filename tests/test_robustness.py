@@ -1074,6 +1074,62 @@ def test_fixpoint_reliable_checkpoint_identical_and_truncates(spark, tmp_path):
     assert found, "reliable checkpoint wrote no files"
 
 
+def test_fixpoint_ckpt_dir_pinned_once_per_conf(spark, tmp_path):
+    """r12 advice (medium): Spark's setCheckpointDir stores
+    `<dir>/<random-UUID>` (scheme-qualified), so comparing
+    getCheckpointDir() against the raw conf value is always-true and
+    re-invoked setCheckpointDir every cut_lineage call — a DFS mkdirs
+    + a NEW UUID directory per fixpoint round. The fix caches the
+    last-set raw value per application: N cut_lineage calls under one
+    conf value must create exactly ONE UUID directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.fixpoint import (
+        FIXPOINT_CKPT_CONF,
+        cut_lineage,
+    )
+
+    ckdir = str(tmp_path / "pin_once")
+    df = spark.range(10).select(F.col("id"))
+    spark.conf.set(FIXPOINT_CKPT_CONF, ckdir)
+    try:
+        for _ in range(3):
+            assert cut_lineage(df).count() == 10
+        uuid_dirs = os.listdir(ckdir)
+        assert len(uuid_dirs) == 1, uuid_dirs  # one setCheckpointDir call
+        # all three RDDs checkpointed into subdirs of the ONE uuid dir
+        rdd_dirs = os.listdir(os.path.join(ckdir, uuid_dirs[0]))
+        assert len(rdd_dirs) == 3, rdd_dirs
+    finally:
+        spark.conf.unset(FIXPOINT_CKPT_CONF)
+
+
+def test_cc_probe_schedule_covers_final_budget_rounds():
+    """r12 advice (low): the batched convergence probe must fire
+    unconditionally in the last two budget rounds, so a graph
+    converging at round max_iter-2 or max_iter-1 is still detected
+    before the loop exhausts — the skip may never shrink the
+    effective convergence budget."""
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        _probe_this_round,
+    )
+
+    for max_iter in range(1, 61):
+        probed = {r for r in range(max_iter) if _probe_this_round(r, max_iter)}
+        # the final two rounds always probe (detection before exhaustion)
+        assert max_iter - 1 in probed
+        if max_iter >= 2:
+            assert max_iter - 2 in probed
+        # warm-up rounds and odd rounds probe (the r11 schedule)
+        assert {r for r in range(min(3, max_iter))} <= probed
+        assert {r for r in range(max_iter) if r % 2 == 1} <= probed
+        # any skipped round is even, late, and followed by a probe
+        for r in set(range(max_iter)) - probed:
+            assert r >= 3 and r % 2 == 0 and (r + 1) in probed
+
+
 def test_connected_components_batched_probe_same_result(spark):
     """r11 verdict item 6: the every-2nd-round convergence probe must
     not change results — pin CC on a long path graph (many rounds, the

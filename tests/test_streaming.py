@@ -1432,6 +1432,85 @@ def test_consistent_read_repairs_straddle_and_refuses_truncation(spark):
         consistent_read(spark, [(store_a, log_a), (store_c, log_c)])
 
 
+def test_consistent_read_refuses_gap_in_log_tail(spark):
+    """r12 advice (medium): the tail check must require CONTIGUOUS
+    coverage of (compacted_through, horizon], not merely that the tail
+    reaches the horizon. Oldest-first log retention can delete an
+    INTERMEDIATE batch while keeping later ones — e.g. ct=0, h=3, log
+    holds {2,3}: folding that tail silently serves state missing
+    batch 1. The read must refuse with HorizonMismatch."""
+    import os
+    import shutil
+
+    import pytest
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        HorizonMismatch,
+        consistent_read,
+    )
+
+    batches = {
+        0: [(1, 10, 0), (2, 20, 1)],
+        1: [(3, 10, 2), (4, 30, 3)],
+        2: [(5, 20, 4), (6, 40, 5)],
+        3: [(7, 30, 6), (8, 50, 7)],
+    }
+    store_a, log_a, write_a = _mini_store(spark)
+    for bid in range(4):
+        write_a(bid, batches[bid])
+    assert store_a.compact(spark, log_a) == 1  # leader: through batch 3
+    assert store_a._meta()["compacted_through"] == 3
+
+    store_b, log_b, write_b = _mini_store(spark)
+    write_b(0, batches[0])
+    assert store_b.compact(spark, log_b) == 1  # laggard: through batch 0
+    for bid in (1, 2, 3):
+        write_b(bid, batches[bid])
+    # oldest-first retention eats the INTERMEDIATE batch 1; the tail
+    # {2,3} still REACHES the horizon — the pre-fix check passed this
+    shutil.rmtree(os.path.join(log_b, "batch_id=1"))
+    with pytest.raises(HorizonMismatch, match="contiguous"):
+        consistent_read(spark, [(store_a, log_a), (store_b, log_b)])
+
+
+def test_store_group_handle_pins_body_fold_versions(spark):
+    """r12 advice (low): an out-of-band per-store compactor (store
+    flocks are independent of the group flock) advancing a member
+    BETWEEN the body's folds and the manifest write must not get its
+    version pinned into the group manifest. Folding through the
+    yielded handle's g.compact records the version the body's fold
+    RETURNED; the publish uses that, not a _LATEST re-read."""
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        StoreGroup,
+    )
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, log_b, write_b = _mini_store(spark)
+    group = StoreGroup(
+        tempfile.mkdtemp(prefix="i22_handle_"),
+        {"a": store_a, "b": store_b},
+    )
+    write_a(0, [(1, 10, 0)])
+    write_b(0, [(1, 10, 0)])
+    with group.commit() as g:
+        assert g.compact("a", spark, log_a) == 1
+        assert g.compact("b", spark, log_b) == 1
+        # out-of-band compactor races in AFTER the body's folds but
+        # BEFORE the manifest write: member a advances to v2
+        write_a(1, [(2, 20, 1)])
+        assert store_a.compact(spark, log_a) == 2
+    # the manifest pins what the BODY produced, not the racer's v2
+    assert group.manifest() == {"a": 1, "b": 1}
+    pinned = group.read_pinned(spark)
+    assert pinned["a"].count() == pinned["b"].count() == 1
+    # outside a commit body the handle is a plain pass-through
+    write_b(1, [(3, 20, 2)])
+    assert group.compact("b", spark, log_b) == 2
+    assert group.manifest() == {"a": 1, "b": 1}  # unchanged
+
+
 def test_consistent_read_never_serves_past_the_horizon(spark):
     """i21 contract: uncompacted log batches NEWER than the horizon
     are invisible — a store whose log already holds batch h+1 is still
