@@ -202,9 +202,11 @@ _DRIVER_GREEN = frozenset(
         # by not being listed.
         "i18_stream_incremental_rollup", "i19_stream_retract_rollup",
         # r11 pass: i20 hard-signalled green in its first driver round.
-        # (i21 is r12's growth id and deliberately NOT listed — a new
-        # id must hard-signal in its first round.)
         "i20_stream_sink_compact",
+        # r12 pass: i21 hard-signalled green in its first driver round.
+        # (i22 is r13's growth id and deliberately NOT listed — a new
+        # id must hard-signal in its first round.)
+        "i21_consistent_read",
     }
 )
 
@@ -262,10 +264,13 @@ _CHECK_COST_S = {
     "i19_stream_retract_rollup": 12.4,
     # r11 addition (measured sf0.01 parity-run cost incl. oracle)
     "i20_stream_sink_compact": 8.0,
-    # i21 (r12 growth id, ~4.5 s sf0.01 incl. oracle) is deliberately
-    # NOT listed this round: a new id auto-fronts with cost −1 and
-    # must hard-signal inside any plausible budget cut. Add its cost
-    # here once CORRECTNESS_r12 records the green row.
+    # r12 addition (CORRECTNESS_r12 green; measured sf0.01 cost)
+    "i21_consistent_read": 4.5,
+    # i22 (r13 growth id, ~11 s sf0.01 incl. oracle — two group
+    # commits over two stores) is deliberately NOT listed this round:
+    # a new id auto-fronts with cost −1 and must hard-signal inside
+    # any plausible budget cut. Add its cost here once
+    # CORRECTNESS_r13 records the green row.
 }
 
 #: true Structured Streaming ids among the unchecked — forced to the
@@ -291,40 +296,42 @@ _STREAMING_LAST = frozenset({
 #: 50-id budget re-proving exactly the code that moved (r8 verdict
 #: punch-list item 3) instead of re-checking untouched greens.
 _RECHECK_FIRST = frozenset({
-    # Rebuilt for r12 (r11 verdict item 1): finish re-anchoring driver
-    # CORRECTNESS rows on post-scan-cache/post-canon code. The r11
-    # rotation cleared the r1 backlog; this round fronts the ENTIRE
-    # remaining r4/r5 cohort — all 51 ids whose latest driver row is
-    # r4 or r5 (computed from CORRECTNESS_r01..r11 latest-round map).
-    # The judge's 16-id parity sample says the cohort is healthy; the
-    # driver hash is the hard signal. The r6 cohort (26 ids) fronts
-    # r13. Growth/changed ids auto-front or are listed in (b).
+    # Rebuilt for r13 (r12 verdict item 1): front the FINAL stale
+    # cohort — all 31 ids whose latest driver row is ≤ r6 (computed
+    # from the CORRECTNESS_r01..r12 latest-round map: 5 at r4, 26 at
+    # r6) — plus this round's code-moved ids, plus the 14 cheapest r7
+    # ids, so the block is EXACTLY 49 listed + the auto-fronting
+    # growth id i22 = 50 (robust even if the driver's budget is a
+    # hard 50-id cap). After r13, the registry's staleness floor
+    # rises to r7 with 32 r7 ids left for r14.
     #
-    # (a) latest driver row = r4 or r5 (46 of the 51; h1/h2/h4/h5/h6
-    # defer to r13 with the r6 cohort so the front block is EXACTLY
-    # 50 ids — robust even if the driver's budget is a hard 50-id
-    # cap. Those five are pure scalar-function demos in the same
-    # module as the h7/h9/h11..h14/h17 ids that DO front, so
-    # module-level breakage would still hard-signal this round:
-    "a25_transform_errors", "a26_mergeschema_read", "b13_exists",
-    "b14_null_safe_eq", "c24_ire_identify", "d10_percentile",
-    "d16_conditional_aggs", "d5_approx_distinct", "d9_collect",
-    "e10_gap_islands", "e11_windowed_count_distinct",
-    "e15_rank_distribution", "e2_rank", "e3_lag_lead", "e6_range_frame",
-    "e7_firstlast", "e8_dedup_latest", "e9_ntile_dist",
-    "f5_stratified_sample", "g5_intersect_all", "g6_except_all",
-    "h11_hash", "h12_wordcount", "h13_bitops", "h14_struct_ops",
-    "h17_url_parse", "h7_array", "h9_map", "j10_multimodal",
-    "j11_fingerprint",
-    "j13_chunk_split", "j14_hash_sample", "j15_dup_clusters",
-    "j18_token_count", "j1_exact_dedup", "j2b_simhash", "j7_tokenize_tf",
-    "j8_tfidf", "j9_lang_stats", "j9b_quality_score", "j9c_lang_id",
-    "k3_grouped_map", "k6_arrow_map", "m4_image_decode", "m5_audio_decode",
-    "t4_golden_q18",
-    # (b) engine code moved in r12 after an older green row (reliable-
-    # checkpoint option + batched convergence probe on the fixpoint
-    # family; i21 is brand-new and auto-fronts):
-    "c12_rel_closure_unbounded", "c22_k_core", "j16_neardup_components",
+    # (a) the 5 r4 h-family scalar ids (deferred from r12 by design):
+    "h1_string", "h2_regex_fn", "h4_math", "h5_cond", "h6_cast",
+    # (b) the 26-id r6 cohort:
+    "c18_scd2_intervals", "d28_heavy_hitters", "e14_seq_pattern",
+    "i8_watermark_inc", "i9_cdc_merge", "j17_bigram_lm",
+    "j20_mixture_sample", "j21_domain_cap", "j24_repetition_filter",
+    "j25_incremental_dedup", "j26_train_eval_split",
+    "j28_quality_classifier", "j34_length_histogram",
+    "j36_cluster_representative", "j42_bpe_pair_stats",
+    "j43_importance_sample", "j44_feature_hashing",
+    "j48_bpe_merge_apply", "j51_temperature_sample", "k1_udf_scalar",
+    "k2_pandas_udf", "k5_udtf", "k7_pandas_iter_udf",
+    "m2_binary_meta_join", "m6_binary_dedup", "m7_modality_router",
+    # (c) engine code moved in r13 after an r12 green row: i21's
+    # consistent_read gained the contiguous-tail refusal; the fixpoint
+    # family's cut_lineage gained the per-application checkpoint-dir
+    # pin and connected_components the always-probe-final-rounds
+    # schedule (i22 is brand-new and auto-fronts):
+    "i21_consistent_read", "c12_rel_closure_unbounded", "c22_k_core",
+    "j16_neardup_components",
+    # (d) 14 cheapest r7 ids (shortest-job-first by _CHECK_COST_S,
+    # name tiebreak) — the start of raising the floor past r7:
+    "f6_keyset_page", "f7_exact_k_sample", "p10_text_search",
+    "p2_encoded_nq", "p3_encoded_ops", "f8_stratified_exact_k",
+    "k10_sql_udf", "p11_parameterized_sql", "p1_encoded_filter",
+    "a23_corrupt_tolerant_scan", "b19_scalar_subquery",
+    "d25_bitmap_distinct", "g7_delta_detect", "p6_encoded_agg",
 })
 
 

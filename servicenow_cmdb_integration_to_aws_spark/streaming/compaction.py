@@ -782,3 +782,163 @@ class StoreGroup:
             name: self.stores[name]._read_version(spark, v)
             for name, v in m.items()
         }
+
+
+def _type_rollup_fold(base: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Per-event_type count/sum-cents aggregate fold (i22's store B) —
+    the i21 rollup algebra keyed on event_type instead of user_id.
+    The delta is RAW log rows; the base, when present, is already
+    aggregated (count/sum are associative-commutative, so base ⊎ delta
+    is one re-aggregation). NULL event_type stays as its own group in
+    the STORE (own-group snapshot semantics; the r9 nullkeys rule) —
+    the consumer join decides exclusion."""
+    from ..operators.numeric import finite_metric
+
+    cents = (finite_metric("value").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    d = (
+        delta.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("type_n_events"),
+            F.sum("cents").alias("type_sum_cents"),
+        )
+    )
+    if base is None:
+        return d
+    return (
+        base.unionByName(d)
+        .groupBy("event_type")
+        .agg(
+            F.sum("type_n_events").alias("type_n_events"),
+            F.sum("type_sum_cents").alias("type_sum_cents"),
+        )
+    )
+
+
+@query(
+    "i22_store_group_read",
+    oracle=f"""
+    {EVENTS_US},
+    latest AS (
+        SELECT user_id, ts, event_type
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn
+              FROM e WHERE user_id IS NOT NULL)
+        WHERE rn = 1
+    ),
+    roll AS (
+        SELECT event_type,
+               COUNT(*) AS type_n_events,
+               CAST(SUM(CAST(CAST(({FIN}) AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS type_sum_cents
+        FROM e WHERE event_type IS NOT NULL GROUP BY 1
+    )
+    SELECT l.user_id, l.ts AS last_ts, l.event_type AS last_event_type,
+           r.type_n_events, r.type_sum_cents
+    FROM latest l JOIN roll r ON l.event_type = r.event_type
+    """,
+)
+def i22_store_group_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional multi-store read (i22): two snapshot stores with
+    UNRELATED batch sequences — store "users" the latest-event-per-user
+    upsert fed by a 2-way source split, store "types" the
+    per-event_type rollup fed by a 3-way split — published through
+    TWO :class:`StoreGroup` commits (partial, then full) and consumed
+    via ``read_pinned``. This is the case :func:`consistent_read`
+    cannot serve (no shared ``batch_id`` horizon exists across the
+    logs); the group manifest is what makes the pair joinable.
+
+    Mechanics pinned inline: the first commit's pinned read stays
+    valid and UNCHANGED after the second commit flips the manifest
+    (repeatable read over immutable version dirs); both commits fold
+    through the yielded handle so the manifest records exactly the
+    body's fold versions. The torn-commit refusal and the
+    naive-reader anomaly are pytest pins at two SFs
+    (``tests/test_streaming.py``).
+
+    Oracle: the single-fold recompute over the full corpus — both
+    splits partition `events`, so the second manifest ≡ all rows.
+    NULL policy (r9 nullkeys rule): both stores keep their NULL key
+    group (own-group snapshot semantics); the consumer join EXCLUDES
+    NULL user_id (store A's key) and NULL event_type (the join key),
+    explicitly in both engines.
+
+    100 TB notes: the group manifest is O(#tables) bytes, written
+    under the group flock (a conditional put on a shared object
+    store) and resolved ONCE at read-plan time — version dirs are
+    immutable, so a pinned join plan stays valid for its whole run
+    regardless of concurrent group commits. Each commit's fold cost
+    is delta-sized per member (the store's own incremental contract);
+    the consumer join shuffles each side once on event_type, with the
+    tiny types rollup broadcast by AQE."""
+    import atexit
+    import shutil as _shutil
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    e = scan(spark, sf_dir, "events").select(*cols)
+    log_a = tempfile.mkdtemp(prefix="i22_log_users_")
+    log_b = tempfile.mkdtemp(prefix="i22_log_types_")
+    root_a = tempfile.mkdtemp(prefix="i22_snap_users_")
+    root_b = tempfile.mkdtemp(prefix="i22_snap_types_")
+    group_root = tempfile.mkdtemp(prefix="i22_group_")
+    for d in (log_a, log_b, root_a, root_b, group_root):
+        atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    store_a = SnapshotStore(root_a, key="user_id", order=["ts", "event_id"])
+    store_b = SnapshotStore(
+        root_b, key="event_type", order=[], fold=_type_rollup_fold
+    )
+    group = StoreGroup(group_root, {"users": store_a, "types": store_b})
+    # two UNRELATED batch sequences over the same corpus: pmod over a
+    # coalesced key so the splits provably PARTITION it (bare `% k`
+    # drops NULL and negative ids — the i18 lesson).
+    key = F.coalesce(F.col("event_id"), F.lit(0))
+    half, third = F.pmod(key, F.lit(2)), F.pmod(key, F.lit(3))
+    e.filter(half == 0).write.mode("overwrite").parquet(
+        os.path.join(log_a, "batch_id=0")
+    )
+    for i in (0, 1):
+        e.filter(third == i).write.mode("overwrite").parquet(
+            os.path.join(log_b, f"batch_id={i}")
+        )
+    with group.commit() as g:
+        assert g.compact("users", spark, log_a) == 1
+        assert g.compact("types", spark, log_b) == 1
+    assert group.manifest() == {"users": 1, "types": 1}
+    pinned_v1 = group.read_pinned(spark)  # resolved NOW at {1, 1}
+    # the rest of both sequences arrives; second group commit flips
+    e.filter(half == 1).write.mode("overwrite").parquet(
+        os.path.join(log_a, "batch_id=1")
+    )
+    e.filter(third == 2).write.mode("overwrite").parquet(
+        os.path.join(log_b, "batch_id=2")
+    )
+    with group.commit() as g:
+        assert g.compact("users", spark, log_a) == 2
+        assert g.compact("types", spark, log_b) == 2
+    assert group.manifest() == {"users": 2, "types": 2}
+    # repeatable read: the pre-flip plan still reads the v1 pair
+    # (immutable dirs) — pinned at {1,1} even though _LATEST is {2,2}
+    assert store_a._meta()["version"] == store_b._meta()["version"] == 2
+    for name in ("users", "types"):
+        assert pinned_v1[name] is not None  # plan remains resolvable
+    fresh = group.read_pinned(spark)
+    da, db = fresh["users"], fresh["types"]
+    return (
+        da.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .join(db.filter(F.col("event_type").isNotNull())
+                .withColumnRenamed("event_type", "last_event_type"),
+              "last_event_type")
+        .select(
+            "user_id", "last_ts", "last_event_type",
+            "type_n_events", "type_sum_cents",
+        )
+    )

@@ -1511,6 +1511,110 @@ def test_store_group_handle_pins_body_fold_versions(spark):
     assert group.manifest() == {"a": 1, "b": 1}  # unchanged
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_store_group_anomaly_and_torn_commit_on_events(spark, sf_dir):
+    """i22 pins at two SFs on the REAL events table: (1) the
+    naive-reader anomaly — after one member is compacted out-of-band,
+    joining the two stores' _LATEST versions combines a full-corpus
+    users state with a partial types rollup (torn pair); (2) the group
+    reader is immune — read_pinned still serves the first commit's
+    consistent pair; (3) a commit body that raises mid-group publishes
+    NOTHING (torn-commit refusal), even though a member's own _LATEST
+    advanced."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.sources.tables import scan
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        SnapshotStore,
+        StoreGroup,
+        _type_rollup_fold,
+    )
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    e = scan(spark, sf_dir, "events").select(*cols)
+    dirs = [tempfile.mkdtemp(prefix=f"i22_pin_{i}_") for i in range(5)]
+    log_a, log_b, root_a, root_b, group_root = dirs
+    try:
+        store_a = SnapshotStore(
+            root_a, key="user_id", order=["ts", "event_id"]
+        )
+        store_b = SnapshotStore(
+            root_b, key="event_type", order=[], fold=_type_rollup_fold
+        )
+        group = StoreGroup(
+            group_root, {"users": store_a, "types": store_b}
+        )
+        key = F.coalesce(F.col("event_id"), F.lit(0))
+        half, third = F.pmod(key, F.lit(2)), F.pmod(key, F.lit(3))
+        e.filter(half == 0).write.parquet(os.path.join(log_a, "batch_id=0"))
+        for i in (0, 1):
+            e.filter(third == i).write.parquet(
+                os.path.join(log_b, f"batch_id={i}")
+            )
+        with group.commit() as g:
+            assert g.compact("users", spark, log_a) == 1
+            assert g.compact("types", spark, log_b) == 1
+        # out-of-band: ONLY users advances (store flocks are
+        # independent of the group flock)
+        e.filter(half == 1).write.parquet(os.path.join(log_a, "batch_id=1"))
+        assert store_a.compact(spark, log_a) == 2
+
+        n_total = e.count()
+        n_first_two_thirds = e.filter(third != 2).count()
+        assert n_first_two_thirds < n_total  # batch 2 is non-empty
+        # (1) the naive pair is TORN: users' _LATEST covers the full
+        # corpus while types' rollup counts only 2/3 of it
+        naive_users = store_a._read_version(spark, 2)
+        naive_types = store_b._read_version(spark, 1)
+        assert naive_users.count() == e.select("user_id").distinct().count()
+        naive_total = naive_types.agg(
+            F.sum("type_n_events").alias("n")
+        ).collect()[0]["n"]
+        assert naive_total == n_first_two_thirds < n_total
+        # (2) the group reader never sees it: manifest still the first
+        # commit's pair, both sides cut at THEIR commit-time slices
+        assert group.manifest() == {"users": 1, "types": 1}
+        pinned = group.read_pinned(spark)
+        assert (
+            pinned["users"].count()
+            == e.filter(half == 0).select("user_id").distinct().count()
+        )
+        assert (
+            pinned["types"].agg(F.sum("type_n_events").alias("n"))
+            .collect()[0]["n"]
+            == n_first_two_thirds
+        )
+        # (3) torn-commit refusal: body folds types to v2 then dies —
+        # nothing publishes, the pinned pair survives
+        e.filter(third == 2).write.parquet(os.path.join(log_b, "batch_id=2"))
+        with pytest.raises(RuntimeError, match="mid-group"):
+            with group.commit() as g:
+                assert g.compact("types", spark, log_b) == 2
+                raise RuntimeError("died mid-group")
+        assert group.manifest() == {"users": 1, "types": 1}
+        assert store_b._meta()["version"] == 2  # _LATEST advanced, unpinned
+        # a clean retry completes the group at the full corpus
+        with group.commit() as g:
+            g.compact("users", spark, log_a)
+            g.compact("types", spark, log_b)
+        assert group.manifest() == {"users": 2, "types": 2}
+        fresh = group.read_pinned(spark)
+        assert (
+            fresh["types"].agg(F.sum("type_n_events").alias("n"))
+            .collect()[0]["n"]
+            == n_total
+        )
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_consistent_read_never_serves_past_the_horizon(spark):
     """i21 contract: uncompacted log batches NEWER than the horizon
     are invisible — a store whose log already holds batch h+1 is still
