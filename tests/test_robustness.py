@@ -1106,6 +1106,86 @@ def test_fixpoint_ckpt_dir_pinned_once_per_conf(spark, tmp_path):
         spark.conf.unset(FIXPOINT_CKPT_CONF)
 
 
+def test_fixpoint_reliable_checkpoint_cross_session_restore(tmp_path):
+    """r12 verdict item 4: a NEW SparkContext pointed at the same
+    FIXPOINT_CKPT_CONF dir resumes a fixpoint's checkpointed state
+    WITHOUT recomputing from source — proven by deleting the source
+    parquet between the sessions (a lineage recompute would fail; the
+    restore must not). Runs in a subprocess because it needs two
+    fresh SparkContexts and must not disturb the shared fixture."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = tmp_path / "restore_probe.py"
+    script.write_text(textwrap.dedent("""
+        import glob, json, os, shutil, sys
+        from pyspark.sql import SparkSession, functions as F
+
+        from servicenow_cmdb_integration_to_aws_spark.operators.fixpoint import (
+            FIXPOINT_CKPT_CONF, cut_lineage, restore_checkpoint,
+        )
+
+        work = sys.argv[1]
+        ckdir = os.path.join(work, "reliable")
+        src = os.path.join(work, "source_parquet")
+
+        def build(name):
+            return (SparkSession.builder.master("local[4]")
+                    .appName(name)
+                    .config("spark.sql.shuffle.partitions", "4")
+                    .config("spark.ui.enabled", "false")
+                    .getOrCreate())
+
+        # session 1: one fixpoint-style round, reliably checkpointed
+        spark = build("ckpt_writer")
+        spark.range(1000).select(
+            F.col("id"), (F.col("id") * 3 % 17).alias("g")
+        ).write.mode("overwrite").parquet(src)
+        df = (spark.read.parquet(src).groupBy("g")
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")))
+        spark.conf.set(FIXPOINT_CKPT_CONF, ckdir)
+        ck = cut_lineage(df)
+        rows1 = sorted(map(tuple, ck.collect()))
+        record = {"schema": ck.schema.json()}
+        rdd_dirs = glob.glob(os.path.join(ckdir, "*", "rdd-*"))
+        assert len(rdd_dirs) == 1, rdd_dirs
+        record["rdd_dir"] = rdd_dirs[0]
+        spark.stop()
+
+        # the source is GONE: restore cannot recompute from lineage
+        shutil.rmtree(src)
+
+        # session 2: brand-new SparkContext restores from files alone
+        spark2 = build("ckpt_restorer")
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(json.loads(record["schema"]))
+        restored = restore_checkpoint(spark2, record["rdd_dir"], schema)
+        rows2 = sorted(map(tuple, restored.collect()))
+        assert rows2 == rows1, (rows1[:3], rows2[:3])
+        # and it is a live DataFrame: further transforms plan and run
+        assert restored.agg(F.sum("n")).collect()[0][0] == 1000
+        spark2.stop()
+        print("RESTORE_OK")
+    """))
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    out = subprocess.run(
+        [sys.executable, str(script), str(tmp_path / "work")],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "RESTORE_OK" in out.stdout
+
+
 def test_cc_probe_schedule_covers_final_budget_rounds():
     """r12 advice (low): the batched convergence probe must fire
     unconditionally in the last two budget rounds, so a graph
