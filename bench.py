@@ -110,6 +110,36 @@ def run_one(queries, qid, spark, sf_dir, pool: str | None = None) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _warm_streaming(spark) -> None:
+    """One tiny throwaway streaming query (stateful agg → noop sink,
+    availableNow) to absorb the streaming subsystem's one-time
+    spin-up — micro-batch scheduler, state-store provider threads,
+    streaming-specific codegen — so the first TIMED streaming id
+    doesn't own it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.functions import col as F_col
+
+    d = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    try:
+        spark.range(64).write.mode("overwrite").parquet(d + "/src")
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(d + "/src")
+            .groupBy((F_col("id") % 8).alias("g"))
+            .count()
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", d + "/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     # The driver records only the LAST 2000 chars of stdout and parses
     # that as JSON (round 1's 4.5 KB line came back `parsed: null`).
@@ -211,6 +241,12 @@ def main() -> None:
     spark.stop()
     spark = build_session("bench-serial-streaming")
     entrymod.entry(spark).collect()
+    # warm the STREAMING subsystem itself before the timed block (r12
+    # verdict item 7): even in a fresh context, the first streaming
+    # execution pays one-time micro-batch-scheduler + state-store
+    # spin-up (~2-2.5 s) that otherwise lands on the alphabetically
+    # first id (a18) and reads as a per-id regression.
+    _warm_streaming(spark)
     for qid in sorted(STREAMING_IDS & set(queries)):
         stream_times[qid] = run_one(queries, qid, spark, sf_dir)
 

@@ -15,8 +15,9 @@ set -e
 cd "$(dirname "$0")/.."
 BASE=${1:-/root/testdata/sf0.001}
 PREFIX=${2:-chain}
-# 12 composable amplifiers + clockskew (r12) before the key tail
-AXES='|--nulls|--unicode|--nulls-doc|--extremes|--timewarp|--pathdocs|--vec-extremes|--props|--datewarp|--dupids|--clockskew'
+# 13 composable amplifiers (evil-unicode is r13's 20th axis) +
+# clockskew (r12) before the key tail
+AXES='|--nulls|--unicode|--evil-unicode|--nulls-doc|--extremes|--timewarp|--pathdocs|--vec-extremes|--props|--datewarp|--dupids|--clockskew'
 build() { # $1 = order tag, $2 = tail axes
   prev=$BASE
   i=0

@@ -519,6 +519,81 @@ UNICODE_TRANSFORMS = {
 }
 
 
+#: --evil-unicode mode (20th axis, r12 verdict item 5): ADVERSARIAL
+#: unicode — the hostile tail the common-case --unicode axis skips.
+#: documents.text gains zero-width joiners/spaces INSIDE tokens
+#: (format-category codepoints: invisible, not \\w, split byte-level
+#: tools from codepoint-level ones), astral-plane codepoints
+#: (surrogate pairs: UTF-16 length != codepoint count != UTF-8 bytes),
+#: combining-mark stacks, BiDi overrides, and MIXED-NORMALIZATION
+#: duplicates — the same sentence NFC in one row and NFD in another
+#: (doc_id%17 in {9,10}), NFC/NFD twin SUFFIXES on otherwise
+#: unrelated rows ({4,5}), and both forms inside ONE document ({8}).
+#: events.props stays VALID JSON (hostile JSON is --props) but carries
+#: ZWJ-ed values, emoji ZWJ sequences, unicode keys in both
+#: normalizations, BiDi content and astral values. The seams this
+#: targets: Java-regex vs DuckDB-RE2 word/token boundaries around
+#: format codepoints, length()/substr() codepoint-vs-byte splits,
+#: shingle/fingerprint hashing of combining sequences, and any path
+#: that silently normalizes on one engine only (the j39
+#: ASCII-projection contract is the template for a finding). All
+#: injected strings are built from EXPLICIT \\uXXXX escapes below so
+#: the normalization form of every literal is auditable in source.
+_ZWJ = "\u200d"    # ZERO WIDTH JOINER (format, invisible, not \\w)
+_ZWSP = "\u200b"   # ZERO WIDTH SPACE
+_ZWNJ = "\u200c"   # ZERO WIDTH NON-JOINER
+_RLO = "\u202e"    # RIGHT-TO-LEFT OVERRIDE (BiDi)
+_PDF = "\u202c"    # POP DIRECTIONAL FORMATTING
+_ASTRAL = "\U0001d54f"          # MATHEMATICAL DOUBLE-STRUCK CAPITAL X
+_GOTHIC = "\U00010348"          # GOTHIC LETTER HWAIR (plane 1)
+_FAMILY = "\U0001f468" + _ZWJ + "\U0001f469" + _ZWJ + "\U0001f467"
+_MARKSTACK = " a\u0301\u0302\u0303\u0304z"   # 4 combining marks on one base
+#: the same phrase in both normal forms — NFC composed codepoints vs
+#: NFD base+combining sequences; byte-unequal, render-identical.
+_NFC_SUF = " d\u00e9j\u00e0 caf\u00e9 r\u00e9sum\u00e9"
+_NFD_SUF = " de\u0301ja\u0300 cafe\u0301 re\u0301sume\u0301"
+_NFC_SENT = "caf\u00e9 r\u00e9sum\u00e9 d\u00e9j\u00e0 vu \u00fcber na\u00efve"
+_NFD_SENT = (
+    "cafe\u0301 re\u0301sume\u0301 de\u0301ja\u0300 vu"
+    " u\u0308ber nai\u0308ve"
+)
+EVIL_UNICODE_TRANSFORMS = {
+    "documents": (
+        "SELECT doc_id, text, lang, source,"
+        " CAST(length(text) AS BIGINT) AS n_chars FROM ("
+        "SELECT doc_id,"
+        " CASE doc_id % 17"
+        "   WHEN 1 THEN replace(text, 'key', 'k" + _ZWJ + "ey')"
+        "   WHEN 2 THEN '" + _ZWNJ + "' || replace(text, 'sort', 'so"
+        + _ZWSP + "rt')"
+        "   WHEN 3 THEN text || ' " + _ASTRAL + "alue " + _GOTHIC + " "
+        + _FAMILY + "'"
+        "   WHEN 4 THEN text || '" + _NFC_SUF + "'"
+        "   WHEN 5 THEN text || '" + _NFD_SUF + "'"
+        "   WHEN 6 THEN text || '" + _MARKSTACK + "'"
+        "   WHEN 7 THEN text || ' " + _RLO + "versed" + _PDF + "'"
+        "   WHEN 8 THEN replace(replace(text, 'merge', 'm\u00e9rge'),"
+        " 'table', 'ta\u0301ble')"
+        "   WHEN 9 THEN '" + _NFC_SENT + "'"
+        "   WHEN 10 THEN '" + _NFD_SENT + "'"
+        "   ELSE text END AS text,"
+        " lang, source FROM t)"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id, event_type, value,"
+        " CASE event_id % 29"
+        '   WHEN 3 THEN \'{"k": 1, "name": "t' + _ZWJ + 'he"}\''
+        '   WHEN 7 THEN \'{"k": 2, "emoji": "' + _FAMILY + _ZWJ
+        + '\U0001f466"}\''
+        '   WHEN 11 THEN \'{"caf\u00e9": 3}\''
+        '   WHEN 13 THEN \'{"cafe\u0301": 4}\''
+        '   WHEN 17 THEN \'{"k": "' + _RLO + 'evil' + _PDF + '"}\''
+        '   WHEN 19 THEN \'{"k": "' + _ASTRAL + _ZWSP + _ASTRAL + '"}\''
+        "   ELSE props END AS props FROM t"
+    ),
+}
+
+
 def _limit_corpus(src: str, out: str, n: int) -> None:
     """--limit mode: keep only the first n rows of every table (n=1 →
     single-row corpus, n=0 → empty corpus with intact schemas). The
@@ -606,6 +681,12 @@ def main() -> None:
              "zero/negative inter-arrival: watermark/sequence seams)",
     )
     ap.add_argument(
+        "--evil-unicode", action="store_true",
+        help="adversarial unicode in documents.text/events.props "
+             "(zero-width/combining/astral/BiDi + mixed-normalization "
+             "duplicates: tokenizer and dedup seams)",
+    )
+    ap.add_argument(
         "--pathdocs", action="store_true",
         help="pathological documents (empty/whitespace/giant-token/"
              "giant-doc text: tokenizer and batch-shape edges)",
@@ -614,7 +695,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.clockskew:
+    if args.evil_unicode:
+        transforms = EVIL_UNICODE_TRANSFORMS
+    elif args.clockskew:
         transforms = CLOCKSKEW_TRANSFORMS
     elif args.dupids:
         transforms = DUPID_TRANSFORMS
