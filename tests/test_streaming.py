@@ -1773,6 +1773,64 @@ def test_store_group_manifest_pins_and_flips_atomically(spark):
     assert {r[1] for r in rows(fresh["a"])} == {10, 20, 30}
 
 
+def test_store_group_reader_never_sees_torn_pair_mid_commit(spark):
+    """Atomicity under live concurrency: a reader polling the group
+    manifest WHILE a commit is mid-flight (member a folded, member b
+    not yet) must only ever observe the old complete pair or the new
+    complete pair — never {a: 2, b: 1}. The commit body parks between
+    the two folds while the main thread polls."""
+    import tempfile
+    import threading
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        StoreGroup,
+    )
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, log_b, write_b = _mini_store(spark)
+    group = StoreGroup(
+        tempfile.mkdtemp(prefix="i22_midflight_"),
+        {"a": store_a, "b": store_b},
+    )
+    write_a(0, [(1, 10, 0)])
+    write_b(0, [(1, 10, 0)])
+    with group.commit() as g:
+        g.compact("a", spark, log_a)
+        g.compact("b", spark, log_b)
+    assert group.manifest() == {"a": 1, "b": 1}
+
+    write_a(1, [(2, 20, 1)])
+    write_b(1, [(2, 20, 1)])
+    mid_fold = threading.Event()
+    release = threading.Event()
+    observed: list[dict] = []
+    errs: list[BaseException] = []
+
+    def committer():
+        try:
+            with group.commit() as g:
+                g.compact("a", spark, log_a)  # a's _LATEST now v2
+                mid_fold.set()
+                assert release.wait(timeout=60)
+                g.compact("b", spark, log_b)
+        except BaseException as e:  # surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=committer)
+    t.start()
+    assert mid_fold.wait(timeout=60)
+    # the torn window is OPEN (a at v2, b at v1, commit unpublished):
+    # every manifest resolve must still return the old complete pair
+    assert store_a._meta()["version"] == 2
+    for _ in range(20):
+        observed.append(group.manifest())
+    release.set()
+    t.join(timeout=120)
+    assert not errs
+    assert all(m == {"a": 1, "b": 1} for m in observed), observed
+    assert group.manifest() == {"a": 2, "b": 2}  # published after body
+
+
 def test_store_group_refuses_empty_member_at_commit(spark):
     """A group commit that would pin a never-compacted (v=0) member
     must fail at COMMIT time — not at some later reader's plan time —

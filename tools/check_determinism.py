@@ -16,8 +16,17 @@ Queries that stage temp dirs (stores, sinks, streams) rebuild them per
 run, so this also re-proves that scaffolding is rerun-safe in one
 session (fresh mkdtemp per call — a collision would surface here).
 
+With ``--vs-sf DIR`` the second run reads a DIFFERENT corpus dir that
+must hold the SAME logical content (the --rowshuffle layout twin): the
+two canonicalized multisets must still be equal, which proves the
+result is independent of PHYSICAL ROW ORDER — the property a 100 TB
+deployment actually needs, since splits/compactions/shuffles feed the
+same table in arbitrary order. A same-corpus double run cannot see
+this class (both runs read the same layout).
+
 Usage:
     python tools/check_determinism.py [--sf /root/testdata/sf0.001] [id ...]
+    python tools/check_determinism.py --sf <orig> --vs-sf <rowshuffled>
 """
 
 from __future__ import annotations
@@ -38,6 +47,11 @@ from check_parity import rows_canon  # same canonicalization
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--vs-sf", default=None,
+        help="second corpus dir with identical logical content "
+             "(e.g. the --rowshuffle twin); run 2 reads it instead",
+    )
     ap.add_argument("ids", nargs="*")
     args = ap.parse_args()
 
@@ -50,8 +64,8 @@ def main() -> int:
         t0 = time.time()
         try:
             runs = []
-            for _ in range(2):
-                df = queries[qid](spark, args.sf)
+            for sf_dir in (args.sf, args.vs_sf or args.sf):
+                df = queries[qid](spark, sf_dir)
                 cols = df.columns
                 runs.append(rows_canon(cols, df.collect()))
             (c1, r1), (c2, r2) = runs

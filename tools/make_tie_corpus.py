@@ -594,6 +594,24 @@ EVIL_UNICODE_TRANSFORMS = {
 }
 
 
+#: --rowshuffle mode (21st axis, proactive r13): PERMUTE the physical
+#: row order of EVERY table — content byte-identical, layout hostile.
+#: Row order inside a parquet file is NOT a contract: at 100 TB the
+#: same logical table arrives in whatever order splits, compactions
+#: and shuffles produced, and any operator whose result depends on
+#: physical order (an unpinned LIMIT, a first()-based pick, a tie
+#: broken by encounter order) is nondeterministic at scale even if it
+#: double-runs stably on one file. The permutation key is
+#: md5(whole-row), so it is deterministic from CONTENT (reproducible
+#: corpus) yet uncorrelated with every natural ordering. Pair this
+#: corpus with check_determinism --vs-sf <original>: each query runs
+#: on BOTH layouts and the canonicalized multisets must be EQUAL —
+#: a stronger claim than same-corpus double-run determinism.
+ROWSHUFFLE_TRANSFORMS = {
+    t: "SELECT * FROM t ORDER BY md5(t::VARCHAR)" for t in TABLES
+}
+
+
 def _limit_corpus(src: str, out: str, n: int) -> None:
     """--limit mode: keep only the first n rows of every table (n=1 →
     single-row corpus, n=0 → empty corpus with intact schemas). The
@@ -681,6 +699,12 @@ def main() -> None:
              "zero/negative inter-arrival: watermark/sequence seams)",
     )
     ap.add_argument(
+        "--rowshuffle", action="store_true",
+        help="permute physical row order of every table by "
+             "md5(whole-row) (layout amplifier: pair with "
+             "check_determinism --vs-sf to prove order-independence)",
+    )
+    ap.add_argument(
         "--evil-unicode", action="store_true",
         help="adversarial unicode in documents.text/events.props "
              "(zero-width/combining/astral/BiDi + mixed-normalization "
@@ -695,7 +719,9 @@ def main() -> None:
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
         return
-    if args.evil_unicode:
+    if args.rowshuffle:
+        transforms = ROWSHUFFLE_TRANSFORMS
+    elif args.evil_unicode:
         transforms = EVIL_UNICODE_TRANSFORMS
     elif args.clockskew:
         transforms = CLOCKSKEW_TRANSFORMS
