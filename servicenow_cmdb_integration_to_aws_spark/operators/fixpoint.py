@@ -62,7 +62,18 @@ def cut_lineage(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
     sc = spark.sparkContext
     app = sc.applicationId
-    if _CKPT_SET.get(app) != ckdir:
+    # The live dir is `<scheme>:<ckdir>/<UUID>`; require BOTH that we
+    # were the last setter (cache) AND that the context's current dir
+    # still lives under the conf value — user/library code calling
+    # sc.setCheckpointDir() for its own checkpoints between rounds
+    # must not silently redirect fixpoint durability elsewhere.
+    cur = sc.getCheckpointDir()
+    pinned = (
+        _CKPT_SET.get(app) == ckdir
+        and cur is not None
+        and ckdir.rstrip("/") in cur
+    )
+    if not pinned:
         sc.setCheckpointDir(ckdir)
         _CKPT_SET[app] = ckdir
     return df.checkpoint(eager=True)
@@ -94,10 +105,21 @@ def restore_checkpoint(spark, rdd_dir: str, schema) -> DataFrame:
     driver-side but the schema record."""
     from pyspark.sql import DataFrame as _DF
 
+    if isinstance(schema, str):
+        # accept a DDL string ("id long, n bigint") by parsing it to a
+        # StructType — DataType.fromJson only takes JSON, so feeding a
+        # raw DDL/str(StructType) there could never succeed
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(schema)
+    if not hasattr(schema, "json"):
+        raise TypeError(
+            f"schema must be a StructType or DDL string, got {type(schema)}"
+        )
     sc = spark.sparkContext
     jrdd = sc._jsc.checkpointFile(rdd_dir)
     jschema = sc._jvm.org.apache.spark.sql.types.DataType.fromJson(
-        schema.json() if hasattr(schema, "json") else str(schema)
+        schema.json()
     )
     jdf = spark._jsparkSession.internalCreateDataFrame(
         jrdd.rdd(), jschema, False

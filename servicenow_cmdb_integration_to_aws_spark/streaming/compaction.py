@@ -520,35 +520,46 @@ def consistent_read(
     raise last_err
 
 
-def _user_rollup_fold(base: DataFrame | None, delta: DataFrame) -> DataFrame:
-    """Per-user count/sum-cents aggregate fold (i21's store B). The
-    delta is RAW log rows (what both `compact()` and the merge-on-read
-    tail hand a fold); the base, when present, is already aggregated —
-    count/sum are associative-commutative, so base ⊎ delta is one
-    re-aggregation (d27's algebra on the upsert store's protocol)."""
-    from ..operators.numeric import finite_metric
+def _make_rollup_fold(key: str, n_name: str, sum_name: str):
+    """Count/sum-cents aggregate fold factory (d27's algebra on the
+    upsert store's protocol). The delta is RAW log rows (what both
+    `compact()` and the merge-on-read tail hand a fold); the base,
+    when present, is already aggregated — count/sum are
+    associative-commutative, so base ⊎ delta is one re-aggregation.
+    One definition serves every keyed rollup store (i21's per-user,
+    i22's per-event_type) so the cents cast and NULL-group semantics
+    can never diverge between them."""
 
-    cents = (finite_metric("value").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
-    d = (
-        delta.select("user_id", cents.alias("cents"))
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("cents").alias("sum_cents"),
+    def fold(base: DataFrame | None, delta: DataFrame) -> DataFrame:
+        from ..operators.numeric import finite_metric
+
+        cents = (finite_metric("value").cast("decimal(18,2)") * 100).cast(
+            "bigint"
         )
-    )
-    if base is None:
-        return d
-    return (
-        base.unionByName(d)
-        .groupBy("user_id")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_cents").alias("sum_cents"),
+        d = (
+            delta.select(key, cents.alias("cents"))
+            .groupBy(key)
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                F.sum("cents").alias(sum_name),
+            )
         )
-    )
+        if base is None:
+            return d
+        return (
+            base.unionByName(d)
+            .groupBy(key)
+            .agg(
+                F.sum(n_name).alias(n_name),
+                F.sum(sum_name).alias(sum_name),
+            )
+        )
+
+    return fold
+
+
+#: i21's store B: per-user count/sum-cents rollup.
+_user_rollup_fold = _make_rollup_fold("user_id", "n_events", "sum_cents")
 
 
 @query(
@@ -716,14 +727,17 @@ class StoreGroup:
     def commit(self):
         """Context manager: flock the group, let the caller run folds,
         then publish the member versions as one manifest. Nothing is
-        published if the body raises. The yielded handle's
+        published if the body raises. Yields a PER-COMMIT handle whose
         ``compact(name, spark, log_dir)`` records the version RETURNED
         by the member's fold; at publish time those recorded versions
         win over a publish-time ``_LATEST`` re-read, so an out-of-band
         compactor racing the group cannot pin a version the body never
         produced (members not folded through the handle fall back to
         ``_LATEST`` — safe only under the class's maintenance
-        discipline)."""
+        discipline). The recorded set lives on the HANDLE, not the
+        group, so a concurrent caller invoking :meth:`compact` on the
+        group object can never leak its fold into another thread's
+        in-flight manifest."""
         import contextlib
 
         @contextlib.contextmanager
@@ -735,14 +749,10 @@ class StoreGroup:
                     fcntl.flock(lf, fcntl.LOCK_EX)
                 except ImportError:  # non-POSIX: single maintainer
                     pass
-                self._recorded = {}
-                try:
-                    yield self
-                    recorded = self._recorded
-                finally:
-                    self._recorded = None  # pass-through outside bodies
+                handle = _GroupCommit(self)
+                yield handle
                 versions = {
-                    name: recorded.get(name, s._meta()["version"])
+                    name: handle.recorded.get(name, s._meta()["version"])
                     for name, s in self.stores.items()
                 }
                 empty = sorted(n for n, v in versions.items() if v == 0)
@@ -762,15 +772,11 @@ class StoreGroup:
         return cm()
 
     def compact(self, name: str, spark: SparkSession, log_dir: str) -> int:
-        """Fold a member's log inside a ``commit()`` body and RECORD
-        the returned version for the manifest — the race-proof way to
-        compact a group member (see :meth:`commit`). Outside a commit
-        body this is a plain pass-through to the member's compact."""
-        v = self.stores[name].compact(spark, log_dir)
-        rec = getattr(self, "_recorded", None)
-        if rec is not None:
-            rec[name] = v
-        return v
+        """Plain pass-through to a member's compact — NEVER records
+        into any in-flight commit (recording belongs to the per-commit
+        handle :class:`_GroupCommit`, so a concurrent out-of-band
+        caller cannot contaminate another thread's manifest)."""
+        return self.stores[name].compact(spark, log_dir)
 
     def read_pinned(self, spark: SparkSession) -> dict:
         """Resolve the manifest once; return {table: DataFrame} of
@@ -784,37 +790,32 @@ class StoreGroup:
         }
 
 
-def _type_rollup_fold(base: DataFrame | None, delta: DataFrame) -> DataFrame:
-    """Per-event_type count/sum-cents aggregate fold (i22's store B) —
-    the i21 rollup algebra keyed on event_type instead of user_id.
-    The delta is RAW log rows; the base, when present, is already
-    aggregated (count/sum are associative-commutative, so base ⊎ delta
-    is one re-aggregation). NULL event_type stays as its own group in
-    the STORE (own-group snapshot semantics; the r9 nullkeys rule) —
-    the consumer join decides exclusion."""
-    from ..operators.numeric import finite_metric
+class _GroupCommit:
+    """Per-commit handle yielded by :meth:`StoreGroup.commit`. Holds
+    THIS commit's recorded fold versions — deliberately not group
+    state, so commits are isolated from each other and from
+    out-of-band :meth:`StoreGroup.compact` callers."""
 
-    cents = (finite_metric("value").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
-    d = (
-        delta.select("event_type", cents.alias("cents"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("type_n_events"),
-            F.sum("cents").alias("type_sum_cents"),
-        )
-    )
-    if base is None:
-        return d
-    return (
-        base.unionByName(d)
-        .groupBy("event_type")
-        .agg(
-            F.sum("type_n_events").alias("type_n_events"),
-            F.sum("type_sum_cents").alias("type_sum_cents"),
-        )
-    )
+    def __init__(self, group: StoreGroup):
+        self._group = group
+        self.recorded: dict[str, int] = {}
+
+    def compact(self, name: str, spark: SparkSession, log_dir: str) -> int:
+        """Fold a member's log and RECORD the returned version for
+        this commit's manifest — the race-proof way to compact a
+        group member."""
+        v = self._group.stores[name].compact(spark, log_dir)
+        self.recorded[name] = v
+        return v
+
+
+#: i22's store B: per-event_type count/sum-cents rollup (same
+#: :func:`_make_rollup_fold` algebra; NULL event_type stays as its own
+#: group in the STORE — own-group snapshot semantics, the r9 nullkeys
+#: rule — and the consumer join decides exclusion).
+_type_rollup_fold = _make_rollup_fold(
+    "event_type", "type_n_events", "type_sum_cents"
+)
 
 
 @query(
@@ -919,11 +920,13 @@ def i22_store_group_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert g.compact("users", spark, log_a) == 2
         assert g.compact("types", spark, log_b) == 2
     assert group.manifest() == {"users": 2, "types": 2}
-    # repeatable read: the pre-flip plan still reads the v1 pair
-    # (immutable dirs) — pinned at {1,1} even though _LATEST is {2,2}
+    # repeatable read: the pre-flip plan still reads the v=1 dirs
+    # (immutable, pre-resolved manifest) even though _LATEST is {2,2}
+    # — inputFiles() is a metadata-only probe, no job launched
     assert store_a._meta()["version"] == store_b._meta()["version"] == 2
     for name in ("users", "types"):
-        assert pinned_v1[name] is not None  # plan remains resolvable
+        files = pinned_v1[name].inputFiles()
+        assert files and all("/v=1/" in f for f in files), (name, files)
     fresh = group.read_pinned(spark)
     da, db = fresh["users"], fresh["types"]
     return (

@@ -1102,6 +1102,17 @@ def test_fixpoint_ckpt_dir_pinned_once_per_conf(spark, tmp_path):
         # all three RDDs checkpointed into subdirs of the ONE uuid dir
         rdd_dirs = os.listdir(os.path.join(ckdir, uuid_dirs[0]))
         assert len(rdd_dirs) == 3, rdd_dirs
+        # a FOREIGN setCheckpointDir (user/library code moving the
+        # context's dir for its own checkpoints) must not silently
+        # redirect fixpoint durability: the next cut re-pins under the
+        # conf value (a second UUID dir appears THERE, nothing new
+        # under the foreign dir from our cut)
+        foreign = str(tmp_path / "foreign")
+        spark.sparkContext.setCheckpointDir(foreign)
+        n_foreign = len(os.listdir(foreign))
+        assert cut_lineage(df).count() == 10
+        assert len(os.listdir(ckdir)) == 2, os.listdir(ckdir)
+        assert len(os.listdir(foreign)) == n_foreign  # nothing added
     finally:
         spark.conf.unset(FIXPOINT_CKPT_CONF)
 
@@ -1170,13 +1181,14 @@ def test_fixpoint_reliable_checkpoint_cross_session_restore(tmp_path):
     """))
     import os
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/repo" + (
+    env["PYTHONPATH"] = repo_root + (
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
     out = subprocess.run(
         [sys.executable, str(script), str(tmp_path / "work")],
-        cwd="/root/repo",
+        cwd=repo_root,
         env=env,
         capture_output=True,
         text=True,
