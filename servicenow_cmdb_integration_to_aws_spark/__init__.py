@@ -299,11 +299,12 @@ _RECHECK_FIRST = frozenset({
     # Rebuilt for r13 (r12 verdict item 1): front the FINAL stale
     # cohort — all 31 ids whose latest driver row is ≤ r6 (computed
     # from the CORRECTNESS_r01..r12 latest-round map: 5 at r4, 26 at
-    # r6) — plus this round's code-moved ids, plus the 14 cheapest r7
-    # ids, so the block is EXACTLY 49 listed + the auto-fronting
-    # growth id i22 = 50 (robust even if the driver's budget is a
-    # hard 50-id cap). After r13, the registry's staleness floor
-    # rises to r7 with 32 r7 ids left for r14.
+    # r6) — plus this round's code-moved ids (4 advice/fixpoint + the
+    # 9 --rowshuffle total-order ids), plus the 5 cheapest r7 ids, so
+    # the block is EXACTLY 49 listed + the auto-fronting growth id
+    # i22 = 50 (robust even if the driver's budget is a hard 50-id
+    # cap). After r13, the registry's staleness floor rises to r7
+    # with 41 r7 ids left for r14.
     #
     # (a) the 5 r4 h-family scalar ids (deferred from r12 by design):
     "h1_string", "h2_regex_fn", "h4_math", "h5_cond", "h6_cast",
@@ -318,20 +319,26 @@ _RECHECK_FIRST = frozenset({
     "j48_bpe_merge_apply", "j51_temperature_sample", "k1_udf_scalar",
     "k2_pandas_udf", "k5_udtf", "k7_pandas_iter_udf",
     "m2_binary_meta_join", "m6_binary_dedup", "m7_modality_router",
-    # (c) engine code moved in r13 after an r12 green row: i21's
+    # (c) engine code moved in r13 after an older green row: i21's
     # consistent_read gained the contiguous-tail refusal; the fixpoint
     # family's cut_lineage gained the per-application checkpoint-dir
     # pin and connected_components the always-probe-final-rounds
     # schedule (i22 is brand-new and auto-fronts):
     "i21_consistent_read", "c12_rel_closure_unbounded", "c22_k_core",
     "j16_neardup_components",
-    # (d) 14 cheapest r7 ids (shortest-job-first by _CHECK_COST_S,
-    # name tiebreak) — the start of raising the floor past r7:
+    # (c2) the r13 --rowshuffle cross-layout finding: nine ids gained
+    # content-total tie orders (payload tiebreaks in the window /
+    # latest-per-key order, mirrored in their oracles) — their green
+    # rows predate the fix, so they re-prove this round (c18 is
+    # already fronted in (b)):
+    "a15_snapshot_compact", "a16_change_feed", "e13_ewma",
+    "e3_lag_lead", "e4_running", "e5_moving", "e7_firstlast",
+    "e8_dedup_latest", "i11_foreach_batch_merge",
+    # (d) 5 cheapest r7 ids (shortest-job-first by _CHECK_COST_S, name
+    # tiebreak) — the start of raising the floor past r7 with the
+    # slots (c2) left free:
     "f6_keyset_page", "f7_exact_k_sample", "p10_text_search",
-    "p2_encoded_nq", "p3_encoded_ops", "f8_stratified_exact_k",
-    "k10_sql_udf", "p11_parameterized_sql", "p1_encoded_filter",
-    "a23_corrupt_tolerant_scan", "b19_scalar_subquery",
-    "d25_bitmap_distinct", "g7_delta_detect", "p6_encoded_agg",
+    "p2_encoded_nq", "p3_encoded_ops",
 })
 
 

@@ -184,7 +184,8 @@ def t10_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
         SELECT user_id, event_type AS state, ts, event_id,
                lag(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id, event_type NULLS FIRST
                ) AS prev_state
         FROM e
     ),
@@ -198,7 +199,8 @@ def t10_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(row_number() OVER w AS BIGINT) AS version,
            (lead(ts) OVER w IS NULL) AS is_current
     FROM ch
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, event_id, state NULLS FIRST)
     """,
 )
 def c18_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,8 +233,14 @@ def scd2_intervals(
 ) -> DataFrame:
     """Parametric SCD2 builder (c18's tested machinery): collapse
     consecutive same-state repeats, open [valid_from, valid_to)
-    versions — one exchange, one sort."""
-    w = Window.partitionBy(key).orderBy(ts, id_col)
+    versions — one exchange, one sort. The state column is the THIRD
+    sort key (asc NULLS FIRST, mirrored in the oracle): under
+    at-least-once delivery two DIFFERENT states can tie on (ts,
+    id_col), and without a total order the surviving change sequence
+    depends on physical row order (r13 --rowshuffle finding)."""
+    w = Window.partitionBy(key).orderBy(
+        ts, id_col, F.col(state).asc_nulls_first()
+    )
     ch = (
         df.withColumn("prev_state", F.lag(state).over(w))
         .filter(

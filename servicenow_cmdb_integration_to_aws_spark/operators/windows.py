@@ -32,6 +32,23 @@ def _w_user():
     return Window.partitionBy("user_id").orderBy("ts", "event_id")
 
 
+def _w_user_total():
+    """(ts, event_id, value)-ordered per-user window — a TOTAL order
+    over every output-relevant column for the value-carrying window
+    family (e3/e4/e5). (ts, event_id) alone is not total under
+    at-least-once delivery: duplicate event_ids with DIFFERENT values
+    tie (the r13 --rowshuffle × chain finding), and which twin sorts
+    first then depends on physical row order — order-dependent
+    lag/lead/running results at 100 TB, where row order is whatever
+    splits and shuffles produced. Null placement pinned explicitly
+    (Spark asc default is NULLS FIRST; DuckDB's is NULLS LAST — the
+    oracles carry `NULLS FIRST`); NaN sorts greatest in BOTH engines,
+    so the raw DOUBLE is a safe key."""
+    return Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.col("value").asc_nulls_first()
+    )
+
+
 @query(
     "e1_rownum",
     oracle=f"""
@@ -88,13 +105,15 @@ def e2_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(value) OVER w AS next_value,
            epoch_us(ts) - epoch_us(lag(ts) OVER w) AS delta_us
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, event_id, value NULLS FIRST)
     """,
 )
 def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics (e3): previous/next event value + inter-event
-    gap in exact integer microseconds."""
-    w = _w_user()
+    gap in exact integer microseconds. Total (ts, event_id, value)
+    order: see :func:`_w_user_total` (r13 --rowshuffle finding)."""
+    w = _w_user_total()
     return _events(spark, sf_dir).select(
         "event_id",
         "user_id",
@@ -113,13 +132,15 @@ def e3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER w AS BIGINT) AS running_n,
            CAST(sum(CAST({FIN} AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, event_id, value NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def e4_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate, ROWS frame (e4): cumulative count + exact sum."""
-    w = _w_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    """Running aggregate, ROWS frame (e4): cumulative count + exact
+    sum. Total (ts, event_id, value) order (r13 --rowshuffle)."""
+    w = _w_user_total().rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return _events(spark, sf_dir).select(
         "event_id",
         "user_id",
@@ -137,13 +158,15 @@ def e4_running(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST({FIN} AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / count(*) OVER w AS mov_avg
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, event_id, value NULLS FIRST
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def e5_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving aggregate, trailing-3 ROWS frame (e5)."""
-    w = _w_user().rowsBetween(-2, 0)
+    """Moving aggregate, trailing-3 ROWS frame (e5). Total (ts,
+    event_id, value) order (r13 --rowshuffle)."""
+    w = _w_user_total().rowsBetween(-2, 0)
     mov_sum = F.sum(fdec("value")).over(w).cast("double")
     return _events(spark, sf_dir).select(
         "event_id",
@@ -244,17 +267,19 @@ def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(value) OVER w AS day_last
     FROM e
     WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
-                 ORDER BY ts, event_id
+                 ORDER BY ts, event_id, value NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
 def e7_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last value in frame (e7): first & last reading per
-    user-day (full frame, deterministic order)."""
+    user-day (full frame; total (ts, event_id, value) order — the
+    r13 --rowshuffle finding: dup-id twins with different values must
+    not leave first/last to physical row order)."""
     e = _events(spark, sf_dir).withColumn("day", F.date_trunc("day", "ts"))
     w = (
         Window.partitionBy("user_id", "day")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", F.col("value").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return e.select(
@@ -272,17 +297,25 @@ def e7_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EVENTS_US}
     SELECT event_id, user_id, ts, event_type, value
     FROM (SELECT *, row_number() OVER (
-              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC,
+                       event_type DESC NULLS LAST,
+                       value DESC NULLS LAST) AS rn
           FROM e)
     WHERE rn = 1
     """,
 )
 def e8_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest-per-key (e8): the IRE upsert-collapse — newest row
-    per user by (ts, event_id). This exact shape is also the batch form
-    of streaming dedup (i5)."""
+    per user by (ts, event_id, event_type, value) — a TOTAL order over
+    the output columns, so duplicate event_ids with different payloads
+    (at-least-once delivery) resolve by content, never by physical row
+    order (r13 --rowshuffle finding). This exact shape is also the
+    batch form of streaming dedup (i5)."""
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.col("ts").desc(), F.col("event_id").desc(),
+        F.col("event_type").desc_nulls_last(),
+        F.col("value").desc_nulls_last(),
     )
     return (
         _events(spark, sf_dir)
@@ -524,7 +557,8 @@ def _ewma_oracle() -> str:
     SELECT event_id, user_id, ts,
            round(({num}) / ({den}), 6) AS ewma_value
     FROM ef
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, event_id, value NULLS FIRST)
     """
 
 
@@ -546,8 +580,11 @@ def e13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB notes: ONE user_id exchange + one in-partition sort; all 8
     lags come from the SAME window frame buffer (Spark evaluates the
     lag family over one WindowExec pass), per-row state is the 8-row
-    ring — no self-joins, no recursion, no UDF."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ring — no self-joins, no recursion, no UDF. Total (ts, event_id,
+    gated value) order on both sides (r13 --rowshuffle finding)."""
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.col("value").asc_nulls_first()
+    )
     taps = [F.lag("value", k).over(w) for k in range(_EWMA_TAPS)]
     num = sum(
         (

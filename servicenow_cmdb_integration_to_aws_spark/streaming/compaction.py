@@ -121,8 +121,23 @@ class SnapshotStore:
 
     # -- the fold -------------------------------------------------------
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        """Winner-per-key under (order) DESC, then a CANONICAL tiebreak
+        over every remaining column (frame order, DESC NULLS LAST):
+        under at-least-once delivery two DIFFERENT payloads can tie on
+        the semantic version key (duplicate event_ids, tie-truncated
+        timestamps — the r13 --rowshuffle × chain finding), and without
+        a total order the winner depends on physical row order. The
+        tiebreak columns deliberately do NOT join ``self.order``: the
+        change feed (:meth:`changes`) diffs exactly ``order`` — version
+        semantics — while the tiebreak only canonicalizes the pick.
+        Rows tying on EVERY column are identical; either wins."""
+        tiebreak = [
+            F.col(c).desc_nulls_last()
+            for c in df.columns
+            if c != self.key and c not in self.order
+        ]
         w = Window.partitionBy(self.key).orderBy(
-            *[F.col(c).desc() for c in self.order]
+            *[F.col(c).desc() for c in self.order], *tiebreak
         )
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -313,7 +328,10 @@ class SnapshotStore:
     {EVENTS_US}
     SELECT event_id, user_id, ts, event_type, value
     FROM (SELECT *, row_number() OVER (
-              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC,
+                       event_type DESC NULLS LAST,
+                       value DESC NULLS LAST) AS rn
           FROM e)
     WHERE rn = 1
     """,
@@ -322,9 +340,10 @@ def a15_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log→snapshot compaction (a15): the i11 append log folded into a
     versioned base snapshot, exercised across TWO compaction
     generations — batch 0 → v1, batch 1 (+v1) → v2 — then read back.
-    Latest-per-key is associative under the (ts, event_id) total
-    order, so the split reproduces exactly the one-shot merge the
-    oracle computes. tests/test_streaming.py additionally pins
+    Latest-per-key is associative under the store's total order —
+    (ts, event_id) DESC plus the canonical remaining-column tiebreak
+    (see `_latest_per_key`) — so the split reproduces exactly the
+    one-shot merge the oracle computes. tests/test_streaming.py additionally pins
     read-back equality between the compacted snapshot and pure
     merge-on-read, and test_robustness.py races two compactors under
     the flock."""
@@ -569,7 +588,10 @@ _user_rollup_fold = _make_rollup_fold("user_id", "n_events", "sum_cents")
     latest AS (
         SELECT user_id, ts, event_type
         FROM (SELECT *, row_number() OVER (
-                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC,
+                           event_type DESC NULLS LAST,
+                           value DESC NULLS LAST
               ) AS rn
               FROM e WHERE user_id IS NOT NULL)
         WHERE rn = 1
@@ -825,7 +847,10 @@ _type_rollup_fold = _make_rollup_fold(
     latest AS (
         SELECT user_id, ts, event_type
         FROM (SELECT *, row_number() OVER (
-                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC,
+                           event_type DESC NULLS LAST,
+                           value DESC NULLS LAST
               ) AS rn
               FROM e WHERE user_id IS NOT NULL)
         WHERE rn = 1

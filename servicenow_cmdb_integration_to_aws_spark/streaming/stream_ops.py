@@ -545,7 +545,10 @@ def i13_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EVENTS_US}
     SELECT event_id, user_id, ts, event_type, value
     FROM (SELECT *, row_number() OVER (
-              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC,
+                       event_type DESC NULLS LAST,
+                       value DESC NULLS LAST) AS rn
           FROM e)
     WHERE rn = 1
     """,
@@ -559,7 +562,7 @@ def i11_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAS a SQL oracle: latest-per-key over the full event history is
     batch-deterministic no matter how the stream was micro-batched,
     because keep-latest is associative under the total order
-    (ts, event_id).
+    (ts, event_id, event_type, value).
 
     100 TB notes: the append is per-partition file writes with no
     coordination; compaction (folding the log into a base snapshot) is
@@ -595,8 +598,13 @@ def i11_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     log = spark.read.parquet(log_dir)
+    # total order incl. payload tiebreaks: duplicate event_ids with
+    # different payloads must resolve by content, not physical row
+    # order (r13 --rowshuffle finding; e8's rule)
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.col("ts").desc(), F.col("event_id").desc(),
+        F.col("event_type").desc_nulls_last(),
+        F.col("value").desc_nulls_last(),
     )
     return (
         log.withColumn("rn", F.row_number().over(w))
