@@ -334,11 +334,14 @@ _RECHECK_FIRST = frozenset({
     "a15_snapshot_compact", "a16_change_feed", "e13_ewma",
     "e3_lag_lead", "e4_running", "e5_moving", "e7_firstlast",
     "e8_dedup_latest", "i11_foreach_batch_merge",
-    # (d) 5 cheapest r7 ids (shortest-job-first by _CHECK_COST_S, name
+    # ...and the two the 10x-chain cross-layout run added (scale-
+    # coupled ties, the r11 e14 lesson): c8's per-purchase_id window
+    # and e11's running distinct count gained content-total orders:
+    "c8_join_asof", "e11_windowed_count_distinct",
+    # (d) 3 cheapest r7 ids (shortest-job-first by _CHECK_COST_S, name
     # tiebreak) — the start of raising the floor past r7 with the
     # slots (c2) left free:
     "f6_keyset_page", "f7_exact_k_sample", "p10_text_search",
-    "p2_encoded_nq", "p3_encoded_ops",
 })
 
 

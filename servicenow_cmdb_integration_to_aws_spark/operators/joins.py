@@ -187,7 +187,10 @@ def c7_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
                c.event_id AS click_id, c.ts AS click_ts,
                row_number() OVER (
                    PARTITION BY p.event_id
-                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                   ORDER BY c.ts DESC NULLS LAST,
+                            c.event_id DESC NULLS LAST,
+                            p.ts DESC NULLS LAST,
+                            p.user_id DESC NULLS LAST) AS rn
         FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
     )
     SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
@@ -200,8 +203,15 @@ def c8_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie rule (pinned, SURVEY §7 hard-part #2): latest ts wins; equal ts
     broken by larger event_id; purchases with no prior click kept with
-    NULLs. Implemented as ranged left join + row_number — Catalyst
-    partitions on user_id, AQE splits skewed users."""
+    NULLs. The window partitions by purchase EVENT_ID, which under
+    at-least-once delivery is NOT a row identity (r11 --dupids): two
+    purchase twins share one partition, so the order carries
+    purchase-side keys too (purchase_ts, user_id) — a content-total
+    order, or the surviving twin's payload would be physical-row-order
+    dependent (r13 --rowshuffle x sf0.01-chain finding). Null
+    placement pinned DESC NULLS LAST on BOTH engines (their defaults
+    are opposite). Implemented as ranged left join + row_number —
+    Catalyst partitions on user_id, AQE splits skewed users."""
     e = scan(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -219,7 +229,10 @@ def c8_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     w = Window.partitionBy("purchase_id").orderBy(
-        F.col("click_ts").desc(), F.col("click_id").desc()
+        F.col("click_ts").desc_nulls_last(),
+        F.col("click_id").desc_nulls_last(),
+        F.col("purchase_ts").desc_nulls_last(),
+        F.col("user_id").desc_nulls_last(),
     )
     return (
         j.withColumn("rn", F.row_number().over(w))

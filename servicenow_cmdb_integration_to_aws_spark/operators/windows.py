@@ -392,7 +392,8 @@ def e10_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EVENTS_US}
     SELECT event_id, user_id, ts,
            COUNT(DISTINCT event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id
+               ORDER BY ts, event_id, event_type NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS n_types_seen
     FROM e
@@ -413,12 +414,15 @@ def e11_windowed_count_distinct(
     distinct types (bounded by type cardinality, ~5 here — this
     workaround is only safe when the distinct domain is small; an
     unbounded domain needs the e4-style segmented recount or an HLL
-    sketch column instead, see d18). The (ts, event_id) ordering is a
-    total order, so the ROWS frame is deterministic on both engines."""
+    sketch column instead, see d18). event_type is the THIRD sort key
+    (asc NULLS FIRST, mirrored in the oracle): under at-least-once
+    delivery two DIFFERENT types can tie on (ts, event_id), and the
+    running distinct count at the tied rows would otherwise depend on
+    physical row order (r13 --rowshuffle x sf0.01-chain finding)."""
     e = scan(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", F.col("event_type").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select(
