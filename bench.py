@@ -246,7 +246,13 @@ def main() -> None:
     # execution pays one-time micro-batch-scheduler + state-store
     # spin-up (~2-2.5 s) that otherwise lands on the alphabetically
     # first id (a18) and reads as a per-id regression.
-    _warm_streaming(spark)
+    try:
+        _warm_streaming(spark)
+    except Exception as err:
+        # the warmup is a nicety — a failure (noop-sink quirk,
+        # availableNow edge) must not abort the whole bench run; the
+        # first timed streaming id just re-owns the spin-up (r13 ADVICE)
+        print(f"streaming warmup skipped: {err!r}", file=sys.stderr)
     for qid in sorted(STREAMING_IDS & set(queries)):
         stream_times[qid] = run_one(queries, qid, spark, sf_dir)
 

@@ -466,7 +466,14 @@ def _myers_block_nn(strs, ids, width: int):
     Peq: the build loop stops at each row's length)."""
     import numpy as np
 
-    assert width <= 63, "bit-parallel kernel needs the pattern in one word"
+    if width > 63:
+        # a plain raise, not assert: under `python -O` a silently
+        # skipped guard would let >63-char patterns overflow the
+        # one-word bit kernel into WRONG distances, not a crash
+        raise ValueError(
+            "bit-parallel kernel needs the pattern in one word "
+            f"(width {width} > 63)"
+        )
     m = len(strs)
     U = np.array(strs, dtype=f"<U{width}")
     A = U.view(np.uint32).reshape(m, width)

@@ -71,12 +71,31 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     pinned = (
         _CKPT_SET.get(app) == ckdir
         and cur is not None
-        and ckdir.rstrip("/") in cur
+        and _is_under(cur, ckdir)
     )
     if not pinned:
         sc.setCheckpointDir(ckdir)
         _CKPT_SET[app] = ckdir
     return df.checkpoint(eager=True)
+
+
+def _is_under(cur: str, base: str) -> bool:
+    """Path-BOUNDARY containment: is the context's live checkpoint dir
+    `cur` equal to or strictly inside the configured `base`? Substring
+    containment would be defeated by a sibling prefix — foreign code
+    redirecting to '/data/ck-other' still contains '/data/ck' as a
+    substring, silently sending fixpoint durability elsewhere (r13
+    ADVICE). `cur` comes back scheme-qualified ('file:/tmp/ck/<uuid>',
+    'hdfs://nn/ck/<uuid>') while the conf value may be a raw path, so
+    the URI's path component is compared too."""
+    from urllib.parse import urlparse
+
+    base = base.rstrip("/")
+    candidates = {cur.rstrip("/")}
+    parsed = urlparse(cur)
+    if parsed.scheme:
+        candidates.add(parsed.path.rstrip("/"))
+    return any(c == base or c.startswith(base + "/") for c in candidates)
 
 
 def restore_checkpoint(spark, rdd_dir: str, schema) -> DataFrame:

@@ -38,6 +38,16 @@ from ..registry import EVENTS_US, query
 from ..sources.tables import scan
 
 
+def _require(ok: bool, what: str) -> None:
+    """Fail-loud check on a production query path. A plain raise, not
+    ``assert``: several query bodies drive required side effects
+    (compactions, manifest publishes) through their checks, and under
+    ``python -O`` an assert-based check would silently skip both the
+    check AND the work (r13 ADVICE — asserts as control flow)."""
+    if not ok:
+        raise RuntimeError(what)
+
+
 class SnapshotStore:
     """Versioned latest-per-key snapshot over an append log.
 
@@ -199,6 +209,21 @@ class SnapshotStore:
             )
             if not new_batches:
                 return meta["version"]
+            want = list(
+                range(meta["compacted_through"] + 1, new_batches[-1] + 1)
+            )
+            if new_batches != want:
+                # oldest-first log retention can delete batch ct+1 while
+                # ct+2..N remain; folding that gap would COMMIT a
+                # snapshot silently missing batches and advance
+                # compacted_through past the hole — the wrong-answer
+                # class consistent_read's tail check refuses on the read
+                # path, here baked durably into the store (r13 ADVICE).
+                raise HorizonMismatch(
+                    f"store {self.root} compacted through "
+                    f"{meta['compacted_through']} but log {log_dir} holds "
+                    f"non-contiguous new batches {new_batches}"
+                )
             delta = spark.read.parquet(
                 *[os.path.join(log_dir, f"batch_id={b}") for b in new_batches]
             )
@@ -229,7 +254,19 @@ class SnapshotStore:
         with self._locked():
             meta = self._meta()
             v = meta["version"]
-            for b in sorted(x for x in batches if x > meta["compacted_through"]):
+            pending = sorted(x for x in batches if x > meta["compacted_through"])
+            if pending and pending != list(
+                range(meta["compacted_through"] + 1, pending[-1] + 1)
+            ):
+                # same gap refusal as compact(): a missing intermediate
+                # batch id means the upstream log lost committed data —
+                # folding past it would durably skip those rows.
+                raise HorizonMismatch(
+                    f"store {self.root} compacted through "
+                    f"{meta['compacted_through']} but the pending batch "
+                    f"ids {pending} are non-contiguous"
+                )
+            for b in pending:
                 self._crash(f"before_fold_batch_{b}")
                 delta = load(batches[b])
                 if delta is None:
@@ -242,6 +279,37 @@ class SnapshotStore:
     def _read_version(self, spark: SparkSession, v: int) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, f"v={v}"))
 
+    def read_version(self, spark: SparkSession, v: int) -> DataFrame:
+        """Time travel: the snapshot exactly as version ``v`` published
+        it — the "AS OF v" read every snapshot-store user eventually
+        wants (reproduce yesterday's training set, audit a regression,
+        diff against :meth:`changes`). Version dirs are immutable, so
+        the returned plan is REPEATABLE: it stays pinned to v's files
+        no matter how many compactions advance ``_LATEST`` while the
+        (arbitrarily long) downstream job runs.
+
+        Refusals are loud, never silent fallbacks (the store's standing
+        contract): ``v`` above the committed ``_LATEST`` does not exist
+        yet — even if a crashed compactor left an ORPHAN ``v=N+1`` dir,
+        that data was never committed and must not be servable — and a
+        committed version whose dir a retention sweep garbage-collected
+        raises instead of letting the parquet scan surface a confusing
+        path error. 100 TB notes: the check is two driver-side metadata
+        probes (manifest JSON + one directory stat); the read itself is
+        the same immutable-dir scan every pinned reader performs."""
+        meta = self._meta()
+        if not 1 <= v <= meta["version"]:
+            raise ValueError(
+                f"version {v} of store {self.root} does not exist "
+                f"(committed versions: 1..{meta['version']})"
+            )
+        if not os.path.isdir(os.path.join(self.root, f"v={v}")):
+            raise ValueError(
+                f"version {v} of store {self.root} was garbage-collected"
+                " — its directory is gone; pick a retained version"
+            )
+        return self._read_version(spark, v)
+
     def changes(
         self, spark: SparkSession, v_from: int, v_to: int
     ) -> DataFrame:
@@ -249,6 +317,16 @@ class SnapshotStore:
         per key whose state differs, classified insert / update /
         delete — what an incremental downstream consumer reads instead
         of re-diffing full snapshots itself.
+
+        The diff covers EVERY stored non-key column, not just the
+        ``order`` (version) columns: under the canonical tiebreak a
+        key's winner can deterministically flip on payload columns
+        alone (duplicate version keys — the r13 rowshuffle class), and
+        a feed diffing only ``order`` would leave incremental consumers
+        silently diverged from the snapshot (r13 ADVICE). Comparisons
+        are null-safe (``eqNullSafe`` / SQL ``IS DISTINCT FROM``):
+        plain ``!=`` is NULL — dropped by the filter — when exactly one
+        side of a payload transition is NULL.
 
         Implementation is a single co-keyed full-outer join of the two
         immutable versions (g7's delta-detect shape); unchanged keys
@@ -260,24 +338,21 @@ class SnapshotStore:
         old = self._read_version(spark, v_from).alias("o")
         new = self._read_version(spark, v_to).alias("n")
         k = self.key
+        if set(old.columns) != set(new.columns):
+            raise ValueError(
+                f"changes() across schema-divergent versions of "
+                f"{self.root}: v{v_from} has {sorted(old.columns)}, "
+                f"v{v_to} has {sorted(new.columns)}"
+            )
         cond = F.col(f"o.{k}") == F.col(f"n.{k}")
-        ver_cols = [c for c in self.order]
-        import functools
-        import operator
-
-        diff_any = functools.reduce(
-            operator.or_,
-            [F.col(f"o.{c}") != F.col(f"n.{c}") for c in ver_cols],
-        )
-        # one side entirely null (insert/delete) makes diff_any NULL;
-        # the explicit isNull legs turn that into True, and a coalesce
-        # here would be WRONG (a non-null False leg short-circuits past
-        # a later True inequality).
-        changed = (
-            F.col(f"o.{k}").isNull()
-            | F.col(f"n.{k}").isNull()
-            | diff_any
-        )
+        # version columns first (the semantic order), then the payload
+        # columns in stored-schema order
+        diff_cols = list(self.order) + [
+            c for c in new.columns if c != k and c not in self.order
+        ]
+        changed = F.col(f"o.{k}").isNull() | F.col(f"n.{k}").isNull()
+        for c in diff_cols:
+            changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         op = (
             F.when(F.col(f"o.{k}").isNull(), F.lit("insert"))
             .when(F.col(f"n.{k}").isNull(), F.lit("delete"))
@@ -290,10 +365,10 @@ class SnapshotStore:
                 F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k),
                 op.alias("change_op"),
                 *[
-                    F.col(f"o.{c}").alias(f"old_{c}") for c in ver_cols
+                    F.col(f"o.{c}").alias(f"old_{c}") for c in diff_cols
                 ],
                 *[
-                    F.col(f"n.{c}").alias(f"new_{c}") for c in ver_cols
+                    F.col(f"n.{c}").alias(f"new_{c}") for c in diff_cols
                 ],
             )
         )
@@ -307,19 +382,32 @@ class SnapshotStore:
             if meta["version"] > 0
             else None
         )
-        tail_dirs = []
+        tail = []
         if log_dir is not None and os.path.isdir(log_dir):
-            tail_dirs = [
-                os.path.join(log_dir, d)
-                for d in sorted(os.listdir(log_dir))
+            tail = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(log_dir)
                 if d.startswith("batch_id=")
                 and int(d.split("=", 1)[1]) > meta["compacted_through"]
-            ]
-        if base is None and not tail_dirs:
+            )
+        if base is None and not tail:
             raise ValueError(f"empty snapshot store {self.root}")
-        if not tail_dirs:
+        if not tail:
             return base  # committed versions are already folded
-        return self._fold(base, spark.read.parquet(*tail_dirs))
+        if tail != list(range(meta["compacted_through"] + 1, tail[-1] + 1)):
+            # merge-on-read over a gapped tail serves state missing the
+            # deleted batches — same refusal as compact()/consistent_read
+            raise HorizonMismatch(
+                f"store {self.root} compacted through "
+                f"{meta['compacted_through']} but log tail {tail} is "
+                f"non-contiguous"
+            )
+        return self._fold(
+            base,
+            spark.read.parquet(
+                *[os.path.join(log_dir, f"batch_id={b}") for b in tail]
+            ),
+        )
 
 
 @query(
@@ -361,11 +449,11 @@ def a15_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
         os.path.join(log_dir, "batch_id=0")
     )
-    assert store.compact(spark, log_dir) == 1
+    _require(store.compact(spark, log_dir) == 1, "a15: first fold is not v1")
     e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
         os.path.join(log_dir, "batch_id=1")
     )
-    assert store.compact(spark, log_dir) == 2
+    _require(store.compact(spark, log_dir) == 2, "a15: second fold is not v2")
     return store.read(spark).select(*cols)
 
 
@@ -374,17 +462,23 @@ def a15_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US},
     v1 AS (
-        SELECT user_id, ts, event_id
+        SELECT user_id, ts, event_id, event_type, value
         FROM (SELECT *, row_number() OVER (
-                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC,
+                           event_type DESC NULLS LAST,
+                           value DESC NULLS LAST
               ) AS rn
               FROM e WHERE event_id % 2 = 0)
         WHERE rn = 1
     ),
     v2 AS (
-        SELECT user_id, ts, event_id
+        SELECT user_id, ts, event_id, event_type, value
         FROM (SELECT *, row_number() OVER (
-                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC,
+                           event_type DESC NULLS LAST,
+                           value DESC NULLS LAST
               ) AS rn
               FROM e)
         WHERE rn = 1
@@ -394,10 +488,15 @@ def a15_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN v2.user_id IS NULL THEN 'delete'
                 ELSE 'update' END AS change_op,
            v1.ts AS old_ts, v1.event_id AS old_event_id,
-           v2.ts AS new_ts, v2.event_id AS new_event_id
+           v1.event_type AS old_event_type, v1.value AS old_value,
+           v2.ts AS new_ts, v2.event_id AS new_event_id,
+           v2.event_type AS new_event_type, v2.value AS new_value
     FROM v1 FULL JOIN v2 ON v1.user_id = v2.user_id
     WHERE v1.user_id IS NULL OR v2.user_id IS NULL
-       OR v1.ts <> v2.ts OR v1.event_id <> v2.event_id
+       OR v1.ts IS DISTINCT FROM v2.ts
+       OR v1.event_id IS DISTINCT FROM v2.event_id
+       OR v1.event_type IS DISTINCT FROM v2.event_type
+       OR v1.value IS DISTINCT FROM v2.value
     """,
 )
 def a16_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +505,9 @@ def a16_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     store. Builds the same two-generation store as a15 (even-event
     batch → v1, odd-event batch folded → v2), then emits one row per
     key whose latest state moved, classified insert/update/delete with
-    old and new version columns.
+    old and new values for EVERY stored column — version and payload
+    alike, null-safely compared, so payload-only winner flips under
+    the canonical tiebreak are visible to the feed (r13 ADVICE).
 
     Oracle: v1/v2 recomputed directly from events in SQL; the feed is
     their full-outer diff. Both versions are immutable dirs, so the
@@ -423,11 +524,11 @@ def a16_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
         os.path.join(log_dir, "batch_id=0")
     )
-    assert store.compact(spark, log_dir) == 1
+    _require(store.compact(spark, log_dir) == 1, "a16: first fold is not v1")
     e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
         os.path.join(log_dir, "batch_id=1")
     )
-    assert store.compact(spark, log_dir) == 2
+    _require(store.compact(spark, log_dir) == 2, "a16: second fold is not v2")
     return store.changes(spark, 1, 2)
 
 
@@ -441,7 +542,14 @@ class HorizonMismatch(RuntimeError):
     to catch up. A consumer that proceeded anyway would join table A's
     fold-through-batch-N state against table B's fold-through-batch-M
     state — exactly the straddled vN×vM read the SnapshotStore
-    isolation contract warns about."""
+    isolation contract warns about.
+
+    Also raised by the store-LOCAL paths (``compact``,
+    ``fold_batches``, merge-on-read ``read``) when the log's pending
+    batch ids are non-contiguous above ``compacted_through``:
+    retention deleting an intermediate committed batch while keeping
+    later ones means folding would silently skip rows — the same
+    wrong-answer class, durable instead of per-read (r13 ADVICE)."""
 
 
 def consistent_read(
@@ -657,20 +765,21 @@ def i21_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(third == i).write.mode("overwrite").parquet(
             os.path.join(log_dir, f"batch_id={i}")
         )
-    assert store_a.compact(spark, log_dir) == 1
-    assert store_b.compact(spark, log_dir) == 1
+    _require(store_a.compact(spark, log_dir) == 1, "i21: A fold 1 != v1")
+    _require(store_b.compact(spark, log_dir) == 1, "i21: B fold 1 != v1")
     e.filter(third == 2).write.mode("overwrite").parquet(
         os.path.join(log_dir, "batch_id=2")
     )
-    assert store_a.compact(spark, log_dir) == 2  # A leads: through batch 2
-    # B's compactor has NOT run: the manifests now straddle (the state
-    # a naive two-store join silently mis-reads).
-    assert store_a._meta()["compacted_through"] == 2
-    assert store_b._meta()["compacted_through"] == 1
+    # A leads: through batch 2. B's compactor has NOT run: the
+    # manifests now straddle (the state a naive two-store join
+    # silently mis-reads).
+    _require(store_a.compact(spark, log_dir) == 2, "i21: A fold 2 != v2")
+    _require(store_a._meta()["compacted_through"] == 2, "i21: A not at 2")
+    _require(store_b._meta()["compacted_through"] == 1, "i21: B not at 1")
     h, (da, db) = consistent_read(
         spark, [(store_a, log_dir), (store_b, log_dir)]
     )
-    assert h == 2
+    _require(h == 2, f"i21: horizon {h} != 2")
     return (
         da.filter(F.col("user_id").isNotNull())
         .select(
@@ -930,9 +1039,12 @@ def i22_store_group_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(log_b, f"batch_id={i}")
         )
     with group.commit() as g:
-        assert g.compact("users", spark, log_a) == 1
-        assert g.compact("types", spark, log_b) == 1
-    assert group.manifest() == {"users": 1, "types": 1}
+        _require(g.compact("users", spark, log_a) == 1, "i22: users != v1")
+        _require(g.compact("types", spark, log_b) == 1, "i22: types != v1")
+    _require(
+        group.manifest() == {"users": 1, "types": 1},
+        f"i22: first manifest is {group.manifest()}",
+    )
     pinned_v1 = group.read_pinned(spark)  # resolved NOW at {1, 1}
     # the rest of both sequences arrives; second group commit flips
     e.filter(half == 1).write.mode("overwrite").parquet(
@@ -942,16 +1054,25 @@ def i22_store_group_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(log_b, "batch_id=2")
     )
     with group.commit() as g:
-        assert g.compact("users", spark, log_a) == 2
-        assert g.compact("types", spark, log_b) == 2
-    assert group.manifest() == {"users": 2, "types": 2}
+        _require(g.compact("users", spark, log_a) == 2, "i22: users != v2")
+        _require(g.compact("types", spark, log_b) == 2, "i22: types != v2")
+    _require(
+        group.manifest() == {"users": 2, "types": 2},
+        f"i22: second manifest is {group.manifest()}",
+    )
     # repeatable read: the pre-flip plan still reads the v=1 dirs
     # (immutable, pre-resolved manifest) even though _LATEST is {2,2}
     # — inputFiles() is a metadata-only probe, no job launched
-    assert store_a._meta()["version"] == store_b._meta()["version"] == 2
+    _require(
+        store_a._meta()["version"] == store_b._meta()["version"] == 2,
+        "i22: per-store _LATEST did not advance to v2",
+    )
     for name in ("users", "types"):
         files = pinned_v1[name].inputFiles()
-        assert files and all("/v=1/" in f for f in files), (name, files)
+        _require(
+            bool(files) and all("/v=1/" in f for f in files),
+            f"i22: pinned {name} read does not resolve v=1 dirs: {files}",
+        )
     fresh = group.read_pinned(spark)
     da, db = fresh["users"], fresh["types"]
     return (
@@ -970,3 +1091,70 @@ def i22_store_group_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_n_events", "type_sum_cents",
         )
     )
+
+
+@query(
+    "i23_time_travel_read",
+    oracle=f"""
+    {EVENTS_US}
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC,
+                       event_type DESC NULLS LAST,
+                       value DESC NULLS LAST) AS rn
+          FROM e WHERE event_id % 2 = 0)
+    WHERE rn = 1
+    """,
+)
+def i23_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-pinned time travel (i23, the r13 verdict's growth id):
+    an EXPLICIT "AS OF v" read of an older snapshot version while
+    ``_LATEST`` has advanced past it. Builds the a15 two-generation
+    store (even-event batch -> v1, odd-event batch folded -> v2),
+    resolves v1 through the public :meth:`SnapshotStore.read_version`
+    BEFORE the second compaction runs, then returns that pre-resolved
+    plan after ``_LATEST`` reaches v2 — proving in the query itself
+    that a pinned read is immune to concurrent compaction (immutable
+    version dirs; the inputFiles probe is metadata-only).
+
+    Oracle: the v1-prefix recompute — latest-per-key over exactly the
+    even-event batch under the store's content-total order (version
+    columns DESC, then the canonical remaining-column tiebreak DESC
+    NULLS LAST — the i21 pattern). pytest additionally pins the loud
+    refusals (never-committed / orphan / garbage-collected versions)
+    and byte-equality between the pre-compaction and post-compaction
+    v1 reads (``tests/test_streaming.py``).
+
+    100 TB notes: time travel costs what any pinned reader pays — one
+    driver-side manifest probe plus an immutable-dir scan of ONE
+    version; no log replay, no fold. Retention that deletes old
+    version dirs turns this read into the loud GC refusal rather than
+    a silent partial scan."""
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    e = scan(spark, sf_dir, "events").select(*cols)
+    log_dir = tempfile.mkdtemp(prefix="i23_log_")
+    store = SnapshotStore(
+        tempfile.mkdtemp(prefix="i23_snap_"),
+        key="user_id",
+        order=["ts", "event_id"],
+    )
+    e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(log_dir, "batch_id=0")
+    )
+    _require(store.compact(spark, log_dir) == 1, "i23: first fold is not v1")
+    pinned = store.read_version(spark, 1)  # resolved at _LATEST == v1
+    e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(log_dir, "batch_id=1")
+    )
+    _require(store.compact(spark, log_dir) == 2, "i23: second fold is not v2")
+    _require(
+        store._meta() == {"version": 2, "compacted_through": 1},
+        "i23: _LATEST did not advance to v2",
+    )
+    files = pinned.inputFiles()
+    _require(
+        bool(files) and all("/v=1/" in f for f in files),
+        f"i23: pinned plan does not resolve v=1 dirs: {files}",
+    )
+    return pinned.select(*cols)

@@ -1318,3 +1318,48 @@ def test_consistent_read_equals_single_fold_any_split(spark):
         want_store.compact(spark, want_log)
         want = sorted(map(tuple, want_store.read(spark).collect()))
         assert got_a == want and got_b == want, (seed, n_batches, lag)
+
+
+def test_fixpoint_ckpt_pin_rejects_sibling_prefix_dir(spark, tmp_path):
+    """r13 ADVICE (low): the checkpoint-dir pin check used substring
+    containment (`ckdir in cur`), so foreign code redirecting the
+    context to a SIBLING whose name extends the configured dir
+    ('/data/ck' vs '/data/ck-other') still passed the check and
+    fixpoint checkpoints silently landed outside the configured
+    durable dir. The check must compare path components: the next cut
+    after such a redirect re-pins under the conf value and writes
+    nothing new to the sibling."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from servicenow_cmdb_integration_to_aws_spark.operators.fixpoint import (
+        FIXPOINT_CKPT_CONF,
+        _is_under,
+        cut_lineage,
+    )
+
+    # unit surface: boundary semantics incl. scheme-qualified URIs
+    assert _is_under("file:/data/ck/uuid-1", "/data/ck")
+    assert _is_under("/data/ck/uuid-1", "/data/ck")
+    assert _is_under("hdfs://nn:8020/ck/u", "hdfs://nn:8020/ck")
+    assert not _is_under("file:/data/ck-other/uuid-1", "/data/ck")
+    assert not _is_under("/data/ck-other/uuid-1", "/data/ck")
+    assert not _is_under("file:/data/deck/uuid-1", "/data/ck")
+
+    ckdir = str(tmp_path / "ck")
+    sibling = str(tmp_path / "ck-other")  # contains ckdir as substring
+    df = spark.range(10).select(F.col("id"))
+    spark.conf.set(FIXPOINT_CKPT_CONF, ckdir)
+    try:
+        assert cut_lineage(df).count() == 10
+        assert len(os.listdir(ckdir)) == 1
+        spark.sparkContext.setCheckpointDir(sibling)
+        n_sib = len(os.listdir(sibling))
+        assert cut_lineage(df).count() == 10
+        # re-pinned under the conf value: a second UUID dir THERE,
+        # nothing added to the sibling by our cut
+        assert len(os.listdir(ckdir)) == 2, os.listdir(ckdir)
+        assert len(os.listdir(sibling)) == n_sib
+    finally:
+        spark.conf.unset(FIXPOINT_CKPT_CONF)

@@ -1909,3 +1909,292 @@ def test_store_group_concurrent_commits_serialize(spark):
     assert m["a"] == m["b"] == 1  # one fold of both batches each
     pinned = group.read_pinned(spark)
     assert pinned["a"].count() == pinned["b"].count() == 2
+
+
+def test_compact_refuses_gap_in_log(spark):
+    """r13 ADVICE (medium): the contiguity refusal consistent_read
+    gained in r13 must also guard the WRITE path. compact() folds
+    whatever log batches exist above compacted_through — if retention
+    deleted batch ct+1 while ct+2..N remain, the pre-fix fold would
+    COMMIT a snapshot silently missing batches and advance
+    compacted_through past the gap, baking the wrong answer durably
+    into the store. Both compact() and the merge-on-read read() must
+    refuse with HorizonMismatch; the store must stay at its last good
+    commit."""
+    import os
+    import shutil
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        HorizonMismatch,
+    )
+
+    store, log_dir, write_batch = _mini_store(spark)
+    write_batch(0, [(1, 10, 0), (2, 20, 1)])
+    assert store.compact(spark, log_dir) == 1
+    write_batch(1, [(3, 10, 2)])
+    write_batch(2, [(4, 30, 3)])
+    shutil.rmtree(os.path.join(log_dir, "batch_id=1"))  # retention gap
+    with pytest.raises(HorizonMismatch, match="contiguous"):
+        store.compact(spark, log_dir)
+    assert store._meta() == {"version": 1, "compacted_through": 0}
+    with pytest.raises(HorizonMismatch, match="contiguous"):
+        store.read(spark, log_dir)
+    # restoring contiguity (the deleted batch republished) heals both
+    write_batch(1, [(3, 10, 2)])
+    assert store.compact(spark, log_dir) == 2
+    assert store._meta() == {"version": 2, "compacted_through": 2}
+    assert store.read(spark, log_dir).count() == 3  # users 10, 20, 30
+
+
+def test_fold_batches_refuses_gap_in_pending_ids(spark):
+    """Same r13 ADVICE class on the streaming-sink path: fold_batches
+    consumes pre-keyed batch ids (a sink's _spark_metadata log); a
+    non-contiguous pending set above compacted_through means committed
+    batches were lost, and folding past the hole would durably skip
+    their rows. Refusal, not a partial fold."""
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        HorizonMismatch,
+    )
+
+    store, log_dir, write_batch = _mini_store(spark)
+    write_batch(0, [(1, 10, 0)])
+    write_batch(2, [(2, 20, 1)])
+    import os
+
+    def load(b):
+        return spark.read.parquet(os.path.join(log_dir, f"batch_id={b}"))
+
+    with pytest.raises(HorizonMismatch, match="contiguous"):
+        store.fold_batches(spark, {0: 0, 2: 2}, load)
+    assert store._meta()["version"] == 0  # nothing committed
+    # contiguous ids fold fine, one version per batch
+    write_batch(1, [(3, 30, 2)])
+    assert store.fold_batches(spark, {0: 0, 1: 1, 2: 2}, load) == 3
+
+
+def test_change_feed_sees_payload_only_winner_flip(spark):
+    """r13 ADVICE (low): _latest_per_key can deterministically flip a
+    key's winner on tiebreak (payload) columns alone — duplicate
+    version keys under at-least-once delivery, the r13 rowshuffle
+    class. The pre-fix changes() diffed only self.order, so vN → vN+1
+    could change a key's stored payload with NO feed row and
+    incremental consumers silently diverged from the snapshot. The
+    feed must now emit an update for payload-only flips, including
+    NULL → value transitions (null-safe compare)."""
+    import datetime
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        SnapshotStore,
+    )
+
+    log_dir = tempfile.mkdtemp(prefix="feed_flip_log_")
+    store = SnapshotStore(
+        tempfile.mkdtemp(prefix="feed_flip_snap_"),
+        key="user_id",
+        order=["ts"],
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(bid, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, payload string"
+        ).write.parquet(os.path.join(log_dir, f"batch_id={bid}"))
+
+    # v1: user 1 payload 'a'; user 2 payload NULL; user 3 unchanged
+    write_batch(0, [(1, t0, "a"), (2, t0, None), (3, t0, "z")])
+    assert store.compact(spark, log_dir) == 1
+    # v2 delta ties each key on ts (the version column) exactly:
+    # user 1 gains 'b' (> 'a' under DESC NULLS LAST -> winner flips),
+    # user 2 gains 'x' (beats NULL), user 3 re-delivers 'z' (no-op)
+    write_batch(1, [(1, t0, "b"), (2, t0, "x"), (3, t0, "z")])
+    assert store.compact(spark, log_dir) == 2
+    feed = {
+        r["user_id"]: r
+        for r in store.changes(spark, 1, 2).collect()
+    }
+    assert set(feed) == {1, 2}  # user 3 unchanged => no row
+    assert feed[1]["change_op"] == "update"
+    assert (feed[1]["old_payload"], feed[1]["new_payload"]) == ("a", "b")
+    assert feed[1]["old_ts"] == feed[1]["new_ts"] == t0
+    # NULL -> 'x' must not vanish into a NULL comparison
+    assert feed[2]["change_op"] == "update"
+    assert (feed[2]["old_payload"], feed[2]["new_payload"]) == (None, "x")
+
+
+def test_time_travel_read_pins_and_refuses(spark):
+    """i23 mechanics: (1) a version read resolved at _LATEST=v1 returns
+    IDENTICAL rows after a concurrent compaction advances the store to
+    v2 (immutable version dirs); (2) never-committed versions refuse —
+    v0, v > _LATEST, and crucially an ORPHAN v-dir a crashed compactor
+    left behind (data exists on disk but was never committed); (3) a
+    committed version whose dir retention garbage-collected refuses
+    loudly instead of surfacing a parquet path error."""
+    import os
+    import shutil
+
+    store, log_dir, write_batch = _mini_store(spark)
+    write_batch(0, [(1, 10, 0), (2, 20, 1)])
+    assert store.compact(spark, log_dir) == 1
+    pinned = store.read_version(spark, 1)
+    before = sorted(map(tuple, pinned.collect()))
+    write_batch(1, [(3, 10, 2), (4, 30, 3)])
+    assert store.compact(spark, log_dir) == 2
+    # immune to the concurrent compact: same plan, same rows
+    assert sorted(map(tuple, pinned.collect())) == before
+    # a fresh AS-OF read of v1 equals the pre-compaction read
+    assert sorted(map(tuple, store.read_version(spark, 1).collect())) == before
+    assert store.read_version(spark, 2).count() == 3  # users 10, 20, 30
+
+    # refusals: below/above the committed range
+    with pytest.raises(ValueError, match="does not exist"):
+        store.read_version(spark, 0)
+    with pytest.raises(ValueError, match="does not exist"):
+        store.read_version(spark, 3)
+    # an orphan v=3 dir (crash after the fold write, before the
+    # _LATEST replace) must stay unreadable: never committed
+    write_batch(2, [(5, 40, 4)])
+
+    class _Boom(RuntimeError):
+        pass
+
+    def fault(point):
+        if point == "after_fold_write":
+            raise _Boom(point)
+
+    store._fault = fault
+    with pytest.raises(_Boom):
+        store.compact(spark, log_dir)
+    store._fault = None
+    assert os.path.isdir(os.path.join(store.root, "v=3"))  # orphan exists
+    with pytest.raises(ValueError, match="does not exist"):
+        store.read_version(spark, 3)
+    # GC'd committed version: loud refusal naming the cause
+    shutil.rmtree(os.path.join(store.root, "v=1"))
+    with pytest.raises(ValueError, match="garbage-collected"):
+        store.read_version(spark, 1)
+    # the latest version is untouched by either refusal path
+    assert store.read_version(spark, 2).count() == 3
+
+
+def test_store_group_cross_process_commit_exclusion_and_atomic_manifest(
+    tmp_path,
+):
+    """r13 verdict item 4: the torn-pair/atomic-flip/flock pins above
+    run writer and reader as THREADS in one process, and flock
+    semantics are per open-file-DESCRIPTION — only a subprocess
+    committer pins the actual multi-process story the docstrings
+    claim (the group flock standing in for a shared store's
+    conditional put). A child PROCESS runs group commits that advance
+    both members and publish manifests by atomic rename; the parent
+    (a) proves taking the group lock BLOCKS while the child holds it
+    (cross-process exclusion), and (b) polls the manifest continuously
+    and must never observe a torn pair or a version going backwards
+    (atomic-rename visibility across processes).
+
+    The members' _LATEST is advanced through the store's own _commit
+    primitive (temp-write + atomic replace — exactly what compact()
+    publishes after the fold's parquet write); the fold itself needs a
+    SparkSession and is irrelevant to the publication protocol under
+    test, so the child stays Spark-free and fast."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        SnapshotStore,
+        StoreGroup,
+    )
+
+    group_root = str(tmp_path / "group")
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    k_commits = 30
+    child_code = """
+import os, sys, time
+sys.path.insert(0, sys.argv[5])
+from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+    SnapshotStore, StoreGroup)
+group_root, root_a, root_b = sys.argv[1], sys.argv[2], sys.argv[3]
+k = int(sys.argv[4])
+a = SnapshotStore(root_a, key="user_id", order=["ts"])
+b = SnapshotStore(root_b, key="user_id", order=["ts"])
+g = StoreGroup(group_root, {"a": a, "b": b})
+with g.commit():
+    # tell the parent the group flock is held, then keep holding it
+    open(os.path.join(group_root, "CHILD_HAS_LOCK"), "w").close()
+    time.sleep(2.0)
+    a._commit({"version": 1, "compacted_through": 0})
+    b._commit({"version": 1, "compacted_through": 0})
+for v in range(2, k + 1):
+    with g.commit():
+        a._commit({"version": v, "compacted_through": v - 1})
+        time.sleep(0.005)  # widen the torn _LATEST window (a=v, b=v-1)
+        b._commit({"version": v, "compacted_through": v - 1})
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stores = {
+        "a": SnapshotStore(root_a, key="user_id", order=["ts"]),
+        "b": SnapshotStore(root_b, key="user_id", order=["ts"]),
+    }
+    group = StoreGroup(group_root, stores)
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_code,
+         group_root, root_a, root_b, str(k_commits), repo],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        # (a) cross-process exclusion: once the child signals it holds
+        # the group flock, our own commit must BLOCK until it releases
+        deadline = time.monotonic() + 30
+        flag = os.path.join(group_root, "CHILD_HAS_LOCK")
+        while not os.path.exists(flag):
+            assert time.monotonic() < deadline, "child never took the lock"
+            assert child.poll() is None, child.stderr.read().decode()
+            time.sleep(0.01)
+        t0 = time.monotonic()
+        with group.commit():
+            pass  # members are at v1 by the time we get the lock
+        waited = time.monotonic() - t0
+        assert waited > 1.0, (
+            f"parent acquired the group lock in {waited:.3f}s while the "
+            "child process held it — flock is not excluding across "
+            "processes"
+        )
+        # our commit may land between ANY of the child's later commits
+        # (both contend for the flock fairly) — but because members
+        # only move INSIDE the lock, whatever we published must be an
+        # un-torn pair at least at the child's phase-1 level
+        m0 = group.manifest()
+        assert m0["a"] == m0["b"] >= 1, m0
+        # (b) atomic manifest visibility: poll across the child's
+        # remaining commits; every observation must be un-torn and
+        # monotone even though the members' _LATEST files are torn
+        # (a=v, b=v-1) for a widened window inside each commit
+        seen = m0["a"]
+        observations = 0
+        deadline = time.monotonic() + 60
+        while True:
+            m = group.manifest()
+            assert m["a"] == m["b"], f"torn manifest observed: {m}"
+            assert m["a"] >= seen, f"manifest went backwards: {m} < {seen}"
+            seen = m["a"]
+            observations += 1
+            if seen == k_commits:
+                break
+            assert time.monotonic() < deadline, (
+                f"child stalled at version {seen}; "
+                f"stderr: {child.stderr.peek()[:500]!r}"
+            )
+        # with 30 commits each widened by a 5 ms torn window, a tight
+        # file-read poll loop observes many intermediate manifests —
+        # but the INVARIANT checks above are the pin, so only sanity-
+        # check that we polled at all (no flaky concurrency quota)
+        assert observations >= 1
+        assert child.wait(timeout=30) == 0, child.stderr.read().decode()
+    finally:
+        if child.poll() is None:
+            child.kill()
