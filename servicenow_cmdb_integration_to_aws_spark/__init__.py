@@ -204,9 +204,15 @@ _DRIVER_GREEN = frozenset(
         # r11 pass: i20 hard-signalled green in its first driver round.
         "i20_stream_sink_compact",
         # r12 pass: i21 hard-signalled green in its first driver round.
-        # (i22 is r13's growth id and deliberately NOT listed — a new
-        # id must hard-signal in its first round.)
         "i21_consistent_read",
+        # r13 pass (50/50 green in CORRECTNESS_r13.json — the full ≤r6
+        # stale cohort retired + the rowshuffle-fix family re-proved +
+        # i22's first-round hard signal). Only the ids NEW to the union
+        # matter here (i22 and the set difference), but the full green
+        # list is recorded for auditability. (i23 is r14's growth id
+        # and deliberately NOT listed — a new id must hard-signal in
+        # its first round.)
+        "i22_store_group_read",
     }
 )
 
@@ -266,11 +272,14 @@ _CHECK_COST_S = {
     "i20_stream_sink_compact": 8.0,
     # r12 addition (CORRECTNESS_r12 green; measured sf0.01 cost)
     "i21_consistent_read": 4.5,
-    # i22 (r13 growth id, ~11 s sf0.01 incl. oracle — two group
-    # commits over two stores) is deliberately NOT listed this round:
+    # r13 addition (CORRECTNESS_r13 green; measured sf0.01 cost —
+    # two group commits over two stores)
+    "i22_store_group_read": 3.4,
+    # i23 (r14 growth id, ~7 s sf0.01 incl. oracle — two compactions
+    # + the pinned v1 read) is deliberately NOT listed this round:
     # a new id auto-fronts with cost −1 and must hard-signal inside
     # any plausible budget cut. Add its cost here once
-    # CORRECTNESS_r13 records the green row.
+    # CORRECTNESS_r14 records the green row.
 }
 
 #: true Structured Streaming ids among the unchecked — forced to the
@@ -296,52 +305,42 @@ _STREAMING_LAST = frozenset({
 #: 50-id budget re-proving exactly the code that moved (r8 verdict
 #: punch-list item 3) instead of re-checking untouched greens.
 _RECHECK_FIRST = frozenset({
-    # Rebuilt for r13 (r12 verdict item 1): front the FINAL stale
-    # cohort — all 31 ids whose latest driver row is ≤ r6 (computed
-    # from the CORRECTNESS_r01..r12 latest-round map: 5 at r4, 26 at
-    # r6) — plus this round's code-moved ids (4 advice/fixpoint + the
-    # 9 --rowshuffle total-order ids), plus the 5 cheapest r7 ids, so
-    # the block is EXACTLY 49 listed + the auto-fronting growth id
-    # i22 = 50 (robust even if the driver's budget is a hard 50-id
-    # cap). After r13, the registry's staleness floor rises to r7
-    # with 41 r7 ids left for r14.
+    # Rebuilt for r14 (r13 verdict item 1 — "retire the staleness
+    # question"): front the ENTIRE 43-id cohort whose latest driver
+    # row is r7 plus the 6 cheapest r8 ids (shortest-job-first by
+    # _CHECK_COST_S, name tiebreak), so the block is EXACTLY 49
+    # listed + the auto-fronting growth id i23 = 50 (robust even if
+    # the driver's budget is a hard 50-id cap). After r14 the
+    # registry's staleness floor rises to r8 (17 r8 ids left for
+    # r15) and every id has a driver row within the last 7 rounds.
     #
-    # (a) the 5 r4 h-family scalar ids (deferred from r12 by design):
-    "h1_string", "h2_regex_fn", "h4_math", "h5_cond", "h6_cast",
-    # (b) the 26-id r6 cohort:
-    "c18_scd2_intervals", "d28_heavy_hitters", "e14_seq_pattern",
-    "i8_watermark_inc", "i9_cdc_merge", "j17_bigram_lm",
-    "j20_mixture_sample", "j21_domain_cap", "j24_repetition_filter",
-    "j25_incremental_dedup", "j26_train_eval_split",
-    "j28_quality_classifier", "j34_length_histogram",
-    "j36_cluster_representative", "j42_bpe_pair_stats",
-    "j43_importance_sample", "j44_feature_hashing",
-    "j48_bpe_merge_apply", "j51_temperature_sample", "k1_udf_scalar",
-    "k2_pandas_udf", "k5_udtf", "k7_pandas_iter_udf",
-    "m2_binary_meta_join", "m6_binary_dedup", "m7_modality_router",
-    # (c) engine code moved in r13 after an older green row: i21's
-    # consistent_read gained the contiguous-tail refusal; the fixpoint
-    # family's cut_lineage gained the per-application checkpoint-dir
-    # pin and connected_components the always-probe-final-rounds
-    # schedule (i22 is brand-new and auto-fronts):
-    "i21_consistent_read", "c12_rel_closure_unbounded", "c22_k_core",
-    "j16_neardup_components",
-    # (c2) the r13 --rowshuffle cross-layout finding: nine ids gained
-    # content-total tie orders (payload tiebreaks in the window /
-    # latest-per-key order, mirrored in their oracles) — their green
-    # rows predate the fix, so they re-prove this round (c18 is
-    # already fronted in (b)):
-    "a15_snapshot_compact", "a16_change_feed", "e13_ewma",
-    "e3_lag_lead", "e4_running", "e5_moving", "e7_firstlast",
-    "e8_dedup_latest", "i11_foreach_batch_merge",
-    # ...and the two the 10x-chain cross-layout run added (scale-
-    # coupled ties, the r11 e14 lesson): c8's per-purchase_id window
-    # and e11's running distinct count gained content-total orders:
-    "c8_join_asof", "e11_windowed_count_distinct",
-    # (d) 3 cheapest r7 ids (shortest-job-first by _CHECK_COST_S, name
-    # tiebreak) — the start of raising the floor past r7 with the
-    # slots (c2) left free:
-    "f6_keyset_page", "f7_exact_k_sample", "p10_text_search",
+    # The r14 code-moved ids (a15/a16/i21/i22 fail-loud + gap-refusal
+    # + full-width change feed; the fixpoint family's path-boundary
+    # ckpt pin) are deliberately NOT re-fronted: all were driver-green
+    # in r13, every one is exact-value parity-green on the final r14
+    # code (tools/check_parity.py, SCALING.md round-14), and the slots
+    # are the verdict's priority — they rotate back in r15.
+    #
+    # (a) the full 43-id r7 cohort:
+    "a21_observed_metrics", "a23_corrupt_tolerant_scan",
+    "a24_permissive_json", "a6_sink_csv_json", "b15_dynamic_pruning",
+    "b18_lateral_topk", "b19_scalar_subquery", "c15_join_asof_fwd",
+    "c20_join_hints", "d17_approx_percentile", "d18_hll_merge",
+    "d22_corr_moments", "d23_histogram", "d24_argmax_mode",
+    "d25_bitmap_distinct", "d26_weighted_median",
+    "f8_stratified_exact_k", "g7_delta_detect", "g8_orphan_audit",
+    "k10_sql_udf", "k8_arrow_grouped", "p11_parameterized_sql",
+    "p1_encoded_filter", "p2_encoded_nq", "p3_encoded_ops",
+    "p4_encoded_dotwalk", "p5_dotwalk_select", "p6_encoded_agg",
+    "p7_sql_passthrough", "p9_sql_recursive", "t11_golden_q2",
+    "t13_golden_q4", "t14_golden_q7", "t15_golden_q17",
+    "t16_golden_q22", "t17_golden_q11", "t1_golden_q3",
+    "t2_golden_q5", "t3_golden_q10", "t5_golden_q12",
+    "t6_golden_q14", "t7_golden_q19", "t8_pipeline_curate",
+    # (b) the 6 cheapest r8 ids by measured check cost:
+    "b16_bloom_join", "a5_sink_partitioned", "a22_zorder_sink",
+    "c17_triangle_count", "a14_sink_clustered",
+    "a19_small_file_compact",
 })
 
 
