@@ -612,6 +612,47 @@ ROWSHUFFLE_TRANSFORMS = {
 }
 
 
+def _filesplit_corpus(src: str, out: str, n: int) -> None:
+    """--filesplit mode (22nd axis, r13 verdict item 3): same rows,
+    hostile FILE LAYOUT — every table becomes a DIRECTORY of n part
+    files with deliberately UNEVEN sizes (triangular weights: part k
+    carries ~2k/n(n+1) of the rows) plus one ZERO-ROW part, instead of
+    the sf corpora's single single-row-group file. At 100 TB a table
+    is always many ragged files and some tasks are empty; any operator
+    whose result couples to split boundaries (per-partition firsts,
+    partition-index-seeded logic, empty-partition edge cases, input_
+    file_name assumptions) diverges between the layouts. Pair with
+    check_determinism --vs-sf <single-file twin>: each query runs on
+    BOTH layouts and the canonicalized multisets must be EQUAL —
+    the file-boundary twin of --rowshuffle's row-order proof.
+
+    pyarrow slice (not a SQL COPY) so physical types survive
+    byte-exact — events.ts must stay TIMESTAMP(NANOS) for scan()'s
+    nanosAsLong path to engage (the _limit_corpus discipline)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    total_w = n * (n + 1) // 2
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        d = f"{out}/{t}.parquet"
+        os.makedirs(d, exist_ok=True)
+        rows = tbl.num_rows
+        bounds = [0] + [
+            round(rows * (i * (i + 1) // 2) / total_w) for i in range(1, n)
+        ] + [rows]
+        # the empty part leads: schema-only files are what an empty
+        # task's sink commit looks like, and readers must plan past it
+        pq.write_table(tbl.slice(0, 0), f"{d}/part-00000.parquet")
+        for i in range(n):
+            lo, hi = bounds[i], bounds[i + 1]
+            pq.write_table(
+                tbl.slice(lo, hi - lo), f"{d}/part-{i + 1:05d}.parquet"
+            )
+        print(f"{t}: {rows} rows -> {n} uneven parts + 1 empty part")
+    print(f"filesplit corpus at {out}")
+
+
 def _limit_corpus(src: str, out: str, n: int) -> None:
     """--limit mode: keep only the first n rows of every table (n=1 →
     single-row corpus, n=0 → empty corpus with intact schemas). The
@@ -715,9 +756,18 @@ def main() -> None:
         help="pathological documents (empty/whitespace/giant-token/"
              "giant-doc text: tokenizer and batch-shape edges)",
     )
+    ap.add_argument(
+        "--filesplit", type=int, default=None, metavar="N",
+        help="rewrite every table as a DIRECTORY of N uneven part "
+             "files plus one empty part (layout amplifier: pair with "
+             "check_determinism --vs-sf to prove split-independence)",
+    )
     args = ap.parse_args()
     if args.limit is not None:
         _limit_corpus(args.src, args.out, args.limit)
+        return
+    if args.filesplit is not None:
+        _filesplit_corpus(args.src, args.out, args.filesplit)
         return
     if args.rowshuffle:
         transforms = ROWSHUFFLE_TRANSFORMS
