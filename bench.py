@@ -136,6 +136,30 @@ def _warm_streaming(spark) -> None:
             .start()
         )
         q.awaitTermination()
+        # The generic warmup above leaves the PYTHON DataSource STREAM
+        # machinery cold (driver-side python streaming-runner process,
+        # executor python worker pools, Arrow stream codec): a18's
+        # first run still paid ~4.6 s over its own repeat cost after
+        # it (r14 A/B, one session: warmed-first 6.80 s vs repeats
+        # 2.18/2.10). One tiny paged stream over sf0.001 orders
+        # absorbs exactly that machinery without pre-running a18's
+        # sf0.1 page work.
+        from servicenow_cmdb_integration_to_aws_spark.sources.python_source import (  # noqa: E501
+            path_of,
+            register_stream,
+        )
+
+        register_stream(spark)
+        q2 = (
+            spark.readStream.format("cmdb_pages_stream")
+            .option("path", path_of("/root/testdata/sf0.001", "orders"))
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", d + "/ck2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
