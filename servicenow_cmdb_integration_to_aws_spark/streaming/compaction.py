@@ -279,6 +279,44 @@ class SnapshotStore:
     def _read_version(self, spark: SparkSession, v: int) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, f"v={v}"))
 
+    def gc(self, keep_last: int = 1) -> list[int]:
+        """Version retention sweep: delete committed version dirs older
+        than the newest ``keep_last``, under the store flock. Returns
+        the swept version numbers (ascending).
+
+        What it never touches: the current version; UNCOMMITTED orphan
+        dirs above ``_LATEST`` (a crashed compactor's retry overwrites
+        its own orphan — sweeping it here would race that retry); the
+        change log (that is :func:`prune_log`'s job, with the opposite
+        safety rule). Time travel to a swept version refuses loudly
+        (:meth:`read_version`'s GC refusal) instead of part-scanning.
+
+        Operator hazards, stated plainly (the Delta-VACUUM trade): a
+        reader whose plan resolved a version BEFORE the sweep reads
+        deleted files if it is still running — retention windows must
+        exceed the longest reader, exactly as in every
+        immutable-snapshot system; and external pins (a StoreGroup
+        manifest naming an old version) are invisible here because a
+        store deliberately does not know its groups (the single-table
+        isolation contract) — group operators must size ``keep_last``
+        to cover their manifest horizon. 100 TB notes: the sweep is
+        driver-side metadata + dir deletes, never a data read; cost is
+        O(swept versions), and the flock only excludes compactors for
+        the listing instant."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        import shutil
+
+        with self._locked():
+            meta = self._meta()
+            swept = []
+            for v in range(1, meta["version"] - keep_last + 1):
+                d = os.path.join(self.root, f"v={v}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                    swept.append(v)
+            return swept
+
     def read_version(self, spark: SparkSession, v: int) -> DataFrame:
         """Time travel: the snapshot exactly as version ``v`` published
         it — the "AS OF v" read every snapshot-store user eventually
@@ -530,6 +568,41 @@ def a16_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _require(store.compact(spark, log_dir) == 2, "a16: second fold is not v2")
     return store.changes(spark, 1, 2)
+
+
+def prune_log(store: SnapshotStore, log_dir: str) -> list[int]:
+    """Log retention sweep — the complement of :meth:`SnapshotStore.gc`
+    with the OPPOSITE safety rule: delete only batches the store has
+    durably absorbed (``batch_id <= compacted_through``). Returns the
+    pruned batch ids (ascending).
+
+    This is the one retention discipline the store's gap refusals
+    assume: pruning ABOVE ``compacted_through`` — or skipping an
+    intermediate id — is exactly what turns the next ``compact()`` /
+    ``read()`` / :func:`consistent_read` into a loud
+    :class:`HorizonMismatch` instead of a silent partial fold, so this
+    helper reads the manifest under the store flock and never reaches
+    past it. Safe concurrently with readers: merge-on-read only folds
+    batches ABOVE ``compacted_through``, which this never touches, and
+    the base version dirs are `gc`'s jurisdiction. 100 TB notes:
+    driver-side listing + dir deletes, O(pruned batches); running it
+    after every compaction keeps the log's size proportional to the
+    uncompacted tail, which is what makes the merge-on-read tail cost
+    genuinely delta-sized forever."""
+    import shutil
+
+    with store._locked():
+        ct = store._meta()["compacted_through"]
+        pruned = []
+        if os.path.isdir(log_dir):
+            for d in sorted(os.listdir(log_dir)):
+                if not d.startswith("batch_id="):
+                    continue
+                b = int(d.split("=", 1)[1])
+                if b <= ct:
+                    shutil.rmtree(os.path.join(log_dir, d))
+                    pruned.append(b)
+        return pruned
 
 
 # -- cross-store consistent read (i21, r11 verdict item 4) ---------------

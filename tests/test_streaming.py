@@ -2198,3 +2198,70 @@ for v in range(2, k + 1):
     finally:
         if child.poll() is None:
             child.kill()
+
+
+def test_gc_and_prune_log_retention_contracts(spark):
+    """Retention, both sweeps, both safety rules (r14): gc() deletes
+    only COMMITTED versions older than keep_last — never the current
+    version, never an uncommitted orphan above _LATEST (a crashed
+    compactor's retry owns that dir) — and time travel to a swept
+    version refuses loudly. prune_log() deletes only batches at or
+    below compacted_through, so the store's gap refusals can never
+    fire on a log this helper maintained: compact()/read() keep
+    working across interleaved prunes."""
+    import os
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        prune_log,
+    )
+
+    store, log_dir, write_batch = _mini_store(spark)
+    write_batch(0, [(1, 10, 0), (2, 20, 1)])
+    assert store.compact(spark, log_dir) == 1
+    write_batch(1, [(3, 10, 2)])
+    assert store.compact(spark, log_dir) == 2
+    write_batch(2, [(4, 30, 3)])
+    assert store.compact(spark, log_dir) == 3
+
+    # keep_last=2: v1 goes, v2/v3 stay; repeat sweep is a no-op
+    assert store.gc(keep_last=2) == [1]
+    assert store.gc(keep_last=2) == []
+    assert not os.path.isdir(os.path.join(store.root, "v=1"))
+    with pytest.raises(ValueError, match="garbage-collected"):
+        store.read_version(spark, 1)
+    assert store.read_version(spark, 2).count() == 2
+    assert store.read_version(spark, 3).count() == 3
+    with pytest.raises(ValueError, match="keep_last"):
+        store.gc(keep_last=0)
+
+    # an uncommitted orphan above _LATEST survives any sweep: the
+    # crashed compactor's retry overwrites it, gc must not race that
+    write_batch(3, [(5, 40, 4)])
+
+    class _Boom(RuntimeError):
+        pass
+
+    def fault(point):
+        if point == "after_fold_write":
+            raise _Boom(point)
+
+    store._fault = fault
+    with pytest.raises(_Boom):
+        store.compact(spark, log_dir)
+    store._fault = None
+    assert os.path.isdir(os.path.join(store.root, "v=4"))  # orphan
+    assert store.gc(keep_last=1) == [2]  # v3 current, v4 orphan kept
+    assert os.path.isdir(os.path.join(store.root, "v=4"))
+    # the retry then commits v4 normally over its own orphan
+    assert store.compact(spark, log_dir) == 4
+
+    # prune_log: only ids <= compacted_through go; the tail survives
+    write_batch(4, [(6, 50, 5)])
+    assert prune_log(store, log_dir) == [0, 1, 2, 3]
+    left = sorted(os.listdir(log_dir))
+    assert left == ["batch_id=4"]
+    # the maintained log never trips the gap refusals
+    assert store.read(spark, log_dir).count() == 5  # users 10..50
+    assert store.compact(spark, log_dir) == 5
+    assert prune_log(store, log_dir) == [4]
+    assert store.read(spark, log_dir).count() == 5
