@@ -52,6 +52,17 @@ def main() -> int:
         help="second corpus dir with identical logical content "
              "(e.g. the --rowshuffle twin); run 2 reads it instead",
     )
+    ap.add_argument(
+        "--cpus2", type=int, default=None,
+        help="PARALLELISM axis (r14): rebuild the session with "
+             "SPARK_GRAFT_CPUS=N before run 2 (local[N] master and N "
+             "shuffle partitions) — results must be independent of "
+             "core count and shuffle fan-out, the property a move "
+             "from local[32] to a 1000-executor cluster needs. "
+             "Composable with --vs-sf. Runs phase-wise (all ids on "
+             "session 1, then all on session 2) to avoid a JVM "
+             "restart per id.",
+    )
     ap.add_argument("ids", nargs="*")
     args = ap.parse_args()
 
@@ -59,15 +70,40 @@ def main() -> int:
     ids = args.ids or sorted(queries)
     spark = build_session("determinism")
 
+    phase1: dict[str, tuple] = {}
+    if args.cpus2 is not None:
+        # phase-wise: collect run 1 for every id, rebuild the session
+        # at the second parallelism, then run 2 compares against it
+        import os as _os
+
+        for qid in ids:
+            t0 = time.time()
+            try:
+                df = queries[qid](spark, args.sf)
+                phase1[qid] = rows_canon(df.columns, df.collect())
+                print(f"run1 {qid} ({time.time() - t0:.1f}s)")
+            except Exception as err:  # noqa: BLE001
+                print(f"ERROR(run1) {qid}: {type(err).__name__}: {err}")
+        spark.stop()
+        _os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus2)
+        spark = build_session("determinism-cpus2")
+
     n_pass = n_fail = 0
     for qid in ids:
         t0 = time.time()
         try:
-            runs = []
-            for sf_dir in (args.sf, args.vs_sf or args.sf):
-                df = queries[qid](spark, sf_dir)
-                cols = df.columns
-                runs.append(rows_canon(cols, df.collect()))
+            if args.cpus2 is not None:
+                if qid not in phase1:
+                    n_fail += 1  # run-1 error already printed
+                    continue
+                df = queries[qid](spark, args.vs_sf or args.sf)
+                runs = [phase1[qid], rows_canon(df.columns, df.collect())]
+            else:
+                runs = []
+                for sf_dir in (args.sf, args.vs_sf or args.sf):
+                    df = queries[qid](spark, sf_dir)
+                    cols = df.columns
+                    runs.append(rows_canon(cols, df.collect()))
             (c1, r1), (c2, r2) = runs
             if c1 != c2:
                 print(f"FAIL {qid}: column sets differ {c1} vs {c2}")
