@@ -28,6 +28,13 @@ _WARNED_ACTIVE_SESSION_PIN = False
 #: ``queries()[id](spark, sf_dir)``, which we do not construct.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # the engine's arithmetic/cast/overflow semantics are verified
+    # under ANSI mode (Spark 4 default) — every try_* escape hatch,
+    # finite-metric gate and DECIMAL-exact sum assumes it. A caller's
+    # session with ANSI off would silently run unverified semantics
+    # (overflow wraps instead of raising, bad casts null instead of
+    # failing), so the wrapper pins it like the timezone (r14).
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

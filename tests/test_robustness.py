@@ -1363,3 +1363,24 @@ def test_fixpoint_ckpt_pin_rejects_sibling_prefix_dir(spark, tmp_path):
         assert len(os.listdir(sibling)) == n_sib
     finally:
         spark.conf.unset(FIXPOINT_CKPT_CONF)
+
+
+def test_hostile_ansi_off_is_restored_by_tune(spark, sf_dir):
+    """r14: the engine's arithmetic/cast/overflow semantics are
+    verified under ANSI mode (Spark 4 default) — a caller's session
+    with ANSI off would silently run unverified semantics (overflow
+    wraps, bad casts null instead of failing). The query wrapper's
+    tune() must pin ansi=true exactly like the timezone. h6_cast and
+    h16_try_functions are the ids whose outputs most directly encode
+    the cast/try contract."""
+    q = entrymod.queries()
+    for qid in ("h6_cast", "h16_try_functions"):
+        baseline = sorted(map(tuple, q[qid](spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            hostile = sorted(map(tuple, q[qid](spark, sf_dir).collect()))
+            # the wrapper re-pinned it before planning the query
+            assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+        assert hostile == baseline, qid
