@@ -982,6 +982,53 @@ class StoreGroup:
         caller cannot contaminate another thread's manifest)."""
         return self.stores[name].compact(spark, log_dir)
 
+    def gc(self, keep_last: int = 1) -> dict:
+        """Group-aware version retention: sweep every member like
+        :meth:`SnapshotStore.gc`, but NEVER a version the published
+        manifest still pins — the external-pin hazard the store-level
+        sweep documents, closed at the level that actually knows the
+        pins. Runs under the group flock so the manifest cannot flip
+        mid-sweep (a commit in flight either published before the
+        listing — its pins are honored — or publishes after, seeing
+        only versions this sweep kept, since commits only ever pin
+        CURRENT-or-newer versions). Returns {member: [swept...]}.
+
+        Per member, the newest ``keep_last`` versions survive, and so
+        does the exact version the manifest pins (a member compacted
+        ahead of the group can have UNREFERENCED versions between its
+        pin and its retained tail — those sweep). A group reader that
+        resolved the manifest before the sweep reads pinned dirs that
+        are still there; the documented residual hazard is the same
+        one every immutable-snapshot system has — a reader holding a
+        manifest OLDER than the current one races retention, so
+        retention cadence must exceed manifest-reader lifetime."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        import shutil
+
+        with open(os.path.join(self.root, "_GLOCK"), "w") as lf:
+            try:
+                import fcntl
+
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: single maintainer
+                pass
+            pins = self.manifest()
+            swept: dict[str, list[int]] = {}
+            for name, store in self.stores.items():
+                with store._locked():
+                    latest = store._meta()["version"]
+                    out = []
+                    for v in range(1, latest - keep_last + 1):
+                        if v == pins.get(name):
+                            continue  # manifest-pinned: must survive
+                        d = os.path.join(store.root, f"v={v}")
+                        if os.path.isdir(d):
+                            shutil.rmtree(d)
+                            out.append(v)
+                    swept[name] = out
+            return swept
+
     def read_pinned(self, spark: SparkSession) -> dict:
         """Resolve the manifest once; return {table: DataFrame} of
         exactly the published versions (never per-store _LATEST)."""

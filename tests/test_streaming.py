@@ -2265,3 +2265,53 @@ def test_gc_and_prune_log_retention_contracts(spark):
     assert store.compact(spark, log_dir) == 5
     assert prune_log(store, log_dir) == [4]
     assert store.read(spark, log_dir).count() == 5
+
+
+def test_store_group_gc_honors_manifest_pins(spark):
+    """r14 group-aware retention: StoreGroup.gc() sweeps members like
+    the store-level gc but never a version the published manifest
+    pins — the external-pin hazard SnapshotStore.gc documents, closed
+    where the pins are known. A member compacted ahead of the
+    manifest keeps BOTH its pinned version and its keep_last newest;
+    after the next group commit re-pins, the stale version becomes
+    sweepable."""
+    import os
+    import tempfile
+
+    from servicenow_cmdb_integration_to_aws_spark.streaming.compaction import (
+        StoreGroup,
+    )
+
+    store_a, log_a, write_a = _mini_store(spark)
+    store_b, log_b, write_b = _mini_store(spark)
+    group = StoreGroup(
+        tempfile.mkdtemp(prefix="gc_group_"), {"a": store_a, "b": store_b}
+    )
+    write_a(0, [(1, 10, 0)])
+    write_b(0, [(1, 10, 0)])
+    with group.commit() as g:
+        assert g.compact("a", spark, log_a) == 1
+        assert g.compact("b", spark, log_b) == 1
+    # member a races ahead OUTSIDE the group: v2, v3 (manifest still
+    # pins a@1) — gc(keep_last=1) may sweep only v2: v3 is newest,
+    # v1 is manifest-pinned
+    for bid, rows in ((1, [(2, 20, 1)]), (2, [(3, 30, 2)])):
+        write_a(bid, rows)
+        assert store_a.compact(spark, log_a) == bid + 1
+    assert group.gc(keep_last=1) == {"a": [2], "b": []}
+    assert os.path.isdir(os.path.join(store_a.root, "v=1"))  # pinned
+    assert os.path.isdir(os.path.join(store_a.root, "v=3"))  # newest
+    assert not os.path.isdir(os.path.join(store_a.root, "v=2"))
+    # the pinned read still resolves after the sweep
+    assert group.read_pinned(spark)["a"].count() == 1
+    # a fresh group commit re-pins {a: 4, b: 2}; v1 becomes sweepable
+    write_a(3, [(4, 40, 3)])
+    write_b(1, [(5, 50, 4)])
+    with group.commit() as g:
+        assert g.compact("a", spark, log_a) == 4
+        assert g.compact("b", spark, log_b) == 2
+    assert group.gc(keep_last=1) == {"a": [1, 3], "b": [1]}
+    assert group.read_pinned(spark)["a"].count() == 4
+    assert group.read_pinned(spark)["b"].count() == 2
+    with pytest.raises(ValueError, match="keep_last"):
+        group.gc(keep_last=0)
