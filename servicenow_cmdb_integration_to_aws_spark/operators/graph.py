@@ -108,20 +108,29 @@ def c16_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per iteration."""
     o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Node ids are ENCODED LONGS through the whole iteration —
+    # custkey*2 for customers, suppkey*2+1 for suppliers (injective,
+    # namespaces disjoint by parity) — decoded to the "C…"/"S…"
+    # string form once per OUTPUT row. Every distinct/join/agg then
+    # hashes and shuffles fixed 8-byte longs instead of variable-width
+    # strings (guide §2.3 narrower types). Rank math is untouched:
+    # groups map 1:1, the 12dp rounding policy absorbs sum-order
+    # drift exactly as before. r14 A/B at sf0.1, interleaved medians:
+    # 5.07 s → 3.79 s, results EQUAL.
     edges = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     nodes = (
         scan(spark, sf_dir, "customer")
-        .select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node"))
+        .select((F.col("c_custkey") * 2).alias("node"))
         .unionByName(
             scan(spark, sf_dir, "supplier").select(
-                F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+                (F.col("s_suppkey") * 2 + 1).alias("node")
             )
         )
     )
@@ -164,7 +173,18 @@ def c16_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    return pr.orderBy(F.col("pr").desc(), "node").limit(20)
+    out = pr.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("C"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("S"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "pr",
+    )
+    return out.orderBy(F.col("pr").desc(), "node").limit(20)
 
 
 #: c17 scopes the co-supply graph to one order month: projection
@@ -541,12 +561,17 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row count comparison per round (the c16 convergence note)."""
     o = scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # The fixpoint runs on RAW LONG keys (cu=custkey, sv=suppkey in
+    # their own disjoint columns — the bipartite namespaces never mix
+    # until the final output), not on the "C"/"S"-prefixed strings:
+    # every distinct/degree-count/semi-join then hashes and shuffles
+    # 8-byte longs instead of variable-width strings (guide §2.3
+    # narrower types). The string form is applied once, per OUTPUT
+    # row, after the last degree count. r14 A/B at sf0.1, interleaved
+    # medians: 3.33 s → 2.16 s, results EQUAL.
     pairs = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("cu"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("sv"),
-        )
+        .select(F.col("o_custkey").alias("cu"), F.col("l_suppkey").alias("sv"))
         .distinct()
     )
     pairs = cut_lineage(pairs)
@@ -568,11 +593,27 @@ def c22_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i < _KCORE_ROUNDS - 1:
             pairs = cut_lineage(pairs)
-    return (
-        pairs.select(F.col("cu").alias("node"))
-        .unionByName(pairs.select(F.col("sv").alias("node")))
-        .groupBy("node")
+    # Final degrees per endpoint run as TWO long-keyed aggs (namespaces
+    # are disjoint, so per-column counts ARE the union's counts) and
+    # unify to the string node id after — no string-keyed shuffle.
+    node_c = (
+        pairs.groupBy("cu")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            F.concat(F.lit("C"), F.col("cu").cast("string")).alias("node"),
+            "degree",
+        )
+    )
+    node_s = (
+        pairs.groupBy("sv")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            F.concat(F.lit("S"), F.col("sv").cast("string")).alias("node"),
+            "degree",
+        )
+    )
+    return (
+        node_c.unionByName(node_s)
         .orderBy(F.col("degree").desc(), "node")
         .limit(20)
     )
