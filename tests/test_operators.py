@@ -496,6 +496,31 @@ def test_connected_components_basic(spark):
         assert got[iso] == iso
 
 
+def test_connected_components_empty_edges_fast_path(spark):
+    """Zero edges (the r14 fast path: skip the contraction loop
+    entirely) — every node is its own singleton component, identical
+    to what the loop would converge to. Also covers self-loop-only
+    input, which the src!=dst filter reduces to the empty set."""
+    from servicenow_cmdb_integration_to_aws_spark.operators.joins import (
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    nodes = spark.range(1, 6).select(F.col("id").cast("long").alias("id"))
+    empty = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(empty, nodes).collect()
+    }
+    assert got == {i: i for i in range(1, 6)}
+    loops = spark.createDataFrame([(2, 2), (4, 4)], ["src", "dst"])
+    got2 = {
+        r["id"]: r["component"]
+        for r in connected_components(loops, nodes).collect()
+    }
+    assert got2 == {i: i for i in range(1, 6)}
+
+
 def test_transform_map_insert_update_existing(spark):
     """a13's API pieces: mapping projects/casts/defaults; upsert tags
     insert (staged-only key), update (both), existing (target-only)."""
