@@ -21,9 +21,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -392,7 +392,7 @@ class _UpsertCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-class OrdersUpsertWriter(DataSourceWriter):
+class OrdersUpsertWriter(DataSourceArrowWriter):
     """Two-phase-commit export sink: tasks stage, the driver commits.
 
     Each task writes its rows to a uniquely-named file under
@@ -425,17 +425,43 @@ class OrdersUpsertWriter(DataSourceWriter):
                 raise RuntimeError(f"injected crash at {point}")
 
     def write(self, iterator):
+        # Arrow-vectorized emission (r14, guide §4): the task receives
+        # whole RecordBatches instead of pickled rows, and each batch
+        # serializes through pandas' C CSV writer — the old
+        # row-at-a-time f-string loop paid per-row deserialization AND
+        # per-row formatting. Value fidelity is unchanged: pandas
+        # renders float64 with the same shortest-roundtrip digits as
+        # repr(float) (verified value-for-value on this corpus), and
+        # the read-back parses to bit-identical doubles either way.
+        # The key column is cast to STRING inside Arrow first — a
+        # nullable int64 would otherwise coerce to float64 in pandas
+        # and corrupt every key's text. Nulls now emit as empty fields
+        # (read back as NULL, matching the oracle) where the old loop
+        # wrote the literal 'None'.
         import os
         import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
         fn = os.path.join(staging, f"part-{uuid.uuid4().hex}.csv")
         n = 0
         with open(fn, "w") as f:
-            for row in iterator:
-                f.write(f"{row[0]},{row[1]},{row[2]!r}\n")
-                n += 1
+            for batch in iterator:
+                n += batch.num_rows
+                if not batch.num_rows:
+                    continue
+                pdf = pa.table(
+                    [
+                        pc.cast(batch.column(0), "string"),
+                        batch.column(1),
+                        batch.column(2),
+                    ],
+                    names=["k", "s", "p"],
+                ).to_pandas()
+                f.write(pdf.to_csv(index=False, header=False))
         return _UpsertCommit(fn, n)
 
     def commit(self, messages):

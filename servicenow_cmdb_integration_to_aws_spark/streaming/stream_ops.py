@@ -117,6 +117,42 @@ def _staged_dir_for(
     return d
 
 
+def _stage_bucket_files(
+    df: DataFrame, bucket: "F.Column", n: int, src: str, prefix: str
+) -> None:
+    """Stage ``df`` as up to ``n`` single-file parquet inputs
+    (``src/<prefix><i>.parquet``, one per bucket value 0..n-1) in ONE
+    Spark job: a single-task dynamic-partition write splits the rows
+    by bucket, vs the old per-bucket loop that re-scanned the source
+    and ran one coalesce(1) write job per file (r14; i20's 4-file
+    staging paid 4 scans + 4 job launches for one pass of data). The
+    bucket column rides only the write (partitionBy drops it from the
+    data files), so the staged schema is unchanged. An all-empty
+    bucket produces no file, exactly like the old loop's `if parts:`
+    guard. File-content ROW ORDER is irrelevant by contract — the
+    cross-layout program proves every operator order-independent, and
+    the store folds are content-total."""
+    import glob as _glob
+
+    tmp = tempfile.mkdtemp(prefix="stage_buckets_")
+    try:
+        (
+            df.withColumn("__bucket", bucket)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(tmp)
+        )
+        for i in range(n):
+            parts = _glob.glob(
+                os.path.join(tmp, f"__bucket={i}", "part-*.parquet")
+            )
+            if parts:
+                shutil.move(parts[0], os.path.join(src, f"{prefix}{i}.parquet"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stage_docs_dir(sf_dir: str) -> str:
     """Stage documents.parquet into a directory for FileStreamSource
     (same pattern as _stage_dir for events)."""
@@ -1047,15 +1083,7 @@ def i18_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     # dividend sign: -3 % 2 = -1, matching neither half) while the
     # oracle counts every row (r10 ADVICE).
     half = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2))
-    for i in (0, 1):
-        half_tmp = tempfile.mkdtemp(prefix="i18_half_")
-        ev.filter(half == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(half_tmp)
-        parts = _glob.glob(os.path.join(half_tmp, "part-*.parquet"))
-        if parts:  # an all-empty half may produce no part file
-            _shutil.move(parts[0], os.path.join(src, f"h{i}.parquet"))
-        _shutil.rmtree(half_tmp, ignore_errors=True)
+    _stage_bucket_files(ev, half, 2, src, "h")
 
     # 2. bronze: file stream → parquet sink, one file per micro-batch
     raw = (
@@ -1309,7 +1337,6 @@ def i19_stream_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(_shutil.rmtree, d, ignore_errors=True)
 
     ev = _scan(spark, sf_dir, "events").select("event_id", "ts", "value")
-    half = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2))
     ins = ev.select(
         F.lit("I").alias("op"), "event_id", "ts", "value"
     )
@@ -1319,17 +1346,13 @@ def i19_stream_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lit(None).cast("double").alias("value"),
     )
-    files = [
-        ins.filter(half == 0),
-        ins.filter(half == 1).unionByName(tombstones),
-    ]
-    for i, fdf in enumerate(files):
-        half_tmp = tempfile.mkdtemp(prefix="i19_half_")
-        fdf.coalesce(1).write.mode("overwrite").parquet(half_tmp)
-        parts = _glob.glob(os.path.join(half_tmp, "part-*.parquet"))
-        if parts:
-            _shutil.move(parts[0], os.path.join(src, f"h{i}.parquet"))
-        _shutil.rmtree(half_tmp, ignore_errors=True)
+    # batch 0 = insert half 0; batch 1 = insert half 1 + every
+    # tombstone (op='D' rows route to bucket 1 unconditionally)
+    staged = ins.unionByName(tombstones)
+    bucket = F.when(F.col("op") == "D", F.lit(1)).otherwise(
+        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2))
+    )
+    _stage_bucket_files(staged, bucket, 2, src, "h")
 
     raw = (
         spark.readStream.schema(_I19_BRONZE_SCHEMA)
@@ -1619,13 +1642,7 @@ def i20_stream_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "value")
     )
     quarter = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
-    for i in range(4):
-        tmp = tempfile.mkdtemp(prefix="i20_quarter_")
-        ev.filter(quarter == i).coalesce(1).write.mode("overwrite").parquet(tmp)
-        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
-        if parts:
-            shutil.move(parts[0], os.path.join(src, f"q{i}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _stage_bucket_files(ev, quarter, 4, src, "q")
 
     raw = (
         spark.readStream.schema(
