@@ -48,6 +48,49 @@ def _require(ok: bool, what: str) -> None:
         raise RuntimeError(what)
 
 
+def _stage_batch_dirs(df: DataFrame, bucket):
+    """Materialize every log batch of ``df`` in ONE Spark job and hand
+    back a ``take(value, dest)`` mover (r14, guide §6: one pass over
+    the source instead of one filtered scan+write job PER batch — the
+    a15/a16/i21/i22/i23 bodies paid 2-5 full source scans each).
+
+    ``bucket`` is the batch-assignment expression; a dynamic-partition
+    write splits the rows by its value in a single job. ``take`` then
+    MOVES the staged ``__batch=<value>`` directory to ``dest`` (a
+    ``batch_id=N`` log dir) — a metadata rename, so each batch still
+    enters the log exactly at its protocol point: compactions between
+    takes see exactly the batches taken so far, preserving the
+    multi-generation fold sequences unchanged. Rows where ``bucket``
+    is NULL are dropped, mirroring the original per-batch filters
+    (a15's bare ``% 2`` drops NULL/negative ids from both halves by
+    declared contract). A bucket value with NO rows (degenerate
+    corpora — the --limit fuzz axis) stages an empty batch dir with
+    the source schema, exactly like the old empty filtered write. The
+    partition column rides only the write; staged data files keep the
+    source schema."""
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="stage_batches_")
+    (
+        df.withColumn("__batch", bucket)
+        .write.mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(tmp)
+    )
+
+    def take(value, dest: str) -> None:
+        src = os.path.join(tmp, f"__batch={value}")
+        if os.path.isdir(src):
+            shutil.move(src, dest)
+        else:
+            df.limit(0).write.mode("overwrite").parquet(dest)
+
+    def done() -> None:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return take, done
+
+
 class SnapshotStore:
     """Versioned latest-per-key snapshot over an append log.
 
@@ -484,13 +527,17 @@ def a15_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two foreachBatch-style appends (identical sink layout to i11),
     # a compaction after EACH — v2 must fold v1 with the new batch.
     # Halves split by event_id parity so both generations touch keys.
-    e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-        os.path.join(log_dir, "batch_id=0")
+    # Both batches are staged in ONE source pass (guide §6); each
+    # enters the log only at its protocol point via the metadata move,
+    # so the two-generation fold sequence is unchanged.
+    parity = F.when(F.col("event_id") % 2 == 0, 0).when(
+        F.col("event_id") % 2 == 1, 1
     )
+    take, done = _stage_batch_dirs(e, parity)
+    take(0, os.path.join(log_dir, "batch_id=0"))
     _require(store.compact(spark, log_dir) == 1, "a15: first fold is not v1")
-    e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-        os.path.join(log_dir, "batch_id=1")
-    )
+    take(1, os.path.join(log_dir, "batch_id=1"))
+    done()
     _require(store.compact(spark, log_dir) == 2, "a15: second fold is not v2")
     return store.read(spark).select(*cols)
 
@@ -559,13 +606,15 @@ def a16_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id",
         order=["ts", "event_id"],
     )
-    e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-        os.path.join(log_dir, "batch_id=0")
+    # single-pass batch staging (the a15 pattern; guide §6)
+    parity = F.when(F.col("event_id") % 2 == 0, 0).when(
+        F.col("event_id") % 2 == 1, 1
     )
+    take, done = _stage_batch_dirs(e, parity)
+    take(0, os.path.join(log_dir, "batch_id=0"))
     _require(store.compact(spark, log_dir) == 1, "a16: first fold is not v1")
-    e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-        os.path.join(log_dir, "batch_id=1")
-    )
+    take(1, os.path.join(log_dir, "batch_id=1"))
+    done()
     _require(store.compact(spark, log_dir) == 2, "a16: second fold is not v2")
     return store.changes(spark, 1, 2)
 
@@ -834,15 +883,16 @@ def i21_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key so the thirds provably PARTITION the corpus (bare `% 3`
     # drops NULL and negative ids — the i18 lesson).
     third = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+    # all three batches staged in ONE source pass (guide §6); batch 2
+    # only enters the shared log after the first compacts, exactly as
+    # the per-batch writes did.
+    take, done = _stage_batch_dirs(e, third)
     for i in (0, 1):
-        e.filter(third == i).write.mode("overwrite").parquet(
-            os.path.join(log_dir, f"batch_id={i}")
-        )
+        take(i, os.path.join(log_dir, f"batch_id={i}"))
     _require(store_a.compact(spark, log_dir) == 1, "i21: A fold 1 != v1")
     _require(store_b.compact(spark, log_dir) == 1, "i21: B fold 1 != v1")
-    e.filter(third == 2).write.mode("overwrite").parquet(
-        os.path.join(log_dir, "batch_id=2")
-    )
+    take(2, os.path.join(log_dir, "batch_id=2"))
+    done()
     # A leads: through batch 2. B's compactor has NOT run: the
     # manifests now straddle (the state a naive two-store join
     # silently mis-reads).
@@ -1151,13 +1201,14 @@ def i22_store_group_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops NULL and negative ids — the i18 lesson).
     key = F.coalesce(F.col("event_id"), F.lit(0))
     half, third = F.pmod(key, F.lit(2)), F.pmod(key, F.lit(3))
-    e.filter(half == 0).write.mode("overwrite").parquet(
-        os.path.join(log_a, "batch_id=0")
-    )
+    # one staged pass per log (2 jobs for 5 batch dirs, guide §6);
+    # each sequence's later batches enter their log only after the
+    # first group commit, exactly as the per-batch writes did.
+    take_a, done_a = _stage_batch_dirs(e, half)
+    take_b, done_b = _stage_batch_dirs(e, third)
+    take_a(0, os.path.join(log_a, "batch_id=0"))
     for i in (0, 1):
-        e.filter(third == i).write.mode("overwrite").parquet(
-            os.path.join(log_b, f"batch_id={i}")
-        )
+        take_b(i, os.path.join(log_b, f"batch_id={i}"))
     with group.commit() as g:
         _require(g.compact("users", spark, log_a) == 1, "i22: users != v1")
         _require(g.compact("types", spark, log_b) == 1, "i22: types != v1")
@@ -1167,12 +1218,10 @@ def i22_store_group_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pinned_v1 = group.read_pinned(spark)  # resolved NOW at {1, 1}
     # the rest of both sequences arrives; second group commit flips
-    e.filter(half == 1).write.mode("overwrite").parquet(
-        os.path.join(log_a, "batch_id=1")
-    )
-    e.filter(third == 2).write.mode("overwrite").parquet(
-        os.path.join(log_b, "batch_id=2")
-    )
+    take_a(1, os.path.join(log_a, "batch_id=1"))
+    take_b(2, os.path.join(log_b, "batch_id=2"))
+    done_a()
+    done_b()
     with group.commit() as g:
         _require(g.compact("users", spark, log_a) == 2, "i22: users != v2")
         _require(g.compact("types", spark, log_b) == 2, "i22: types != v2")
@@ -1259,14 +1308,16 @@ def i23_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id",
         order=["ts", "event_id"],
     )
-    e.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-        os.path.join(log_dir, "batch_id=0")
+    # single-pass batch staging (the a15 pattern; guide §6)
+    parity = F.when(F.col("event_id") % 2 == 0, 0).when(
+        F.col("event_id") % 2 == 1, 1
     )
+    take, done = _stage_batch_dirs(e, parity)
+    take(0, os.path.join(log_dir, "batch_id=0"))
     _require(store.compact(spark, log_dir) == 1, "i23: first fold is not v1")
     pinned = store.read_version(spark, 1)  # resolved at _LATEST == v1
-    e.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-        os.path.join(log_dir, "batch_id=1")
-    )
+    take(1, os.path.join(log_dir, "batch_id=1"))
+    done()
     _require(store.compact(spark, log_dir) == 2, "i23: second fold is not v2")
     _require(
         store._meta() == {"version": 2, "compacted_through": 1},
