@@ -684,12 +684,31 @@ PQ_K = 16  # codewords per subspace
 
 
 def _sq_l2(a: Column | str, b: Column | str) -> Column:
-    """Σ (aᵢ−bᵢ)² in double, in-order fold (same discipline as dot)."""
-    return F.aggregate(
+    """Σ (aᵢ−bᵢ)² in double, strictly in index order — same two-path
+    discipline as :func:`dot` (r14): PQ subvectors (dim
+    ``PQ_SUBDIM``) take the unrolled codegen chain, any other length
+    the exact interpreted fold; identical order, bit-identical."""
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
+    fold = F.aggregate(
         F.zip_with(a, b, lambda x, y: (_D(x) - _D(y)) * (_D(x) - _D(y))),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+    def term(i):
+        return (_D(F.get(a, i)) - _D(F.get(b, i))) * (
+            _D(F.get(a, i)) - _D(F.get(b, i))
+        )
+
+    unrolled = functools.reduce(
+        lambda acc, i: acc + term(i), range(PQ_SUBDIM), F.lit(0.0)
+    )
+    return F.when(
+        (F.size(a) == PQ_SUBDIM) & (F.size(b) == PQ_SUBDIM), unrolled
+    ).otherwise(fold)
 
 
 _SQL_SQ_L2 = (
