@@ -21,7 +21,6 @@ can never flip a value.
 
 from __future__ import annotations
 
-import functools
 import os
 
 from pyspark import StorageLevel
@@ -41,43 +40,28 @@ _MAD = StorageLevel.MEMORY_AND_DISK
 _D = lambda x: x.cast("double")  # noqa: E731
 
 
-#: Unroll width for the codegen dot-product fast path. The corpus
-#: embedding dim is a job-authoring-time constant (64 here at every
-#: SF); parameterised via env for other deployments. Vectors of ANY
-#: other length take the exact interpreted fold below, so this is a
-#: performance dial, never a correctness one.
-_DOT_UNROLL_DIM = int(os.environ.get("SPARK_GRAFT_EMBED_DIM", "64"))
-
-
 def dot(a: str | Column, b: str | Column) -> Column:
-    """Σ aᵢ·bᵢ in double, strictly in index order.
+    """Σ aᵢ·bᵢ in double, strictly in index order (zip_with/aggregate
+    fold — one specialized ArrayAggregate eval per pair).
 
-    Two bit-identical evaluation paths (r14, guide §4 — HOF lambdas
-    are CodegenFallback, i.e. INTERPRETED per element): vectors of the
-    corpus dim take an unrolled left-associated ``0.0 + a₀b₀ + a₁b₁ +
-    …`` chain that whole-stage-codegens (measured on the j50 pair
-    sweep at sf0.1: 2.31 s → 1.72 s median, results EQUAL); any other
-    length falls back to the original zip_with/aggregate fold. Both
-    paths add the products in the same order starting from 0.0, and
-    NULL elements 3VL-poison the sum identically, so the split can
-    never change a result — only which code evaluates it."""
+    An unrolled ``when(size==64, 0.0 + a₀b₀ + a₁b₁ + …)`` codegen fast
+    path was tried in r14 and REJECTED on a 10-query interleaved A/B
+    at sf0.1 (warm, noop sink): the fold won EVERYWHERE — j41 2.96 vs
+    7.89 s, j3 0.28 vs 1.55 s, j3b 0.55 vs 2.34 s, j3c 1.67 vs 4.68 s,
+    j47 0.60 vs 1.84 s, j50 2.25 vs 2.81 s median. The 64-term ×
+    128-`get` expression tree blows up plan construction and lands in
+    interpreted eval wherever Catalyst duplicates the expression
+    (filter+project collapse, aggregate buffers), where 192 virtual
+    Expression.eval calls lose badly to the single fused fold loop.
+    Do not re-add without an interleaved per-consumer A/B."""
     if isinstance(a, str):
         a = F.col(a)
     if isinstance(b, str):
         b = F.col(b)
-    fold = F.aggregate(
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: _D(x) * _D(y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    d = _DOT_UNROLL_DIM
-    unrolled = functools.reduce(
-        lambda acc, i: acc + _D(F.get(a, i)) * _D(F.get(b, i)),
-        range(d),
-        F.lit(0.0),
-    )
-    return F.when((F.size(a) == d) & (F.size(b) == d), unrolled).otherwise(
-        fold
     )
 
 
@@ -684,31 +668,17 @@ PQ_K = 16  # codewords per subspace
 
 
 def _sq_l2(a: Column | str, b: Column | str) -> Column:
-    """Σ (aᵢ−bᵢ)² in double, strictly in index order — same two-path
-    discipline as :func:`dot` (r14): PQ subvectors (dim
-    ``PQ_SUBDIM``) take the unrolled codegen chain, any other length
-    the exact interpreted fold; identical order, bit-identical."""
-    if isinstance(a, str):
-        a = F.col(a)
-    if isinstance(b, str):
-        b = F.col(b)
-    fold = F.aggregate(
+    """Σ (aᵢ−bᵢ)² in double, in-order fold (same discipline as dot).
+
+    The PQ_SUBDIM-unrolled codegen fast path was tried in r14 and
+    REJECTED like dot's: interleaved A/B on j35 at sf0.1 gave fold
+    med 1.36 s vs unrolled 1.53 s (the earlier claimed win did not
+    reproduce under interleaving)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: (_D(x) - _D(y)) * (_D(x) - _D(y))),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-    def term(i):
-        return (_D(F.get(a, i)) - _D(F.get(b, i))) * (
-            _D(F.get(a, i)) - _D(F.get(b, i))
-        )
-
-    unrolled = functools.reduce(
-        lambda acc, i: acc + term(i), range(PQ_SUBDIM), F.lit(0.0)
-    )
-    return F.when(
-        (F.size(a) == PQ_SUBDIM) & (F.size(b) == PQ_SUBDIM), unrolled
-    ).otherwise(fold)
 
 
 _SQL_SQ_L2 = (
