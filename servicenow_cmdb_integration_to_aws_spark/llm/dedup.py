@@ -975,9 +975,15 @@ def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment signal and quadratic cost; the same df-cap logic as
     j2's degenerate-bucket guard). After the cap, pair work is
     Σ df² over rare grams; the per-pair aggregate partial-aggs on
-    (doc_a, doc_b). Gram strings shuffle once into the df count and
-    once into the pair join — at production scale both ride 8-byte
-    xxhash64 digests instead (byte-identical logic, smaller wire)."""
+    (doc_a, doc_b). Grams ride as 8-byte xxhash64 DIGESTS from the
+    explode on (r14, guide §2.3 shuffle narrower types): the gram
+    string exists only inside the per-row transform — the distinct,
+    the df count and the pair join all shuffle/compare longs, never
+    ~50-byte strings (interleaved A/B at sf0.1: warm med 1.15 →
+    0.59 s, results exactly equal). Containment counts DISTINCT
+    grams, so a 64-bit collision could only merge two grams of one
+    doc — P(any collision corpus-wide) ≈ m²/2⁶⁵, immaterial next to
+    the df-cap's own documented approximation."""
     d = spread(
         canon_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
     )
@@ -990,7 +996,9 @@ def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size("w") - _J52_N),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, _J52_N)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("w"), i + 1, _J52_N))
+                    ),
                 )
             ).alias("gram"),
         )
@@ -999,8 +1007,6 @@ def j52_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy persists Spark re-runs the explode+distinct once per
         # consumer (measured 8 document scans in one executed plan; the
         # lineage-duplication class, same fix as j2's general path).
-        # These are the doc-gram tables a production containment
-        # pipeline persists — at 100 TB they ride 8-byte digests.
         .persist(_MAD)
     )
     df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
