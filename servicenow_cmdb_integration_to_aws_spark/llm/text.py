@@ -11,12 +11,17 @@ document-frequency side is tiny (vocabulary-sized) and broadcast back.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .canon import canon_docs, canon_oracle
 from ..registry import query
 from ..sources.tables import scan, spread
+
+#: persist level for tiny multi-consumer intermediates (the dedup.py
+#: discipline: lazy, lineage-recoverable — never localCheckpoint).
+_MAD = StorageLevel.MEMORY_AND_DISK
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,7 +614,13 @@ def j20_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang STRING, wgt LONG",
     )
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    cw = counts.join(weights, "lang")
+    # cw feeds BOTH cap and thr, and thr is embedded under both final
+    # consumers — without a persist the lang-count scan plans 4× (the
+    # r14 plan showed 12 parquet scans total). Lazy persist of this
+    # ≤n_langs-row frame collapses the tree to 2 corpus scans
+    # (guide §2.1: remove duplicate subtree work). A/B r14:
+    # 1.31 → 0.99 s warm med, results EQUAL.
+    cw = counts.join(weights, "lang").persist(_MAD)
     cap = cw.agg(
         F.min(F.expr("(n * 100) div wgt")).alias("cmax")
     )
@@ -633,8 +644,14 @@ def j20_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # achieved_share denominator from the per-lang agg itself (5-row
     # agg → 1-row sum → broadcast back), not an eager kept.count():
     # the count() executed the scan+join+filter twice and stalled the
-    # driver; this is one lazy plan with a single corpus scan.
-    per_lang = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    # driver; this is one lazy plan with a single corpus scan. The
+    # ≤n_langs-row per-lang agg is persisted so the tot branch reads
+    # it instead of re-running the kept scan+join (guide §2.1).
+    per_lang = (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .persist(_MAD)
+    )
     tot = per_lang.agg(F.sum("n_kept").alias("tot"))
     return (
         per_lang.crossJoin(F.broadcast(tot))
