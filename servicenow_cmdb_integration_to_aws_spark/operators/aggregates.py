@@ -19,6 +19,7 @@ scale prefer approx_count_distinct (d5) when tolerance allows.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -474,12 +475,30 @@ def d18_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or per-day) sketch bytes, answer any group-union rollup later
     without rescanning. Audited with the d5/d17 checkable-contract
     pattern: exact counts plus a boolean certifying the estimate is
-    within 2% relative error (lgK=14 gives ~0.8% RSE)."""
+    within 2% relative error (lgK=14 gives ~0.8% RSE).
+
+    r14 shape (guide §2.1/§2.3): the r13 version scanned events THREE
+    times (the per-type sketch pipeline planned once per consumer,
+    plus a separate raw scan for the global exact count). Now the
+    distinct (event_type, user_id) pairs — the shape Spark's own
+    countDistinct rewrite builds internally anyway — are materialized
+    ONCE (lazy persist, lineage-recoverable) and every downstream agg
+    reads the cache: per-type count = count over pairs, per-type
+    sketch = hll over pairs (HLL register updates are idempotent, so
+    pre-dedup cannot change any estimate), global exact = distinct
+    user over pairs. ONE raw scan; the two residual shuffles move
+    deduped pairs, not raw events. A/B + parity in
+    OPTIMIZATION_r14.md."""
     e = scan(spark, sf_dir, "events")
-    per = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
-        F.countDistinct("user_id").alias("exact_users"),
+    pairs = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    per = pairs.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count("user_id").alias("exact_users"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tol = 0.02
     within = (
         F.abs(
@@ -490,7 +509,7 @@ def d18_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_out = per.select("event_type", "exact_users", within)
     merged = per.agg(F.hll_union_agg("sk").alias("sk"))
     glob = (
-        e.agg(F.countDistinct("user_id").alias("exact_users"))
+        pairs.agg(F.countDistinct("user_id").alias("exact_users"))
         .crossJoin(merged)
         .select(F.lit("ALL").alias("event_type"), "exact_users", within)
     )

@@ -439,19 +439,41 @@ def c12_rel_closure_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard: 'everything under this CI, however deep'. Iterative driver
     loop over a persisted frontier until fixpoint (see
     :func:`transitive_closure`); oracle is the recursive CTE with
-    UNION-distinct termination."""
+    UNION-distinct termination.
+
+    r14 (guide §2.3 narrower types, the c16/c22 treatment): the loop
+    iterates on TAGGED LONGS (key*4 + {0:R, 1:N, 2:C}) instead of
+    concatenated strings — every distinct/join/anti-join inside the
+    fixpoint shuffles and hashes two 8-byte longs per pair instead of
+    two strings; the string form is produced exactly once, on the
+    final closed frame. Same pairs, proven EQUAL against the oracle
+    (A/B in OPTIMIZATION_r14.md)."""
     n = scan(spark, sf_dir, "nation")
     c = scan(spark, sf_dir, "customer")
     edges = n.select(
-        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("parent"),
-        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("child"),
+        (F.col("n_regionkey").cast("long") * 4).alias("parent"),
+        (F.col("n_nationkey").cast("long") * 4 + 1).alias("child"),
     ).unionByName(
         c.select(
-            F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("parent"),
-            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("child"),
+            (F.col("c_nationkey").cast("long") * 4 + 1).alias("parent"),
+            (F.col("c_custkey").cast("long") * 4 + 2).alias("child"),
         )
     )
-    return transitive_closure(edges)
+
+    def _decode(col: str):
+        tag = F.pmod(F.col(col), F.lit(4))
+        base = F.expr(f"{col} div 4").cast("string")
+        return F.concat(
+            F.when(tag == 0, F.lit("R"))
+            .when(tag == 1, F.lit("N"))
+            .otherwise(F.lit("C")),
+            base,
+        )
+
+    closed = transitive_closure(edges)
+    return closed.select(
+        _decode("root").alias("root"), _decode("node").alias("node")
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -197,24 +197,36 @@ def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(n·frame) per partition; 33 s at sf0.1), where DuckDB uses a
     segment tree. Decompose instead into two incrementally-computed
     prefix aggregates:  band(p) = cum(price <= p) - cum(price < p-50k).
-    The strict-< lower bound is evaluated by a union-merge: one probe
-    row per order at key price-50k, sorted BEFORE data rows at equal
-    key, reading a running ROWS-frame sum over data rows only. All
-    frames are grow-only (O(n) incremental), sums stay DECIMAL-exact,
-    and the plan is two sorts + one equi-join — linear at any scale."""
+    The strict-< lower bound is evaluated by a probe-row merge: one
+    probe row per order at key price-50k, sorted BEFORE data rows at
+    equal key, reading a running ROWS-frame sum over data rows only.
+
+    r14 shape (guide §2.4 remove shuffles / §2.1 no duplicate subtree
+    work): the r13 version inlined the `data` CTE THREE times (3
+    parquet scans, 3 exchanges) and re-attached probes with an
+    orders-sized join. Now probe+data rows are generated in ONE pass
+    with `inline` (no self-union), BOTH prefix aggregates ride a
+    single Window node (same partition+order, two frames: grow-only
+    ROWS for the strict-< probe, peer-RANGE for the inclusive <=),
+    and the probe→data re-attach is a groupBy on (priority, rid),
+    which Spark serves from the SAME hash partitioning — the whole
+    query is ONE scan and ONE exchange, join-free. Measured r14 A/B:
+    see OPTIMIZATION_r14.md; results proven EQUAL against the oracle.
+    All frames are grow-only (O(n) incremental), sums stay
+    DECIMAL-exact, linear at any scale."""
     scan(spark, sf_dir, "orders").createOrReplaceTempView("e6_orders")
     return spark.sql(
         """
         WITH data AS (
-            -- a NULL price has no band: filtered on BOTH sides (the
-            -- engines' opposite null placement would also poison the
-            -- prefix counts in this decomposition; r7 null sweep).
-            -- rid is a per-partition ROW identity for the probe join:
-            -- o_orderkey is NOT a safe identity (r11 --dupids on fact
-            -- keys: a duplicated key matched BOTH probes and the join
-            -- fanned out 1500 -> 1800 rows). Rows tying on the full
-            -- (price, key) order are interchangeable — either rid
-            -- assignment yields identical output rows.
+            -- a NULL price has no band: filtered (the engines'
+            -- opposite null placement would also poison the prefix
+            -- counts in this decomposition; r7 null sweep).
+            -- rid is a per-partition ROW identity for the probe
+            -- re-attach: o_orderkey is NOT a safe identity (r11
+            -- --dupids on fact keys: a duplicated key matched BOTH
+            -- probes and fanned out 1500 -> 1800 rows). Rows tying on
+            -- the full (price, key) order are interchangeable —
+            -- either rid assignment yields identical output rows.
             SELECT o_orderkey, o_orderpriority, o_totalprice,
                    CAST(o_totalprice AS DECIMAL(18,2)) AS p_dec,
                    row_number() OVER (PARTITION BY o_orderpriority
@@ -222,37 +234,62 @@ def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS rid
             FROM e6_orders WHERE o_totalprice IS NOT NULL
         ),
-        cum AS (  -- inclusive prefix: count/sum of rows with price <= p
-            SELECT o_orderkey, o_orderpriority, o_totalprice, rid,
-                   count(*) OVER w AS cnt_le,
-                   sum(p_dec) OVER w AS sum_le
+        merged AS (
+            -- each order emits its DATA row (k = price, is_data=1)
+            -- and its PROBE row (k = price-50k, is_data=0) in one
+            -- generate — probes sort before data at equal k, so the
+            -- running ROWS count at a probe sees exactly the data
+            -- rows with price < k (strict). p_dec is NULL on probes
+            -- so count(p_dec)/sum(p_dec) skip them.
+            SELECT o_orderpriority, rid, o_orderkey, o_totalprice,
+                   x.k, x.is_data, x.p_dec
             FROM data
-            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            LATERAL VIEW inline(array(
+                named_struct('k', o_totalprice, 'is_data', 1,
+                             'p_dec', p_dec),
+                named_struct('k', o_totalprice - 50000, 'is_data', 0,
+                             'p_dec', CAST(NULL AS DECIMAL(18,2)))
+            )) x AS k, is_data, p_dec
         ),
-        merged AS (  -- probes (k = p-50k) interleaved before data at equal k
-            SELECT o_orderpriority, o_totalprice AS k, 1 AS is_data,
-                   CAST(NULL AS BIGINT) AS probe_rid, p_dec
-            FROM data
-            UNION ALL
-            SELECT o_orderpriority, o_totalprice - 50000 AS k, 0 AS is_data,
-                   rid AS probe_rid, CAST(NULL AS DECIMAL(18,2)) AS p_dec
-            FROM data
-        ),
-        excl AS (  -- at each probe: count/sum of data rows with price < k
-            SELECT o_orderpriority, probe_rid,
-                   count(p_dec) OVER w AS cnt_lt,
-                   coalesce(sum(p_dec) OVER w, CAST(0 AS DECIMAL(18,2)))
-                     AS sum_lt
+        win AS (
+            -- ONE Window node, two frames over the same sort:
+            --   wrows (ROWS up..current): read at PROBE rows — data
+            --     rows strictly before k (ties: probes precede data).
+            --   wpeer (RANGE up..current = peer-inclusive): read at
+            --     DATA rows — all data rows with price <= p incl. the
+            --     full peer group at p (the RANGE semantics).
+            -- Values read at the "wrong" row kind are discarded by
+            -- the CASE below, so tie-order among probes is moot.
+            SELECT o_orderpriority, rid, o_orderkey, o_totalprice,
+                   is_data,
+                   count(p_dec) OVER wrows AS cnt_lt,
+                   coalesce(sum(p_dec) OVER wrows,
+                            CAST(0 AS DECIMAL(18,2))) AS sum_lt,
+                   count(p_dec) OVER wpeer AS cnt_le,
+                   sum(p_dec) OVER wpeer AS sum_le
             FROM merged
-            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY k, is_data
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            WINDOW wrows AS (PARTITION BY o_orderpriority
+                             ORDER BY k, is_data
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW),
+                   wpeer AS (PARTITION BY o_orderpriority
+                             ORDER BY k, is_data
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
         )
-        SELECT c.o_orderkey, c.o_orderpriority, c.o_totalprice,
-               CAST(c.cnt_le - e.cnt_lt AS BIGINT) AS n_in_band,
-               CAST(c.sum_le - e.sum_lt AS DOUBLE) AS band_sum
-        FROM cum c JOIN excl e ON e.o_orderpriority = c.o_orderpriority
-                              AND e.probe_rid = c.rid
+        -- re-attach the probe's strict-< prefix to its data row: the
+        -- (priority, rid) pair holds exactly its data row and its
+        -- probe row; the groupBy rides the window's hash partitioning
+        -- (priority ⊆ grouping keys) — no exchange, no join.
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(max(CASE WHEN is_data = 1 THEN cnt_le END)
+                    - max(CASE WHEN is_data = 0 THEN cnt_lt END)
+                    AS BIGINT) AS n_in_band,
+               CAST(max(CASE WHEN is_data = 1 THEN sum_le END)
+                    - max(CASE WHEN is_data = 0 THEN sum_lt END)
+                    AS DOUBLE) AS band_sum
+        FROM win
+        GROUP BY o_orderpriority, rid, o_orderkey, o_totalprice
         """
     )
 
