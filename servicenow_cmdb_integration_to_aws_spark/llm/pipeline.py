@@ -99,11 +99,24 @@ def j27_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("w", F.col("cid") * CHUNK_W + 1, F.lit(CHUNK_W)), " "
         ).alias("chunk_txt"),
     )
-    freq = (
-        ch.groupBy(F.md5("chunk_txt").alias("dig"))
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
+    # digest as a REAL COLUMN + lazy persist before both consumers
+    # (r14, the j53 pattern): `ch`'s lineage (split + explode + slice/
+    # array_join over raw text) is the dominant compute of the id and
+    # feeds BOTH the frequency agg and the join-back side — without
+    # the persist it runs twice (the c19 lineage-duplication class; no
+    # AQE ReusedExchange serves it because the agg side exchanges a
+    # partial-agg projection, not the probe projection). The digest
+    # column also drops the old duplicate md5(chunk_txt) evaluation in
+    # the join condition.
+    from pyspark import StorageLevel
+
+    ch = ch.withColumn("dig", F.md5("chunk_txt")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    joined = ch.join(freq, F.md5(ch["chunk_txt"]) == freq["dig"])
+    freq = ch.groupBy("dig").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    joined = ch.join(freq, "dig")
     kept_struct = F.when(
         F.col("ndocs") < 2, F.struct("cid", "chunk_txt")
     )  # collect_list drops nulls -> only kept chunks are gathered
@@ -350,12 +363,20 @@ def j31_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # first-occurrence via a gram-partitioned window MIN instead of the
+    # old groupBy(gram).min + join-back (r14): algebraically identical
+    # (every row gets its gram's global min doc_id), but the window
+    # consumes the distinct gram set ONCE on a single gram-keyed
+    # exchange, where the join shape re-exchanged the grams side a
+    # second time for the SMJ probe and re-ran the explode+distinct
+    # lineage (the c19 duplication class — same fix family as j27/j53,
+    # here join-free so no persist is even needed).
+    wg = Window.partitionBy("gram")
     seen = F.sum(
         F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        grams.join(first_seen, "gram")
+        grams.withColumn("first_doc", F.min("doc_id").over(wg))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

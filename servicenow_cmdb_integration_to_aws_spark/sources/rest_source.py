@@ -156,6 +156,13 @@ class TableApiServer:
         return len(self._frame(sysparm_query))
 
     def fetch(self, sysparm_query: str, offset: int, limit: int):
+        pdf = self.fetch_frame(sysparm_query, offset, limit)
+        return list(pdf.itertuples(index=False, name=None))
+
+    def fetch_frame(self, sysparm_query: str, offset: int, limit: int):
+        """Page slice as the raw pandas frame (the reader converts it
+        to one Arrow batch — no per-row tuple materialization). Same
+        fault injection and idempotence contract as :meth:`fetch`."""
         if self.flaky_dir:
             marker = os.path.join(self.flaky_dir, f"page_{offset}.failed")
             try:
@@ -168,8 +175,7 @@ class TableApiServer:
                 )
             except FileExistsError:
                 pass  # this page already paid its fault; serve it
-        pdf = self._frame(sysparm_query).iloc[offset : offset + limit]
-        return list(pdf.itertuples(index=False, name=None))
+        return self._frame(sysparm_query).iloc[offset : offset + limit]
 
 
 def _safe_value(v) -> bool:
@@ -286,11 +292,23 @@ class SnowTableReader(DataSourceReader):
         """Fetch one page, retrying transient server failures with
         exponential backoff — the rate-limit-bound reality of Table
         API ingest. The page is idempotent (offset+limit over a
-        stable server-side order), so a retry can't dup or drop rows."""
+        stable server-side order), so a retry can't dup or drop rows.
+
+        The page crosses the Python→JVM boundary as ONE Arrow
+        RecordBatch (guide §4: a17/a18 already do this; the old
+        ``yield from rows`` pickled every row individually). Column
+        arrays are built against the arrow projection of the DECLARED
+        Spark schema — ``from_pandas=True`` maps the pandas null-int→
+        float64 artifact (NaN) back to int64 nulls instead of
+        inventing a float column Spark would reject (the a20 trap)."""
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         server = TableApiServer(self.path, flaky_dir=self.flaky_dir)
         for attempt in range(self.max_retries + 1):
             try:
-                rows = server.fetch(
+                pdf = server.fetch_frame(
                     self._query, partition.offset, partition.limit
                 )
                 break
@@ -298,7 +316,14 @@ class SnowTableReader(DataSourceReader):
                 if attempt == self.max_retries:
                     raise
                 time.sleep(self.retry_backoff_s * (2**attempt))
-        yield from rows
+        if len(pdf) == 0:
+            return
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = [
+            pa.array(pdf[f.name], type=f.type, from_pandas=True)
+            for f in arrow_schema
+        ]
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
 class SnowTableDataSource(DataSource):
