@@ -108,6 +108,21 @@ def j27_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial-agg projection, not the probe projection). The digest
     # column also drops the old duplicate md5(chunk_txt) evaluation in
     # the join condition.
+    #
+    # PERSIST LIFECYCLE CONTRACT (r14 ADVICE; applies to every per-query
+    # lazy persist in this package — j20/j27/j37/j3c/j41/j52/j53/d18/
+    # heavy_hitters and kin): the cached blocks are query-instance-
+    # scoped and deliberately NOT unpersisted after the consuming action
+    # — the registered query returns an unevaluated DataFrame, so there
+    # is no post-action hook inside the query, and an eager cleanup
+    # would have to materialize the result first (changing what the
+    # query returns). Deployments that run many queries per long-lived
+    # session rely on (a) MEMORY_AND_DISK falling back to disk under
+    # pressure, (b) the block manager's LRU eviction, and (c) lineage
+    # recoverability of every persisted frame (evicted blocks recompute
+    # correctly). A 100 TB job runner that wants deterministic release
+    # should call df.unpersist() on its own schedule after the sink
+    # action completes.
     from pyspark import StorageLevel
 
     ch = ch.withColumn("dig", F.md5("chunk_txt")).persist(

@@ -1284,7 +1284,13 @@ def heavy_hitters(
         total = 0
         for pdf in batches:
             vc = pdf["token"].value_counts()
-            total += int(vc.sum())
+            # len(pdf), not vc.sum(): value_counts drops NULL tokens,
+            # but the grand total N must count EVERY row (the old
+            # toks.agg(count(1)) semantics) or a null-bearing caller
+            # gets a silently loosened threshold (r14 ADVICE). NULL
+            # tokens still never become candidates: they cannot match
+            # the semi-join, so they are excluded from output anyway.
+            total += len(pdf)
             counts = _mg_merge(counts, vc, k)
         out_tok = list(counts)
         yield pd.DataFrame(

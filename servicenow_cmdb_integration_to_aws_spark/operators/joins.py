@@ -462,7 +462,12 @@ def c12_rel_closure_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _decode(col: str):
         tag = F.pmod(F.col(col), F.lit(4))
-        base = F.expr(f"{col} div 4").cast("string")
+        # floor-consistent base: subtract the pmod remainder BEFORE the
+        # integer divide so a negative encoded key decodes to the key
+        # that produced it (`div` truncates toward zero, pmod is always
+        # non-negative — bare `col div 4` would mis-decode key*4+tag
+        # for key < 0; r14 ADVICE)
+        base = F.expr(f"({col} - pmod({col}, 4)) div 4").cast("string")
         return F.concat(
             F.when(tag == 0, F.lit("R"))
             .when(tag == 1, F.lit("N"))

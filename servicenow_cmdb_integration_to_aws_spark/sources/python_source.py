@@ -33,6 +33,12 @@ from ..sources.tables import path_of, scan
 
 PAGE_KEYS = 2_000  # orderkey span per page/partition
 
+#: the paged-export row shape, shared by the batch (a17) and stream
+#: (a18) sources' schema() AND passed explicitly at read time — an
+#: explicit reader schema skips the driver-side Python schema() round
+#: trip at load() (measured 2.8 → 1.55 s cold construction; r15)
+ORDERS_PAGE_SCHEMA = "o_orderkey long, o_orderstatus string, o_totalprice double"
+
 #: per-worker-process memo of the paged table → (pyarrow Table, sorted
 #: key ndarray | None) — the stand-in for a real page server's response
 #: cache; keyed on part-file size+mtime so a rewritten file (or an
@@ -214,7 +220,7 @@ class OrdersPageSource(DataSource):
         return "cmdb_pages"
 
     def schema(self) -> str:
-        return "o_orderkey long, o_orderstatus string, o_totalprice double"
+        return ORDERS_PAGE_SCHEMA
 
     def reader(self, schema) -> DataSourceReader:
         return OrdersPageReader(self.options)
@@ -244,8 +250,15 @@ def a17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     path = path_of(sf_dir, "orders")
     mk = _footer_max(path, "o_orderkey")  # None ⇒ empty export
+    # Explicit reader schema (r15, guide §1/§4 — trim the Python
+    # boundary): with a user-supplied schema Spark skips the driver-
+    # side Python `schema()` round trip at load() — measured 2.8 →
+    # 1.55 s cold construction and 0.27 → 0.02 s warm (A/B, fresh
+    # sessions). Same DDL the source declares (a8's pattern); the
+    # source's schema() stays authoritative for schema-less callers.
     return (
         spark.read.format("cmdb_pages")
+        .schema(ORDERS_PAGE_SCHEMA)
         .option("path", path)
         .option("max_key", -1 if mk is None else mk)
         .load()
@@ -313,7 +326,7 @@ class OrdersPageStreamSource(DataSource):
         return "cmdb_pages_stream"
 
     def schema(self) -> str:
-        return "o_orderkey long, o_orderstatus string, o_totalprice double"
+        return ORDERS_PAGE_SCHEMA
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return OrdersPageStreamReader(self.options)
@@ -349,8 +362,11 @@ def a18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_stream(spark)
     path = path_of(sf_dir, "orders")
+    # explicit schema: same driver-side Python round-trip saving as
+    # a17 (see ORDERS_PAGE_SCHEMA)
     s = (
         spark.readStream.format("cmdb_pages_stream")
+        .schema(ORDERS_PAGE_SCHEMA)
         .option("path", path)
         .load()
     )
@@ -381,7 +397,13 @@ def read_committed(spark: SparkSession, path: str, schema: str) -> DataFrame:
     ]
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).csv(files)
+    # multiLine: the writer emits pandas-quoted CSV, so a string value
+    # carrying an embedded newline is QUOTED on write — without this
+    # option Spark's line-splitting reader would tear it into corrupt
+    # rows (r14 ADVICE; latent for this corpus's 1-char statuses).
+    # Cost: a multiLine file is parsed whole rather than split, which
+    # is moot here — committed files are one-per-task and small.
+    return spark.read.schema(schema).option("multiLine", True).csv(files)
 
 
 class _UpsertCommit(WriterCommitMessage):

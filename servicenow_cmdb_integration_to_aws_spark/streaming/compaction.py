@@ -91,6 +91,66 @@ def _stage_batch_dirs(df: DataFrame, bucket):
     return take, done
 
 
+def _stage_batch_dirs2(df: DataFrame, bucket_a, bucket_b):
+    """Two-log staging in ONE source pass (r15, guide §6): i22 feeds
+    two UNRELATED batch sequences from the same corpus — two
+    :func:`_stage_batch_dirs` calls scanned and wrote the full source
+    TWICE. One dynamic-partition write by the composite ``(__a, __b)``
+    stages both splits at once; ``take(axis, value, dest)`` then
+    HARD-LINKS the matching part files into the log batch dir (a row
+    with ``__a=h, __b=t`` belongs to log A's batch h AND log B's batch
+    t, so neither take may move the file — links share the bytes, and
+    each log's retention deletes its own links independently). Falls
+    back to a copy across filesystems. Batches still enter each log
+    exactly at their protocol points via ``take``; an empty bucket
+    value stages an empty batch dir with the source schema, as before.
+    PRECONDITION (callers'): both bucket expressions are non-NULL for
+    every row — i22 builds them over ``coalesce(event_id, 0)``. At
+    100 TB the staged files are the fixture INPUT build (the log an
+    upstream sink would have written), not query output; halving its
+    source passes is the same §6 win as the r14 fusion."""
+    import glob
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="stage_batches2_")
+    (
+        df.withColumn("__a", bucket_a)
+        .withColumn("__b", bucket_b)
+        .write.mode("overwrite")
+        .partitionBy("__a", "__b")
+        .parquet(tmp)
+    )
+
+    def take(axis: str, value, dest: str) -> None:
+        pat = (
+            os.path.join(tmp, f"__a={value}", "__b=*", "*.parquet")
+            if axis == "a"
+            else os.path.join(tmp, "__a=*", f"__b={value}", "*.parquet")
+        )
+        files = sorted(glob.glob(pat))
+        if not files:
+            df.limit(0).write.mode("overwrite").parquet(dest)
+            return
+        os.makedirs(dest, exist_ok=True)
+        for f in files:
+            # disambiguate with BOTH partition values: a dynamic-
+            # partition write reuses the same part filename across
+            # sibling dirs (one task, one name), so a single-component
+            # prefix collides for the axis whose value is fixed
+            rel = os.path.relpath(f, tmp).split(os.sep)
+            av, bv = rel[0].split("=", 1)[1], rel[1].split("=", 1)[1]
+            out = os.path.join(dest, f"a{av}-b{bv}-{rel[-1]}")
+            try:
+                os.link(f, out)
+            except OSError:  # cross-device staging: fall back to copy
+                shutil.copy2(f, out)
+
+    def done() -> None:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return take, done
+
+
 class SnapshotStore:
     """Versioned latest-per-key snapshot over an append log.
 
@@ -889,8 +949,18 @@ def i21_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     take, done = _stage_batch_dirs(e, third)
     for i in (0, 1):
         take(i, os.path.join(log_dir, f"batch_id={i}"))
-    _require(store_a.compact(spark, log_dir) == 1, "i21: A fold 1 != v1")
-    _require(store_b.compact(spark, log_dir) == 1, "i21: B fold 1 != v1")
+    # the two generation-1 folds are independent single-store jobs
+    # (separate roots/flocks, shared immutable log batches) — overlap
+    # them so one fold's task tail backfills with the other's work
+    # (r15, guide §2.6); the straddle protocol below is untouched
+    # because BOTH folds complete before batch 2 enters the log.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(store_a.compact, spark, log_dir)
+        fb = pool.submit(store_b.compact, spark, log_dir)
+        _require(fa.result() == 1, "i21: A fold 1 != v1")
+        _require(fb.result() == 1, "i21: B fold 1 != v1")
     take(2, os.path.join(log_dir, "batch_id=2"))
     done()
     # A leads: through batch 2. B's compactor has NOT run: the
@@ -1201,30 +1271,48 @@ def i22_store_group_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops NULL and negative ids — the i18 lesson).
     key = F.coalesce(F.col("event_id"), F.lit(0))
     half, third = F.pmod(key, F.lit(2)), F.pmod(key, F.lit(3))
-    # one staged pass per log (2 jobs for 5 batch dirs, guide §6);
-    # each sequence's later batches enter their log only after the
-    # first group commit, exactly as the per-batch writes did.
-    take_a, done_a = _stage_batch_dirs(e, half)
-    take_b, done_b = _stage_batch_dirs(e, third)
-    take_a(0, os.path.join(log_a, "batch_id=0"))
+    # BOTH logs staged in ONE source pass (r15, guide §6 — the two
+    # r14 per-log passes fused via the composite (half, third)
+    # partition write; see _stage_batch_dirs2). Each batch still
+    # enters its log only at its protocol point, exactly as before.
+    take, done = _stage_batch_dirs2(e, half, third)
+    take("a", 0, os.path.join(log_a, "batch_id=0"))
     for i in (0, 1):
-        take_b(i, os.path.join(log_b, f"batch_id={i}"))
+        take("b", i, os.path.join(log_b, f"batch_id={i}"))
+    # the two member folds are INDEPENDENT single-table compactions
+    # (separate stores, separate logs, separate flocks) serialized
+    # only by the driver loop — overlap them (r15, guide §2.6): each
+    # fold's job tail leaves most cores idle at this delta size, and
+    # the group commit only needs BOTH versions recorded before the
+    # manifest publish on clean exit. FIFO scheduling backfills one
+    # fold's stragglers with the other's tasks; the commit protocol
+    # (per-store version write + _LATEST, then one group manifest)
+    # is unchanged — the handle records each fold's returned version
+    # under distinct keys, and the manifest is written after both
+    # futures resolve.
+    from concurrent.futures import ThreadPoolExecutor
+
     with group.commit() as g:
-        _require(g.compact("users", spark, log_a) == 1, "i22: users != v1")
-        _require(g.compact("types", spark, log_b) == 1, "i22: types != v1")
+        with ThreadPoolExecutor(2) as pool:
+            fa = pool.submit(g.compact, "users", spark, log_a)
+            fb = pool.submit(g.compact, "types", spark, log_b)
+            _require(fa.result() == 1, "i22: users != v1")
+            _require(fb.result() == 1, "i22: types != v1")
     _require(
         group.manifest() == {"users": 1, "types": 1},
         f"i22: first manifest is {group.manifest()}",
     )
     pinned_v1 = group.read_pinned(spark)  # resolved NOW at {1, 1}
     # the rest of both sequences arrives; second group commit flips
-    take_a(1, os.path.join(log_a, "batch_id=1"))
-    take_b(2, os.path.join(log_b, "batch_id=2"))
-    done_a()
-    done_b()
+    take("a", 1, os.path.join(log_a, "batch_id=1"))
+    take("b", 2, os.path.join(log_b, "batch_id=2"))
+    done()
     with group.commit() as g:
-        _require(g.compact("users", spark, log_a) == 2, "i22: users != v2")
-        _require(g.compact("types", spark, log_b) == 2, "i22: types != v2")
+        with ThreadPoolExecutor(2) as pool:
+            fa = pool.submit(g.compact, "users", spark, log_a)
+            fb = pool.submit(g.compact, "types", spark, log_b)
+            _require(fa.result() == 2, "i22: users != v2")
+            _require(fb.result() == 2, "i22: types != v2")
     _require(
         group.manifest() == {"users": 2, "types": 2},
         f"i22: second manifest is {group.manifest()}",
