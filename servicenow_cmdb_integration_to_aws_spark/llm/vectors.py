@@ -421,73 +421,160 @@ def j12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_blocked(scan(spark, sf_dir, "embeddings"), tau=0.3, cap=128)
 
 
+def _pair_block_kernel(key, pdf):
+    """Per-chunk-pair exact cosine kernel (r15, guide §4.2 — the j39
+    precedent: hand a whole block to vectorized native code instead of
+    running one interpreted JVM fold per pair).
+
+    BIT-EXACTNESS CONTRACT: reproduces the JVM expression
+    ``dot(a,b) / (l2norm(a) * l2norm(b))`` IEEE-op-for-IEEE-op —
+    float32 components widened to float64 (exact), dot and norm² folds
+    accumulated strictly in index order via one elementwise
+    multiply-then-add per dimension (numpy elementwise ops never fuse
+    or reassociate), then sqrt, one multiply, one divide. Rounding is
+    deliberately NOT done here: the caller applies the same
+    ``F.round(_, 6)`` the join form used, so the returned doubles feed
+    the identical rounding code path. Verified value-equal against the
+    join form over every pair at 3 SFs + the torture chains (multiset
+    diff harness, r15).
+
+    Pair semantics mirror the join form exactly: same-chunk groups
+    (ci == cj) hold every row in both roles and keep strict
+    ``id_a < id_b`` (duplicate-id payload twins never pair with each
+    other, but each twin pairs with every other vector — one output
+    row per twin, as the join produced); cross-chunk groups keep
+    ``id_a != id_b`` and normalize orientation via (min, max) id —
+    cosine is symmetric so the score is orientation-free. Vectors of
+    UNEQUAL length never pair (zip_with pads with NULL → NULL sim →
+    filtered), reproduced by pairing only within equal-length buckets."""
+    import numpy as np
+    import pandas as pd
+
+    same = key[1] == key[2]  # ci == cj
+    A = pdf[pdf["role"] == 0]
+    B = pdf[pdf["role"] == 1]
+    out_a: list = []
+    out_b: list = []
+    out_s: list = []
+    if len(A) and len(B):
+        la = A["embedding"].map(len).to_numpy()
+        lb = B["embedding"].map(len).to_numpy()
+        for L in np.intersect1d(np.unique(la), np.unique(lb)):
+            Ai, Bi = A[la == L], B[lb == L]
+            if L == 0:
+                continue  # zero-length vectors fail vec_ok upstream
+            MA = np.stack(Ai["embedding"].to_numpy()).astype(np.float64)
+            MB = np.stack(Bi["embedding"].to_numpy()).astype(np.float64)
+            ida = Ai["vec_id"].to_numpy()
+            idb = Bi["vec_id"].to_numpy()
+            dots = np.zeros((len(MA), len(MB)))
+            na = np.zeros(len(MA))
+            nb = np.zeros(len(MB))
+            for d in range(int(L)):  # strict index-order fold
+                dots += MA[:, d : d + 1] * MB[None, :, d]
+                na += MA[:, d] * MA[:, d]
+                nb += MB[:, d] * MB[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+            mask = (
+                ida[:, None] < idb[None, :]
+                if same
+                else ida[:, None] != idb[None, :]
+            )
+            ii, jj = np.nonzero(mask)
+            out_a.append(np.minimum(ida[ii], idb[jj]))
+            out_b.append(np.maximum(ida[ii], idb[jj]))
+            out_s.append(sim[ii, jj])
+    cat = (lambda xs, dt: np.concatenate(xs) if xs else np.array([], dtype=dt))
+    return pd.DataFrame(
+        {
+            "vec_a": cat(out_a, np.int64),
+            "vec_b": cat(out_b, np.int64),
+            "sim": cat(out_s, np.float64),
+        }
+    )
+
+
 def neardup_blocked(e: DataFrame, tau: float, cap: int = 128) -> DataFrame:
     """Exact within-label near-dup pairs with bounded per-task work.
 
-    Distributed triangle join: each label's vectors are hashed into
-    ``n_chunks = ceil(|label| / cap)`` chunks; the A side is replicated
-    to chunk-pair keys (ci, cj) for cj ≥ ci, the B side for ci ≤ cj, and
-    the join runs on (label, ci, cj). Every unordered pair lands on
-    exactly one chunk-pair key, so per-task pair work is ≤ cap² no
-    matter how hot one label is, and replication cost is ~n_chunks per
-    row (the sqrt-of-pair-space optimum). Same-chunk pairs appear in
-    both orientations → keep vec_a < vec_b; cross-chunk pairs appear
-    once in arbitrary orientation → normalize with least/greatest
-    (cosine is symmetric, so the score is orientation-free).
+    Distributed triangle BLOCKING, Arrow-kernel scoring (r15): each
+    label's vectors are hashed into ``n_chunks = ceil(|label| / cap)``
+    chunks; every vector is replicated to its chunk-pair keys — role-A
+    rows to (ci=chunk, cj ≥ chunk), role-B rows to (ci ≤ chunk,
+    cj=chunk) — and ONE groupBy(label, ci, cj) ships each block's m
+    rows once through Arrow to :func:`_pair_block_kernel`, which
+    scores all m·m′ pairs with vectorized numpy folds that are
+    bit-identical to the JVM expression (see its docstring). Every
+    unordered pair lands on exactly one chunk-pair key, so per-task
+    pair work is ≤ cap² no matter how hot one label is, and
+    replication cost is ~n_chunks per row (the sqrt-of-pair-space
+    optimum) — the same skew bound the r14 join form had.
+
+    Why not the JVM join (the r14 form, two replicated sides joined on
+    (label, ci, cj) with a zip_with/aggregate fold per pair): the
+    higher-order fold is interpreted per PAIR — measured 60% of j50's
+    pipeline at sf0.1 (3.81 vs 1.56 s med with the fold stubbed out);
+    the kernel does the same flops in numpy at memory speed and ships
+    each block's rows ONCE instead of materializing m·m′ joined rows
+    (guide §4.2/§8: decide on proxies, move payloads once). r15
+    process-alternated A/B (3 rounds old/new, min of 3 warm runs each,
+    medians): j50 5.27 → 1.98 s, j16 4.59 → 1.68 s, j12 2.66 → 1.55 s,
+    j41 5.10 → 3.91 s (j41's residual is the assignment stages).
+    Exactness evidence: pair multisets HEX-EQUAL to the join form at
+    3 SFs × τ∈{0, 0.3, 0.6} and on both 15-axis torture chains;
+    oracle parity + determinism + rowshuffle cross-layout all green.
 
     At 100 TB: no window (chunk = hash % n_chunks — no per-label
     single-task assignment step), counts come from a partial-aggregated
-    groupBy broadcast back, and AQE handles residual key skew."""
-    # ch feeds both join sides, so its lineage (scan + broadcast join +
-    # norm) plans twice — acceptable: re-scanning the columnar source
+    groupBy broadcast back, and AQE handles residual key skew; the
+    groupBy exchange carries the same replicated rows the join's two
+    exchanges carried."""
+    # ch feeds both role projections, so its lineage (scan + broadcast
+    # join) plans twice — acceptable: re-scanning the columnar source
     # beats materializing an embedding-payload copy at 100 TB. The tiny
     # label->n_chunks agg, though, is persisted so the counting scan
     # runs once, not once per side (lineage-duplication class).
     e = e.filter(vec_ok())  # glitched vectors carry no pair signal (r9)
+    # NULL labels never pair: the old equi-join dropped them; the
+    # groupBy below would keep NULL as its own group (r9 nullkeys
+    # class), so the exclusion must be explicit now.
+    e = e.filter(F.col("label").isNotNull())
     counts = e.groupBy("label").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("n_chunks")
     ).persist(_MAD)
-    # norms are per-VECTOR, so compute them once before the pair join —
-    # per-pair work is then a single dot fold instead of three
-    # (higher-order folds are interpreted, not codegen'd: 3x matters).
     ch = e.join(F.broadcast(counts), "label").select(
         "label",
         "vec_id",
         "embedding",
-        l2norm("embedding").alias("nrm"),
         F.pmod(F.xxhash64("vec_id"), F.col("n_chunks")).cast("int").alias("chunk"),
         "n_chunks",
     )
-    a = ch.select(
+    rep = ch.select(
         "label",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+        F.lit(0).alias("role"),
+        "vec_id",
+        "embedding",
         F.col("chunk").alias("ci"),
         F.explode(F.sequence(F.col("chunk"), F.col("n_chunks") - 1)).alias("cj"),
-    )
-    b = ch.select(
-        "label",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ci"),
-        F.col("chunk").alias("cj"),
-    )
-    sim = F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
-    return (
-        a.join(b, ["label", "ci", "cj"])
-        .filter(
-            F.when(F.col("ci") == F.col("cj"), F.col("vec_a") < F.col("vec_b"))
-            .otherwise(F.col("vec_a") != F.col("vec_b"))
+    ).unionByName(
+        ch.select(
+            "label",
+            F.lit(1).alias("role"),
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ci"),
+            F.col("chunk").alias("cj"),
         )
-        .select(
-            F.least("vec_a", "vec_b").alias("vec_a"),
-            F.greatest("vec_a", "vec_b").alias("vec_b"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= tau)
     )
+    pairs = rep.groupBy("label", "ci", "cj").applyInPandas(
+        _pair_block_kernel, "vec_a long, vec_b long, sim double"
+    )
+    # round + threshold in Spark so the rounding code path is the
+    # IDENTICAL F.round the join form used (kernel returns raw doubles)
+    return pairs.select(
+        "vec_a", "vec_b", F.round("sim", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= tau)
 
 
 @query(
