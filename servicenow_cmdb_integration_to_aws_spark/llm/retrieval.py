@@ -450,9 +450,22 @@ def j39_edit_distance_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"doc_id": di, "other_id": do, "dist": dd.astype("int32")}
         )
 
+    # lazy persist BEFORE the global sort (r15, guide §5/§2.4): a
+    # range exchange SAMPLES its child to pick partition bounds, and
+    # the stage between the last exchange and the sort here is the
+    # Myers kernel itself — without the persist the whole
+    # FlatMapGroupsInPandas re-runs for the sample pass (process-
+    # alternated A/B, one run per fresh session with python workers
+    # pre-warmed — the bench-serial model: 4.05 → 2.60 s med of 4).
+    # The cached frame is one row per doc (3 scalars), disk-spillable
+    # and lineage-recoverable; at 100 TB prefer writing the NN table
+    # and sorting on read, same one-materialization principle.
+    from .vectors import _MAD
+
     return (
         d.groupBy("lang", "bucket")
         .applyInPandas(nn, "doc_id long, other_id long, dist int")
+        .persist(_MAD)
         .orderBy("doc_id")
     )
 

@@ -1254,7 +1254,15 @@ def d28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
-    return heavy_hitters(toks).orderBy(F.col("n_occ").desc(), "token")
+    # lazy persist before the global sort: the range exchange's bound
+    # sampling re-runs the stage below it — here the exact-recount
+    # agg + total filter (the j39 pattern, smaller stakes); the cached
+    # frame is the ≤ tens-of-rows answer itself (r15, guide §5)
+    return (
+        heavy_hitters(toks)
+        .persist()
+        .orderBy(F.col("n_occ").desc(), "token")
+    )
 
 
 def heavy_hitters(
